@@ -1,0 +1,107 @@
+"""Wire-format packet packing/unpacking.
+
+Bit layout parity with the reference (reference: lyra/packet.h:91-146 and
+lyra/residual_vector_quantizer.cc:101-157): a frame's RVQ stage indices are
+laid out MSB-first — the *first* quantizer stage occupies the most significant
+bits — then packed into ceil(bits/8) bytes, with any unused bits sitting in the
+low positions of the final byte.
+
+Two implementations are provided:
+  * numpy vectorized (works on whole batches of frames at once) — the default
+    host-side path for the batched stream engine;
+  * a pure-scalar path used for clarity/tests.
+
+There are no headers in the current wire format (NUM_HEADER_BITS == 0), and the
+packet size alone signals the bitrate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lyra_tpu import config
+
+
+def indices_to_bitstring(indices, bits_per_stage: int = config.BITS_PER_QUANTIZER) -> str:
+    """RVQ stage indices → '0'/'1' string, first stage in the MSBs."""
+    out = []
+    for idx in indices:
+        idx = int(idx)
+        if idx < 0 or idx >= (1 << bits_per_stage):
+            raise ValueError(f"index {idx} out of range for {bits_per_stage} bits")
+        out.append(format(idx, f"0{bits_per_stage}b"))
+    return "".join(out)
+
+
+def bitstring_to_indices(bits: str, bits_per_stage: int = config.BITS_PER_QUANTIZER):
+    if len(bits) % bits_per_stage != 0:
+        raise ValueError(
+            f"bitstring length {len(bits)} not divisible by {bits_per_stage}"
+        )
+    n = len(bits) // bits_per_stage
+    return np.array(
+        [int(bits[i * bits_per_stage : (i + 1) * bits_per_stage], 2) for i in range(n)],
+        dtype=np.int32,
+    )
+
+
+def pack_bitstring(bits: str) -> bytes:
+    """'0'/'1' string → bytes, MSB-first, zero-padded at the tail."""
+    n_bytes = -(-len(bits) // 8)
+    padded = bits.ljust(n_bytes * 8, "0")
+    return int(padded, 2).to_bytes(n_bytes, "big") if bits else b""
+
+
+def unpack_bitstring(packet: bytes, num_bits: int) -> str:
+    if len(packet) != -(-num_bits // 8):
+        raise ValueError(f"Packet of unexpected length: {len(packet)}")
+    as_int = int.from_bytes(packet, "big")
+    total = len(packet) * 8
+    return format(as_int, f"0{total}b")[:num_bits]
+
+
+def pack_indices(indices, num_bits: int) -> bytes:
+    """Stage indices for one frame → wire packet bytes."""
+    n_stages = num_bits // config.BITS_PER_QUANTIZER
+    return pack_bitstring(indices_to_bitstring(indices[:n_stages]))
+
+
+def unpack_indices(packet: bytes) -> np.ndarray:
+    """Wire packet → stage indices; bitrate inferred from packet size."""
+    num_bits = config.packet_size_to_num_quantized_bits(len(packet))
+    if num_bits < 0:
+        raise ValueError(f"unrecognized packet size {len(packet)}")
+    return bitstring_to_indices(unpack_bitstring(bytes(packet), num_bits))
+
+
+# ----------------------------------------------------------------------------
+# Batched numpy paths — used by the stream engine (thousands of frames/call).
+# ----------------------------------------------------------------------------
+
+
+def pack_indices_batch(indices: np.ndarray, num_bits: int) -> np.ndarray:
+    """[B, n_stages] int32 stage indices → [B, packet_size] uint8 packets.
+
+    Vectorized equivalent of per-frame pack_indices.
+    """
+    bps = config.BITS_PER_QUANTIZER
+    n_stages = num_bits // bps
+    idx = np.asarray(indices)[:, :n_stages].astype(np.uint8)
+    # Expand each stage index into its bits, MSB of stage first.
+    shifts = np.arange(bps - 1, -1, -1, dtype=np.uint8)
+    bits = (idx[:, :, None] >> shifts[None, None, :]) & 1  # [B, n_stages, bps]
+    bits = bits.reshape(idx.shape[0], n_stages * bps)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)
+
+
+def unpack_indices_batch(packets: np.ndarray, num_bits: int) -> np.ndarray:
+    """[B, packet_size] uint8 → [B, n_stages] int32 stage indices."""
+    bps = config.BITS_PER_QUANTIZER
+    n_stages = num_bits // bps
+    bits = np.unpackbits(np.asarray(packets, dtype=np.uint8), axis=1)[:, :num_bits]
+    bits = bits.reshape(-1, n_stages, bps)
+    weights = (1 << np.arange(bps - 1, -1, -1)).astype(np.int32)
+    return (bits.astype(np.int32) * weights[None, None, :]).sum(-1)

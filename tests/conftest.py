@@ -1,0 +1,35 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding tests run against
+8 virtual CPU devices, which exercises the same pjit/shard_map partitioning
+logic XLA uses on a real ICI mesh.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference/lyra"
+MODEL_COEFFS = os.path.join(REFERENCE_ROOT, "model_coeffs")
+TESTDATA = os.path.join(REFERENCE_ROOT, "testdata")
+
+
+@pytest.fixture(scope="session")
+def model_path():
+    if not os.path.isdir(MODEL_COEFFS):
+        pytest.skip("reference model weights not available")
+    return MODEL_COEFFS
+
+
+@pytest.fixture(scope="session")
+def testdata_path():
+    if not os.path.isdir(TESTDATA):
+        pytest.skip("reference testdata not available")
+    return TESTDATA

@@ -1,0 +1,60 @@
+import numpy as np
+import pytest
+
+from lyra_tpu import config, packet
+
+
+def test_bitstring_roundtrip_64():
+    bits = "01" * 32  # 64 bits
+    packed = packet.pack_bitstring(bits)
+    assert len(packed) == 8
+    assert packet.unpack_bitstring(packed, 64) == bits
+
+
+def test_tail_byte_padding_matches_reference():
+    # 184 bits -> 23 bytes: exact fit. 120 bits -> 15 bytes: exact fit.
+    # A non-multiple example: 12 bits -> 2 bytes, the 4 unused bits must sit in
+    # the LOW positions of the final byte (reference: lyra/packet.h:108-118).
+    bits = "111111111111"  # 12 ones
+    packed = packet.pack_bitstring(bits)
+    assert packed == bytes([0xFF, 0xF0])
+    assert packet.unpack_bitstring(packed, 12) == bits
+
+
+def test_indices_bitstring_msb_first():
+    # First quantizer stage goes in the most significant bits
+    # (reference: lyra/residual_vector_quantizer.cc:101-109).
+    idx = [0xA, 0x1, 0xF]
+    bits = packet.indices_to_bitstring(idx)
+    assert bits == "1010" + "0001" + "1111"
+    np.testing.assert_array_equal(packet.bitstring_to_indices(bits), idx)
+
+
+def test_pack_indices_roundtrip_all_bitrates():
+    rng = np.random.default_rng(0)
+    for bits in config.SUPPORTED_QUANTIZED_BITS:
+        n_stages = bits // config.BITS_PER_QUANTIZER
+        idx = rng.integers(0, 16, size=n_stages)
+        p = packet.pack_indices(idx, bits)
+        assert len(p) == config.packet_size(bits)
+        np.testing.assert_array_equal(packet.unpack_indices(p), idx)
+
+
+def test_batch_matches_scalar():
+    rng = np.random.default_rng(1)
+    for bits in config.SUPPORTED_QUANTIZED_BITS:
+        n_stages = bits // config.BITS_PER_QUANTIZER
+        idx = rng.integers(0, 16, size=(17, n_stages)).astype(np.int32)
+        batch = packet.pack_indices_batch(idx, bits)
+        assert batch.shape == (17, config.packet_size(bits))
+        for i in range(17):
+            assert bytes(batch[i]) == packet.pack_indices(idx[i], bits)
+        back = packet.unpack_indices_batch(batch, bits)
+        np.testing.assert_array_equal(back, idx)
+
+
+def test_unpack_wrong_length_raises():
+    with pytest.raises(ValueError):
+        packet.unpack_bitstring(b"\x00" * 3, 64)
+    with pytest.raises(ValueError):
+        packet.unpack_indices(b"\x00" * 7)
