@@ -1,0 +1,412 @@
+"""Lower a parsed TFLite graph to a pure JAX function with explicit state.
+
+This is the TPU-native replacement for the reference's per-frame TFLite
+interpreter (reference: lyra/tflite_model_wrapper.cc:36-95).  Instead of an
+interpreter invoked per stream per frame, each model graph is lowered once to
+a pure function
+
+    outputs, new_state = fn(state, **inputs)
+
+whose streaming conv-state variables (reference models carry ~27k floats of
+per-stream state, see SURVEY.md §2.1) are an explicit pytree.  The function is
+trace-compatible: `jax.jit` compiles it into a single fused XLA program, and
+`jax.vmap` lifts it over a stream-batch axis so thousands of concurrent
+streams run as one kernel launch on the MXU.
+
+Quantization modes:
+  * ``float``      — int8 islands are dequantized; everything runs in f32 (or
+                     bf16).  Fastest; highest fidelity to the unquantized
+                     network.  The TPU production path.
+  * ``fakequant``  — float compute but activations are snapped to the int8
+                     grid at every QUANTIZE / quantized-op boundary.  Tracks
+                     the TFLite interpreter closely (divergence only from
+                     requantization rounding edge cases).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lyra_tpu.tflite import model as tfl
+
+Array = Any
+
+
+def _np_dtype(t: tfl.TensorDef):
+    return np.dtype(t.dtype)
+
+
+def _dequantize_const(t: tfl.TensorDef) -> np.ndarray:
+    """Constant int8/int32 tensor → float32 with per-channel scales applied."""
+    data = t.data
+    q = t.quant
+    if q is None or data is None or data.dtype.kind == "f":
+        return data
+    scale = q.scale.astype(np.float32)
+    zp = q.zero_point.astype(np.float32) if q.zero_point.size else np.zeros_like(scale)
+    if q.per_channel:
+        shape = [1] * data.ndim
+        shape[q.quantized_dimension] = scale.size
+        scale = scale.reshape(shape)
+        zp = zp.reshape(shape)
+    return (data.astype(np.float32) - zp) * scale
+
+
+def _fq(x: Array, t: tfl.TensorDef) -> Array:
+    """Fake-quantize `x` onto tensor `t`'s int8 grid (clamp + round)."""
+    q = t.quant
+    if q is None or t.dtype != np.int8:
+        return x
+    scale = float(q.scale[0])
+    zp = float(q.zero_point[0]) if q.zero_point.size else 0.0
+    qv = jnp.clip(jnp.round(x / scale + zp), -128.0, 127.0)
+    return (qv - zp) * scale
+
+
+_ACT_FNS = {
+    None: lambda x: x,
+    "RELU": lambda x: jnp.maximum(x, 0.0),
+    "RELU6": lambda x: jnp.clip(x, 0.0, 6.0),
+    "RELU_N1_TO_1": lambda x: jnp.clip(x, -1.0, 1.0),
+    "TANH": jnp.tanh,
+}
+
+
+def _strided_slice(x, begin, end, strides, opts, x_shape):
+    """TF strided-slice with begin/end/shrink-axis masks (static operands)."""
+    begin = [int(v) for v in begin]
+    end = [int(v) for v in end]
+    strides = [int(v) for v in strides]
+    bm, em, sm = opts.get("begin_mask", 0), opts.get("end_mask", 0), opts.get("shrink_axis_mask", 0)
+    if opts.get("ellipsis_mask", 0) or opts.get("new_axis_mask", 0):
+        raise NotImplementedError("ellipsis/new-axis masks not used by Lyra graphs")
+    slices = []
+    shrink = []
+    for i in range(len(begin)):
+        if sm & (1 << i):
+            b = begin[i]
+            if b < 0:
+                b += x_shape[i]
+            slices.append(slice(b, b + 1, 1))
+            shrink.append(i)
+            continue
+        b = None if bm & (1 << i) else begin[i]
+        e = None if em & (1 << i) else end[i]
+        slices.append(slice(b, e, strides[i]))
+    out = x[tuple(slices)]
+    if shrink:
+        out = out.reshape([s for j, s in enumerate(out.shape) if j not in shrink])
+    return out
+
+
+def _conv2d(x, w, b, opts, groups_from: Tuple[int, int]):
+    in_c, filt_in_c = groups_from
+    groups = in_c // filt_in_c
+    out = jax.lax.conv_general_dilated(
+        x,
+        jnp.transpose(w, (1, 2, 3, 0)),  # [O,KH,KW,I] -> HWIO
+        window_strides=(opts["stride_h"], opts["stride_w"]),
+        padding=opts["padding"],
+        rhs_dilation=(opts.get("dilation_h", 1), opts.get("dilation_w", 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        out = out + b
+    return _ACT_FNS[opts.get("activation")](out)
+
+
+def _depthwise_conv2d(x, w, b, opts):
+    # w: [1, KH, KW, O] with O = C * depth_multiplier -> HWIO [KH, KW, 1, O]
+    c = x.shape[-1]
+    w = jnp.transpose(w, (1, 2, 0, 3))
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(opts["stride_h"], opts["stride_w"]),
+        padding=opts["padding"],
+        rhs_dilation=(opts.get("dilation_h", 1), opts.get("dilation_w", 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    if b is not None:
+        out = out + b
+    return _ACT_FNS[opts.get("activation")](out)
+
+
+def _transpose_conv(x, w, b, opts, out_shape):
+    """TFLite TRANSPOSE_CONV (VALID): fractionally-strided conv.
+
+    Implemented as lhs-dilated conv with the spatially-flipped kernel, which
+    XLA lowers onto the MXU directly: out_t = (in_t - 1) * stride + K.
+    """
+    if opts["padding"] != "VALID":
+        raise NotImplementedError("only VALID transpose conv appears in Lyra graphs")
+    kh, kw = w.shape[1], w.shape[2]
+    w_flip = w[:, ::-1, ::-1, :]  # flip spatial dims of [O,KH,KW,I]
+    out = jax.lax.conv_general_dilated(
+        x,
+        jnp.transpose(w_flip, (1, 2, 3, 0)),  # HWIO, I -> O
+        window_strides=(1, 1),
+        padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+        lhs_dilation=(opts["stride_h"], opts["stride_w"]),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if b is not None:
+        out = out + b
+    return _ACT_FNS[opts.get("activation")](out)
+
+
+@dataclasses.dataclass
+class GraphFn:
+    """A lowered TFLite subgraph: pure function + initial streaming state."""
+
+    subgraph_name: str
+    input_names: List[str]
+    output_names: List[str]
+    _fn: Callable
+    _init_state: Dict[str, np.ndarray]
+
+    def init_state(self) -> Dict[str, jnp.ndarray]:
+        return {k: jnp.asarray(v) for k, v in self._init_state.items()}
+
+    @property
+    def stateful(self) -> bool:
+        return bool(self._init_state)
+
+    def __call__(self, state: Dict[str, Array], **inputs) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+        return self._fn(state, inputs)
+
+
+class GraphLowering:
+    """Lowers one subgraph of a ModelDef into a GraphFn."""
+
+    def __init__(self, mdef: tfl.ModelDef, signature: str, mode: str = "float",
+                 compute_dtype=jnp.float32):
+        if mode not in ("float", "fakequant"):
+            raise ValueError(f"unknown mode {mode}")
+        self.mdef = mdef
+        self.mode = mode
+        self.compute_dtype = compute_dtype
+        sig = mdef.signatures[signature]
+        self.sg = mdef.subgraphs[sig["subgraph"]]
+        self.sig_inputs: Dict[str, int] = dict(sig["inputs"])
+        self.sig_outputs: Dict[str, int] = dict(sig["outputs"])
+        # Pre-dequantized constants (float mode folds int8 weights to f32).
+        self.consts: Dict[int, np.ndarray] = {}
+        for t in self.sg.tensors:
+            if t.data is not None:
+                if t.dtype in (np.int8, np.uint8) or (
+                    t.dtype == np.int32 and t.quant is not None and t.quant.scale.size
+                ):
+                    self.consts[t.index] = _dequantize_const(t)
+                else:
+                    self.consts[t.index] = t.data
+        self.init_state_vals = self._run_init_subgraphs()
+
+    # -- init: interpret CALL_ONCE subgraphs (VAR_HANDLE/ASSIGN of constants) --
+    def _run_init_subgraphs(self) -> Dict[str, np.ndarray]:
+        state: Dict[str, np.ndarray] = {}
+        for op in self.sg.ops:
+            if op.name != "CALL_ONCE":
+                continue
+            init_sg = self.mdef.subgraphs[op.options["init_subgraph_index"]]
+            handles: Dict[int, str] = {}
+            for iop in init_sg.ops:
+                if iop.name == "VAR_HANDLE":
+                    handles[iop.outputs[0]] = iop.options["shared_name"]
+                elif iop.name == "ASSIGN_VARIABLE":
+                    name = handles[iop.inputs[0]]
+                    val = init_sg.tensors[iop.inputs[1]].data
+                    if val is None:
+                        raise ValueError(f"non-constant init for variable {name}")
+                    state[name] = np.array(val)
+                else:
+                    raise NotImplementedError(f"init subgraph op {iop.name}")
+        return state
+
+    def lower(self) -> GraphFn:
+        sg, consts, mode = self.sg, self.consts, self.mode
+        tensors_meta = sg.tensors
+        sig_inputs, sig_outputs = self.sig_inputs, self.sig_outputs
+        init_state = self.init_state_vals
+
+        def fn(state: Dict[str, Array], inputs: Dict[str, Array]):
+            env: Dict[int, Array] = {}
+            var_names: Dict[int, str] = {}  # handle tensor idx -> variable name
+            new_state = dict(state)
+
+            def get(i: int) -> Array:
+                if i < 0:
+                    return None
+                if i in env:
+                    return env[i]
+                if i in consts:
+                    return consts[i]
+                raise KeyError(
+                    f"tensor {i} ({tensors_meta[i].name}) used before defined"
+                )
+
+            def static(i: int) -> np.ndarray:
+                v = get(i)
+                if isinstance(v, np.ndarray):
+                    return v
+                raise ValueError(
+                    f"tensor {i} ({tensors_meta[i].name}) must be a static constant"
+                )
+
+            for name, idx in sig_inputs.items():
+                env[idx] = inputs[name]
+
+            for op in sg.ops:
+                nm = op.name
+                o0 = op.outputs[0] if op.outputs else -1
+                if nm == "CALL_ONCE":
+                    continue
+                elif nm == "VAR_HANDLE":
+                    var_names[o0] = op.options["shared_name"]
+                elif nm == "READ_VARIABLE":
+                    env[o0] = new_state[var_names[op.inputs[0]]]
+                elif nm == "ASSIGN_VARIABLE":
+                    new_state[var_names[op.inputs[0]]] = get(op.inputs[1])
+                elif nm == "RESHAPE":
+                    shape = (
+                        op.options.get("new_shape")
+                        or [int(v) for v in static(op.inputs[1])]
+                    )
+                    env[o0] = jnp.reshape(get(op.inputs[0]), shape)
+                elif nm == "CONCATENATION":
+                    parts = [get(i) for i in op.inputs]
+                    out = jnp.concatenate(parts, axis=op.options["axis"])
+                    env[o0] = _ACT_FNS[op.options.get("activation")](out)
+                elif nm == "STRIDED_SLICE":
+                    x = get(op.inputs[0])
+                    env[o0] = _strided_slice(
+                        x, static(op.inputs[1]), static(op.inputs[2]),
+                        static(op.inputs[3]), op.options, x.shape,
+                    )
+                elif nm == "CONV_2D":
+                    x = get(op.inputs[0])
+                    w = get(op.inputs[1])
+                    b = get(op.inputs[2]) if len(op.inputs) > 2 else None
+                    out = _conv2d(x, w, b, op.options, (x.shape[-1], w.shape[-1]))
+                    if mode == "fakequant":
+                        out = _fq(out, tensors_meta[o0])
+                    env[o0] = out
+                elif nm == "DEPTHWISE_CONV_2D":
+                    x = get(op.inputs[0])
+                    out = _depthwise_conv2d(
+                        x, get(op.inputs[1]),
+                        get(op.inputs[2]) if len(op.inputs) > 2 else None,
+                        op.options,
+                    )
+                    if mode == "fakequant":
+                        out = _fq(out, tensors_meta[o0])
+                    env[o0] = out
+                elif nm == "TRANSPOSE_CONV":
+                    out_shape = [int(v) for v in static(op.inputs[0])]
+                    w = get(op.inputs[1])
+                    x = get(op.inputs[2])
+                    b = get(op.inputs[3]) if len(op.inputs) > 3 else None
+                    out = _transpose_conv(x, w, b, op.options, out_shape)
+                    if mode == "fakequant":
+                        out = _fq(out, tensors_meta[o0])
+                    env[o0] = out
+                elif nm == "LEAKY_RELU":
+                    x = get(op.inputs[0])
+                    out = jnp.where(x >= 0, x, x * op.options["alpha"])
+                    if mode == "fakequant":
+                        out = _fq(out, tensors_meta[o0])
+                    env[o0] = out
+                elif nm in ("ADD", "SUB", "MUL", "DIV"):
+                    a, b = get(op.inputs[0]), get(op.inputs[1])
+                    out = {
+                        "ADD": lambda: a + b,
+                        "SUB": lambda: a - b,
+                        "MUL": lambda: a * b,
+                        "DIV": lambda: a / b,
+                    }[nm]()
+                    out = _ACT_FNS[op.options.get("activation")](out)
+                    if mode == "fakequant" and tensors_meta[o0].dtype == np.int8:
+                        out = _fq(out, tensors_meta[o0])
+                    env[o0] = out
+                elif nm == "SPLIT":
+                    axis = int(static(op.inputs[0]))
+                    parts = jnp.split(get(op.inputs[1]), op.options["num_splits"], axis=axis)
+                    for out_idx, part in zip(op.outputs, parts):
+                        env[out_idx] = part
+                elif nm == "QUANTIZE":
+                    x = get(op.inputs[0])
+                    env[o0] = _fq(x, tensors_meta[o0]) if mode == "fakequant" else x
+                elif nm == "DEQUANTIZE":
+                    env[o0] = get(op.inputs[0])
+                elif nm == "GATHER":
+                    env[o0] = jnp.take(
+                        get(op.inputs[0]), get(op.inputs[1]),
+                        axis=op.options.get("axis", 0),
+                    )
+                elif nm == "NOT_EQUAL":
+                    env[o0] = get(op.inputs[0]) != get(op.inputs[1])
+                elif nm == "EQUAL":
+                    env[o0] = get(op.inputs[0]) == get(op.inputs[1])
+                elif nm == "LESS":
+                    env[o0] = get(op.inputs[0]) < get(op.inputs[1])
+                elif nm == "MAXIMUM":
+                    env[o0] = jnp.maximum(get(op.inputs[0]), get(op.inputs[1]))
+                elif nm == "MINIMUM":
+                    env[o0] = jnp.minimum(get(op.inputs[0]), get(op.inputs[1]))
+                elif nm == "CAST":
+                    env[o0] = jnp.asarray(get(op.inputs[0])).astype(
+                        _np_dtype(tensors_meta[o0])
+                    )
+                elif nm == "SUM":
+                    axes = tuple(int(v) for v in np.atleast_1d(static(op.inputs[1])))
+                    env[o0] = jnp.sum(
+                        get(op.inputs[0]), axis=axes,
+                        keepdims=op.options.get("keep_dims", False),
+                    )
+                elif nm == "SQUARED_DIFFERENCE":
+                    d = get(op.inputs[0]) - get(op.inputs[1])
+                    env[o0] = d * d
+                elif nm in ("ARG_MIN", "ARG_MAX"):
+                    axis = int(static(op.inputs[1]))
+                    f = jnp.argmin if nm == "ARG_MIN" else jnp.argmax
+                    env[o0] = f(get(op.inputs[0]), axis=axis).astype(
+                        _np_dtype(tensors_meta[o0])
+                    )
+                elif nm == "ONE_HOT":
+                    depth = int(static(op.inputs[1]))
+                    on_v = get(op.inputs[2])
+                    off_v = get(op.inputs[3])
+                    idx = get(op.inputs[0])
+                    axis = op.options.get("axis", -1)
+                    oh = jax.nn.one_hot(idx, depth, axis=axis, dtype=jnp.float32)
+                    env[o0] = oh * on_v + (1.0 - oh) * off_v
+                elif nm == "PACK":
+                    env[o0] = jnp.stack(
+                        [get(i) for i in op.inputs], axis=op.options.get("axis", 0)
+                    )
+                else:
+                    raise NotImplementedError(f"TFLite op {nm} not supported")
+
+            outputs = {name: get(idx) for name, idx in sig_outputs.items()}
+            return outputs, new_state
+
+        return GraphFn(
+            subgraph_name=self.sg.name,
+            input_names=list(sig_inputs),
+            output_names=list(sig_outputs),
+            _fn=fn,
+            _init_state=init_state,
+        )
+
+
+def load_graph(path: str, signature: str = "serving_default", mode: str = "float") -> GraphFn:
+    """Parse `path` and lower `signature` to a pure JAX function."""
+    mdef = tfl.load(path)
+    return GraphLowering(mdef, signature, mode=mode).lower()
