@@ -1,0 +1,81 @@
+import numpy as np
+import pytest
+
+from lyra_tpu import config
+from lyra_tpu.models.rvq import ResidualVectorQuantizer
+from lyra_tpu.tflite import executor
+
+
+@pytest.fixture(scope="module")
+def rvq(model_path):
+    return ResidualVectorQuantizer.from_model_path(model_path)
+
+
+def test_codebook_shapes(rvq):
+    assert rvq.codebooks.shape == (46, 16, 64)
+    assert rvq.bits_per_stage == config.BITS_PER_QUANTIZER == 4
+
+
+def test_native_matches_graph_encode(rvq, model_path):
+    """Native scan-based encode == unrolled TFLite encode graph, bit-exact."""
+    ge = executor.load_graph(f"{model_path}/quantizer.tflite", signature="encode")
+    rng = np.random.default_rng(7)
+    feats = rng.normal(0, 5, size=(8, 64)).astype(np.float32)
+    for nq in (16, 30, 46):
+        got = np.asarray(rvq.quantize(feats, nq))
+        for b in range(feats.shape[0]):
+            ref, _ = ge({}, input_frames=feats[b].reshape(1, 1, 64),
+                        num_quantizers=np.int32(nq))
+            ref_idx = np.asarray(ref["output_0"]).ravel()
+            np.testing.assert_array_equal(got[b, :nq], ref_idx[:nq])
+            np.testing.assert_array_equal(got[b, nq:], -1)
+
+
+def test_native_matches_graph_decode(rvq, model_path):
+    gd = executor.load_graph(f"{model_path}/quantizer.tflite", signature="decode")
+    rng = np.random.default_rng(8)
+    for nq in (16, 30, 46):
+        idx = rng.integers(0, 16, size=(5, 46)).astype(np.int32)
+        idx[:, nq:] = -1
+        got = np.asarray(rvq.decode(idx))
+        for b in range(idx.shape[0]):
+            ref, _ = gd({}, encoding_indices=idx[b].reshape(46, 1, 1))
+            np.testing.assert_allclose(
+                got[b], np.asarray(ref["output_0"]).ravel(), atol=1e-5
+            )
+
+
+def test_roundtrip_distance(rvq):
+    """Mirror of the reference RVQ round-trip bar: relative distance < 1.11
+    (reference: lyra/residual_vector_quantizer_test.cc:104-111)."""
+    rng = np.random.default_rng(9)
+    feats = rng.normal(0, 5, size=(4, 64)).astype(np.float32)
+    for bits in config.SUPPORTED_QUANTIZED_BITS:
+        nq = bits // config.BITS_PER_QUANTIZER
+        idx = rvq.quantize(feats, nq)
+        back = np.asarray(rvq.decode(np.asarray(idx)))
+        rel = np.linalg.norm(back - feats, axis=-1) / np.linalg.norm(feats, axis=-1)
+        assert (rel < 1.11).all()
+
+
+def test_more_stages_better(rvq):
+    rng = np.random.default_rng(10)
+    feats = rng.normal(0, 5, size=(4, 64)).astype(np.float32)
+    errs = []
+    for nq in (16, 30, 46):
+        back = np.asarray(rvq.decode(np.asarray(rvq.quantize(feats, nq))))
+        errs.append(np.linalg.norm(back - feats))
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_per_stream_num_quantizers(rvq):
+    """num_quantizers can vary per stream within one batch."""
+    rng = np.random.default_rng(11)
+    feats = rng.normal(0, 5, size=(3, 64)).astype(np.float32)
+    nq = np.array([16, 30, 46], np.int32)
+    idx = np.asarray(rvq.quantize(feats, nq))
+    for b, n in enumerate(nq):
+        assert (idx[b, :n] >= 0).all()
+        assert (idx[b, n:] == -1).all()
+        single = np.asarray(rvq.quantize(feats[b : b + 1], int(n)))
+        np.testing.assert_array_equal(idx[b], single[0])
