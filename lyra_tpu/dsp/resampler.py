@@ -1,0 +1,115 @@
+"""Rational polyphase resampler (streaming, batched).
+
+Functional equivalent of the reference's QResampler wrapper (reference:
+lyra/resampler.cc:31-82, audio_dsp::QResampler): Kaiser-windowed-sinc
+polyphase filtering with a kernel radius of 17 input samples
+(`filter_radius_factor` math at lyra/resampler.cc:36-40), cutoff at 0.9 of
+the lower Nyquist, and fully-primed reset semantics (2·radius input samples
+of latency, reference: lyra/resampler.cc:75-81).
+
+audio_dsp's exact kernel isn't vendored in the reference tree, so the filter
+here is an independent Kaiser-sinc design with the same parameters; the
+behavioral oracles are signal-preservation tests and the end-to-end LSD bar
+at 8/32/48 kHz.
+
+The compute path is a strided grouped convolution over `[B, T]` sample
+blocks — one XLA conv per phase — so thousands of streams resample in one
+kernel launch.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+KERNEL_RADIUS_INPUT_SAMPLES = 17
+CUTOFF_PROPORTION = 0.9
+KAISER_BETA = 5.658
+
+
+def _kaiser(tau: np.ndarray, radius: float, beta: float) -> np.ndarray:
+    x = np.clip(tau / radius, -1.0, 1.0)
+    return np.i0(beta * np.sqrt(np.maximum(0.0, 1.0 - x * x))) / np.i0(beta)
+
+
+def design_polyphase_taps(up: int, down: int) -> np.ndarray:
+    """Taps [up, 2R+1] for phases p: y[n] uses input window at offset
+    floor(n*down/up) with fractional shift (n*down mod up)/up."""
+    radius = KERNEL_RADIUS_INPUT_SAMPLES
+    # cutoff in cycles/input-sample: 0.45 for upsampling, 0.45*up/down for
+    # downsampling (anti-aliasing at the output Nyquist).
+    cutoff = 0.5 * CUTOFF_PROPORTION * min(1.0, up / down)
+    j = np.arange(-radius, radius + 1, dtype=np.float64)
+    taps = np.zeros((up, 2 * radius + 1), np.float64)
+    for p in range(up):
+        frac = p / up
+        tau = j - frac  # kernel sample positions relative to window start
+        h = 2 * cutoff * np.sinc(2 * cutoff * tau) * _kaiser(tau, radius + 1.0, KAISER_BETA)
+        taps[p] = h / h.sum()  # unit DC gain per phase
+    return taps.astype(np.float32)
+
+
+class Resampler:
+    """Streaming rational resampler over a stream batch.
+
+    State is the trailing 2·R input samples per stream (zeros = fully
+    primed reset, reference: lyra/resampler.cc:58).
+    """
+
+    def __init__(self, input_rate: int, target_rate: int):
+        if input_rate <= 0 or target_rate <= 0:
+            raise ValueError("rates must be positive")
+        self.input_rate = input_rate
+        self.target_rate = target_rate
+        frac = Fraction(target_rate, input_rate)
+        self.up, self.down = frac.numerator, frac.denominator
+        self._taps = design_polyphase_taps(self.up, self.down)  # [L, K]
+        self.radius = KERNEL_RADIUS_INPUT_SAMPLES
+        self._hist = 2 * self.radius
+
+    @property
+    def identity(self) -> bool:
+        return self.up == 1 and self.down == 1
+
+    def samples_until_steady_state(self) -> int:
+        """2·radius input samples expressed at the output rate
+        (reference: lyra/resampler.cc:75-81)."""
+        return int(2.0 * self.radius * self.target_rate / self.input_rate)
+
+    def init_state(self, batch_size: int) -> jnp.ndarray:
+        return jnp.zeros((batch_size, self._hist), jnp.float32)
+
+    def output_length(self, num_input: int) -> int:
+        n = num_input * self.up
+        if n % self.down != 0:
+            raise ValueError(
+                f"block of {num_input} samples not aligned to ratio "
+                f"{self.up}/{self.down}"
+            )
+        return n // self.down
+
+    def resample(self, state: jnp.ndarray, x: jnp.ndarray):
+        """x [B, n_in] float samples → ([B, n_out], new_state)."""
+        b, n_in = x.shape
+        n_out = self.output_length(n_in)
+        ext = jnp.concatenate([state, x.astype(jnp.float32)], axis=1)
+        new_state = ext[:, -self._hist :]
+        k = self._taps.shape[1]
+        n = np.arange(n_out)
+        offs = (n * self.down) // self.up  # window start in ext coords
+        phase = (n * self.down) % self.up
+        taps = jnp.asarray(self._taps)[phase]  # [n_out, K]
+        # windows: [B, n_out, K] via dynamic slice gather
+        idx = offs[:, None] + np.arange(k)[None, :]  # [n_out, K] static
+        windows = ext[:, idx]  # [B, n_out, K]
+        y = jnp.einsum("bnk,nk->bn", windows, taps)
+        return y, new_state
+
+    def resample_np(self, x: np.ndarray) -> np.ndarray:
+        """Single-shot numpy path for host-side/CLI use (stateless, primed)."""
+        y, _ = jax.jit(self.resample)(self.init_state(1), jnp.asarray(x, jnp.float32)[None])
+        return np.asarray(y[0])
