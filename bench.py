@@ -1,0 +1,81 @@
+"""Throughput benchmark: concurrent real-time Lyra streams per chip.
+
+Measures the batched lockstep encode+decode step (one 20 ms frame per
+stream per step: SoundStream encode → RVQ quantize → RVQ decode → LyraGAN
+decode with the full PLC/fade machinery) and reports how many concurrent
+real-time streams one chip sustains: streams = B * 0.02s / step_time.
+
+Baseline: BASELINE.json north star = 2000 concurrent 3.2 kbps streams/chip
+(the reference sustains ~38x realtime for ONE stream on a Pixel 6 Pro,
+reference: README.md:161-166).  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_STREAMS = 2000.0
+
+
+def main():
+    import jax
+
+    from lyra_tpu import config
+    from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+
+    enc = EncoderEngine(16000)
+    dec = DecoderEngine(16000)
+    rng = np.random.RandomState(0)
+
+    best = (0.0, 0, 0.0)  # streams, batch, step_ms
+    for batch in (256, 1024, 4096):
+        try:
+            import jax.numpy as jnp
+
+            enc_state = enc.init_state(batch)
+            dec_state = dec.init_state(batch)
+            audio = jnp.asarray(
+                rng.randint(-16000, 16000, (batch, 320)), jnp.float32)
+            received = jnp.ones((batch,), bool)
+            nq = jnp.full((batch,), 64 // config.BITS_PER_QUANTIZER, jnp.int32)
+
+            step = jax.jit(
+                lambda es, ds, a, r, n: _roundtrip(enc, dec, es, ds, a, r, n))
+
+            # Warmup/compile.
+            i0, c0, es, ds = step(enc_state, dec_state, audio, received, nq)
+            jax.block_until_ready(c0)
+            iters = 20
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                i0, c0, es, ds = step(es, ds, audio, received, nq)
+            jax.block_until_ready(c0)
+            dt = (time.perf_counter() - t0) / iters
+
+            streams = batch * 0.02 / dt
+            if streams > best[0]:
+                best = (streams, batch, dt * 1e3)
+        except Exception as e:  # noqa: BLE001 — report what we can
+            print(f"batch {batch} failed: {e}", file=sys.stderr)
+
+    streams, batch, ms = best
+    print(json.dumps({
+        "metric": "realtime_3.2kbps_encode+decode_streams_per_chip",
+        "value": round(streams, 1),
+        "unit": f"streams (B={batch}, {ms:.2f} ms/20ms-step)",
+        "vs_baseline": round(streams / BASELINE_STREAMS, 3),
+    }))
+
+
+def _roundtrip(enc, dec, enc_state, dec_state, audio, received, nq):
+    indices, is_noise, enc_state = enc._step_impl(enc_state, audio, nq)
+    out, is_cn, dec_state = dec._step_impl(dec_state, indices, received)
+    return out, is_cn, enc_state, dec_state
+
+
+if __name__ == "__main__":
+    main()

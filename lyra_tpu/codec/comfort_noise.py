@@ -46,7 +46,9 @@ class ComfortNoiseGenerator:
 
     def init_state(self, batch_size: int, seed: int = 0) -> State:
         carry_len = self.cfg.fft_size - self.cfg.hop
-        keys = jax.random.split(jax.random.key(seed), batch_size)
+        # Raw uint32[2] keys (not typed key arrays) so per-stream state stays
+        # a plain serializable pytree for checkpoints.
+        keys = jax.random.split(jax.random.PRNGKey(seed), batch_size)
         return {
             "carry": jnp.zeros((batch_size, carry_len), jnp.float32),
             "key": keys,

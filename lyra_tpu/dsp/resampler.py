@@ -111,5 +111,54 @@ class Resampler:
 
     def resample_np(self, x: np.ndarray) -> np.ndarray:
         """Single-shot numpy path for host-side/CLI use (stateless, primed)."""
-        y, _ = jax.jit(self.resample)(self.init_state(1), jnp.asarray(x, jnp.float32)[None])
-        return np.asarray(y[0])
+        state = np.zeros(self._hist, np.float32)
+        y, _ = self.resample_stream_np(state, np.asarray(x, np.float32))
+        return y
+
+    def resample_stream_np(self, state: np.ndarray, x: np.ndarray):
+        """Host-side streaming resample of one variable-length block.
+
+        Same math as `resample` but single-stream numpy, so host control
+        paths (the pull-style BufferedResampler, CLIs) can push arbitrary
+        block sizes without triggering XLA recompilation.
+        state: [2R] trailing input samples; returns (y [n_out], new_state).
+        """
+        x = np.asarray(x, np.float32)
+        n_out = self.output_length(x.shape[0])
+        ext = np.concatenate([state, x])
+        new_state = ext[-self._hist:].copy()
+        if n_out == 0:
+            return np.zeros(0, np.float32), new_state
+        n = np.arange(n_out)
+        offs = (n * self.down) // self.up
+        phase = (n * self.down) % self.up
+        taps = self._taps[phase]  # [n_out, K]
+        idx = offs[:, None] + np.arange(self._taps.shape[1])[None, :]
+        y = np.einsum("nk,nk->n", ext[idx], taps).astype(np.float32)
+        return y, new_state
+
+
+class StreamingResampler:
+    """Push-style single-stream facade over `Resampler` (host-side).
+
+    Mirrors the reference Resampler object API (reference:
+    lyra/resampler.cc:31-82): int16-in/int16-out with clipping, carried FIR
+    state, and a fully-primed `reset`.
+    """
+
+    def __init__(self, input_rate: int, target_rate: int):
+        self._r = Resampler(input_rate, target_rate)
+        self._state = np.zeros(self._r._hist, np.float32)
+
+    def reset(self):
+        self._state[:] = 0.0
+
+    def samples_until_steady_state(self) -> int:
+        return self._r.samples_until_steady_state()
+
+    def resample(self, audio: np.ndarray) -> np.ndarray:
+        if self._r.identity:
+            return np.asarray(audio, np.int16)
+        y, self._state = self._r.resample_stream_np(
+            self._state, np.asarray(audio, np.float32))
+        return np.trunc(np.clip(y, -32768.0, 32767.0)).astype(np.int16)

@@ -75,14 +75,71 @@ def unpack_indices(packet: bytes) -> np.ndarray:
 
 
 # ----------------------------------------------------------------------------
-# Batched numpy paths — used by the stream engine (thousands of frames/call).
+# Batched paths — used by the stream engine (thousands of frames/call).
+# The hot implementation is native C++ (native/packet_ops.cc, loaded via
+# ctypes); the numpy versions below are the portable fallback and the test
+# oracle for the native code.
 # ----------------------------------------------------------------------------
 
 
 def pack_indices_batch(indices: np.ndarray, num_bits: int) -> np.ndarray:
+    """[B, n_stages] int32 stage indices → [B, packet_size] uint8 packets."""
+    from lyra_tpu.utils import native
+
+    lib = native.load()
+    if lib is not None:
+        return _pack_indices_batch_native(lib, indices, num_bits)
+    return pack_indices_batch_np(indices, num_bits)
+
+
+def unpack_indices_batch(packets: np.ndarray, num_bits: int) -> np.ndarray:
+    """[B, packet_size] uint8 → [B, n_stages] int32 stage indices."""
+    from lyra_tpu.utils import native
+
+    lib = native.load()
+    if lib is not None:
+        return _unpack_indices_batch_native(lib, packets, num_bits)
+    return unpack_indices_batch_np(packets, num_bits)
+
+
+def _pack_indices_batch_native(lib, indices: np.ndarray, num_bits: int) -> np.ndarray:
+    import ctypes
+
+    bps = config.BITS_PER_QUANTIZER
+    n_stages = num_bits // bps
+    idx = np.ascontiguousarray(indices, np.int32)
+    b, stride = idx.shape
+    out = np.empty((b, config.packet_size(num_bits)), np.uint8)
+    rc = lib.lyra_pack_indices_batch(
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), b, stride,
+        n_stages, bps,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.shape[1])
+    if rc != 0:
+        raise ValueError(f"native pack failed (rc={rc}): index out of range?")
+    return out
+
+
+def _unpack_indices_batch_native(lib, packets: np.ndarray, num_bits: int) -> np.ndarray:
+    import ctypes
+
+    bps = config.BITS_PER_QUANTIZER
+    n_stages = num_bits // bps
+    pkts = np.ascontiguousarray(packets, np.uint8)
+    b, size = pkts.shape
+    out = np.empty((b, n_stages), np.int32)
+    rc = lib.lyra_unpack_indices_batch(
+        pkts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), b, size,
+        n_stages, bps,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise ValueError(f"native unpack failed (rc={rc})")
+    return out
+
+
+def pack_indices_batch_np(indices: np.ndarray, num_bits: int) -> np.ndarray:
     """[B, n_stages] int32 stage indices → [B, packet_size] uint8 packets.
 
-    Vectorized equivalent of per-frame pack_indices.
+    Vectorized numpy equivalent of per-frame pack_indices.
     """
     bps = config.BITS_PER_QUANTIZER
     n_stages = num_bits // bps
@@ -97,7 +154,7 @@ def pack_indices_batch(indices: np.ndarray, num_bits: int) -> np.ndarray:
     return np.packbits(bits, axis=1)
 
 
-def unpack_indices_batch(packets: np.ndarray, num_bits: int) -> np.ndarray:
+def unpack_indices_batch_np(packets: np.ndarray, num_bits: int) -> np.ndarray:
     """[B, packet_size] uint8 → [B, n_stages] int32 stage indices."""
     bps = config.BITS_PER_QUANTIZER
     n_stages = num_bits // bps

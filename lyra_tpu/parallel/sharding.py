@@ -1,0 +1,113 @@
+"""Multi-chip scaling: shard the stream batch across a device mesh.
+
+The reference is single-threaded per codec instance (reference:
+lyra/tflite_model_wrapper.cc:51,68 pins interpreters to one thread) — its
+scaling model is "one phone core per stream".  The TPU-native scaling model
+is stream-batch data parallelism (SURVEY.md §2 "Parallelism"): the lockstep
+engines already treat streams as a leading `[B]` axis with zero cross-stream
+communication, so sharding that axis over a 1-D `jax.sharding.Mesh` scales
+to a full ICI pod with **no collectives in the frame path** — XLA partitions
+every conv/matmul row-wise and never inserts an all-gather.
+
+DCN enters only for scale-out of independent batches; model weights are
+replicated (a few MB) and per-stream state (~110 KB) lives sharded in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+STREAM_AXIS = "streams"
+
+_DONATION_SUPPORTED: Optional[bool] = None
+
+
+def donation_supported() -> bool:
+    """Whether the active backend accepts jit buffer donation.
+
+    Probed once with a trivial kernel; tunneled dev PJRT plugins can reject
+    donation with INVALID_ARGUMENT at dispatch time.
+    """
+    global _DONATION_SUPPORTED
+    if _DONATION_SUPPORTED is None:
+        import jax.numpy as jnp
+
+        try:
+            f = jax.jit(lambda x: x + 1, donate_argnums=(0,))
+            f(jnp.zeros(8, jnp.float32)).block_until_ready()
+            _DONATION_SUPPORTED = True
+        except Exception:
+            _DONATION_SUPPORTED = False
+    return _DONATION_SUPPORTED
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_name: str = STREAM_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices, stream axis only."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = STREAM_AXIS) -> NamedSharding:
+    """Shard the leading (stream) dimension, replicate the rest."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_tree(tree: Any, mesh: Mesh,
+                     axis_name: str = STREAM_AXIS) -> Any:
+    """Place every leaf of a `[B, ...]` pytree with dim-0 sharded on the mesh."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+class ShardedEngine:
+    """Wraps an Encoder/DecoderEngine so state and per-tick IO are sharded
+    over the stream axis of `mesh`, with state buffers donated between ticks
+    (no HBM churn in steady state)."""
+
+    def __init__(self, engine, mesh: Optional[Mesh] = None,
+                 axis_name: str = STREAM_AXIS, donate: Optional[bool] = None):
+        self.engine = engine
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis_name = axis_name
+        self._sh = batch_sharding(self.mesh, axis_name)
+        # Donating the state buffers lets steady-state serving rewrite state
+        # in place (no HBM churn).  Default off: some PJRT plugins (e.g.
+        # tunneled dev backends) reject donation on large fused programs with
+        # INVALID_ARGUMENT even though small-kernel donation probes pass.
+        if donate is None:
+            donate = False
+        self._step = jax.jit(
+            engine._step_impl, donate_argnums=(0,) if donate else ())
+
+    @property
+    def num_devices(self) -> int:
+        return self.mesh.devices.size
+
+    def _check_batch(self, batch_size: int):
+        if batch_size % self.num_devices != 0:
+            raise ValueError(
+                f"batch size {batch_size} must divide evenly over "
+                f"{self.num_devices} devices")
+
+    def init_state(self, batch_size: int, **kw):
+        self._check_batch(batch_size)
+        return shard_batch_tree(
+            self.engine.init_state(batch_size, **kw), self.mesh, self.axis_name)
+
+    def step(self, state, *args):
+        def put(a):
+            a = np.asarray(a)
+            if a.ndim >= 1 and a.shape[0] % self.num_devices == 0:
+                return jax.device_put(a, self._sh)
+            return jax.device_put(a, replicated(self.mesh))
+
+        return self._step(state, *map(put, args))

@@ -1,0 +1,77 @@
+"""Stream-state checkpoint/restore for the batched engines.
+
+The reference has no checkpointing (inference-only; its nearest mechanism
+is the weights/version compatibility gate, reference: lyra/lyra_config.h:
+131-167).  A TPU serving deployment does need one: draining a host for
+maintenance without dropping thousands of live calls means snapshotting the
+per-stream state pytree (~110 KB/stream) and restoring it on another chip.
+
+State pytrees are flat dicts of arrays (possibly nested), saved as an .npz
+with separator-joined keys (unit separator, since model state names themselves contain `/`) plus a version/codec-identifier header that is checked
+on restore — the runtime analog of the weights gate.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import Any, Dict
+
+import numpy as np
+
+from lyra_tpu import config
+
+_HEADER_KEY = "__lyra_tpu_header__"
+_SEP = "\x1f"
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(_SEP)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_state(path: str, state: Any, extra: Dict[str, Any] | None = None) -> None:
+    """Snapshot an engine state pytree (host transfer + .npz)."""
+    flat = _flatten(jax_to_numpy(state))
+    header = json.dumps({
+        "version": config.version_string(),
+        "identifier": config.VERSION_MINOR,
+        "extra": extra or {},
+    })
+    np.savez(path, **flat, **{_HEADER_KEY: np.frombuffer(
+        header.encode(), dtype=np.uint8)})
+
+
+def load_state(path: str) -> tuple[Any, Dict[str, Any]]:
+    """Restore a state pytree; raises on codec-version mismatch."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files if k != _HEADER_KEY}
+        header = json.loads(bytes(data[_HEADER_KEY]).decode())
+    if header["identifier"] != config.VERSION_MINOR:
+        raise ValueError(
+            f"checkpoint identifier {header['identifier']} incompatible with "
+            f"codec identifier {config.VERSION_MINOR}")
+    return _unflatten(flat), header.get("extra", {})
+
+
+def jax_to_numpy(tree: Any) -> Any:
+    """Device → host copy of every leaf."""
+    if isinstance(tree, dict):
+        return {k: jax_to_numpy(v) for k, v in tree.items()}
+    return np.asarray(tree)

@@ -1,0 +1,49 @@
+"""ctypes loader for the native host runtime (native/liblyra_native.so).
+
+Builds the library on first use if a toolchain is available; callers fall
+back to the numpy implementations when it isn't.  This mirrors the split in
+the reference where host-side byte-twiddling is compiled C++
+(reference: lyra/packet.h) while the heavy math lives in the accelerator
+runtime.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liblyra_native.so"))
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
+    i64, i32p, u8p = ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8)
+    lib.lyra_pack_indices_batch.argtypes = [i32p, i64, i64, i64, i64, u8p, i64]
+    lib.lyra_pack_indices_batch.restype = ctypes.c_int
+    lib.lyra_unpack_indices_batch.argtypes = [u8p, i64, i64, i64, i64, i32p]
+    lib.lyra_unpack_indices_batch.restype = ctypes.c_int
+    return lib
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Return the native library, building it if needed; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                           check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            return None
+    try:
+        _lib = _configure(ctypes.CDLL(_LIB_PATH))
+    except OSError:
+        _lib = None
+    return _lib

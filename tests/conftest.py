@@ -7,12 +7,21 @@ logic XLA uses on a real ICI mesh.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU (the session environment may point JAX_PLATFORMS at a real TPU;
+# tests need the deterministic virtual 8-device CPU backend).  The TPU-pool
+# sitecustomize imports jax at interpreter start and sets jax_platforms
+# programmatically, so env vars alone are not enough — update the live
+# config before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

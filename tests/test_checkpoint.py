@@ -1,0 +1,54 @@
+"""Stream-state checkpoint/restore round-trip."""
+
+import numpy as np
+import pytest
+
+from lyra_tpu import config
+from lyra_tpu.utils import checkpoint
+
+
+def test_roundtrip_nested_tree(tmp_path):
+    state = {
+        "gan": {"var_a": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "fade": np.array([0, 640], np.int32),
+        "nested": {"deep": {"leaf": np.ones((2, 2), bool)}},
+    }
+    path = str(tmp_path / "state.npz")
+    checkpoint.save_state(path, state, extra={"tick": 42})
+    restored, extra = checkpoint.load_state(path)
+    assert extra == {"tick": 42}
+    np.testing.assert_array_equal(restored["gan"]["var_a"], state["gan"]["var_a"])
+    np.testing.assert_array_equal(restored["fade"], state["fade"])
+    np.testing.assert_array_equal(
+        restored["nested"]["deep"]["leaf"], state["nested"]["deep"]["leaf"])
+
+
+def test_version_gate(tmp_path, monkeypatch):
+    path = str(tmp_path / "state.npz")
+    checkpoint.save_state(path, {"x": np.zeros(3)})
+    monkeypatch.setattr(config, "VERSION_MINOR", 99)
+    with pytest.raises(ValueError, match="incompatible"):
+        checkpoint.load_state(path)
+
+
+def test_engine_state_resume_equivalence(model_path):
+    """Decoding resumed from a checkpoint must continue the exact stream."""
+    from lyra_tpu.codec.engine import DecoderEngine
+
+    eng = DecoderEngine(16000, model_path)
+    rng = np.random.RandomState(0)
+    idx = rng.randint(0, 16, (1, eng.rvq.num_stages)).astype(np.int32)
+    received = np.array([True])
+
+    st = eng.init_state(1, seed=0)
+    for _ in range(3):
+        _, _, st = eng.step(st, idx, received)
+    a1, _, st_cont = eng.step(st, idx, received)
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        checkpoint.save_state(f.name, st)
+        restored, _ = checkpoint.load_state(f.name)
+    a2, _, _ = eng.step(restored, idx, received)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))

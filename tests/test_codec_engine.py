@@ -1,0 +1,128 @@
+"""Batched lockstep engine vs single-stream facade equivalence.
+
+The DecoderEngine vectorizes the PLC machine over streams; the LyraDecoder
+facade implements it at sample granularity. Fed the same packets in hop
+lockstep they must produce the same audio — this pins the vectorized
+`jnp.where` state machine to the reference-shaped scalar one.
+"""
+
+import numpy as np
+import pytest
+
+from lyra_tpu import config, packet
+from lyra_tpu.codec.decoder import LyraDecoder
+from lyra_tpu.codec.encoder import LyraEncoder
+from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine, INTERNAL_HOP
+from lyra_tpu.utils import wav
+
+# Loss pattern exercising every PLC state: normal, concealment (4), fade to
+# CNG (2), pure CNG, fade back, normal again.
+LOSS_PATTERN = ([True] * 3 + [False] * 9 + [True] * 4)
+
+
+@pytest.fixture(scope="module")
+def speech(testdata_path):
+    data = wav.read_wav_int16(f"{testdata_path}/sample1_16kHz.wav")
+    n = len(LOSS_PATTERN) * INTERNAL_HOP
+    return data.samples[:n].reshape(len(LOSS_PATTERN), INTERNAL_HOP)
+
+
+def test_engine_matches_facade_under_loss(model_path, speech):
+    num_bits = 120
+    nq = num_bits // config.BITS_PER_QUANTIZER
+
+    # Encode every hop with the batched encoder engine (B=1).
+    enc = EncoderEngine(16000, model_path)
+    es = enc.init_state(1)
+    packets = []
+    for t in range(speech.shape[0]):
+        idx, _, es = enc.step(es, speech[t][None].astype(np.float32), nq)
+        packets.append(packet.pack_indices(np.asarray(idx)[0], num_bits))
+
+    # Path A: single-stream facade.
+    dec = LyraDecoder(16000, model_path=model_path, seed=0)
+    out_a = []
+    for t, received in enumerate(LOSS_PATTERN):
+        if received:
+            assert dec.set_encoded_packet(packets[t])
+        out_a.append(dec.decode_samples(INTERNAL_HOP))
+    out_a = np.concatenate(out_a)
+
+    # Path B: lockstep engine (B=1, same CNG seed).
+    eng = DecoderEngine(16000, model_path)
+    st = eng.init_state(1, seed=0)
+    out_b, comfort = [], []
+    for t, received in enumerate(LOSS_PATTERN):
+        idx = packet.unpack_indices(packets[t])
+        padded = np.full((1, eng.rvq.num_stages), -1, np.int32)
+        padded[0, : idx.size] = idx
+        audio, is_cn, st = eng.step(st, padded, np.array([received]))
+        out_b.append(np.asarray(audio)[0])
+        comfort.append(bool(np.asarray(is_cn)[0]))
+    out_b = np.concatenate(out_b).astype(np.int16)
+
+    # f32-vs-f64 cos in the crossfade can differ by 1 LSB after truncation.
+    np.testing.assert_allclose(out_a.astype(int), out_b.astype(int), atol=1)
+
+    # Comfort-noise flag: 4 concealment hops (ticks 3-6) then the fade
+    # completes at tick 8; CNG holds until the first received packet (tick
+    # 12) starts fading it back out.
+    expected_comfort = [False] * 8 + [True] * 4 + [False] * 4
+    assert comfort == expected_comfort
+
+
+def test_engine_batch_rows_independent(model_path, speech):
+    """Streams in different PLC states must not interact: a B=2 batch where
+    row 1 loses packets must equal the same streams run separately."""
+    nq = 120 // config.BITS_PER_QUANTIZER
+    enc = EncoderEngine(16000, model_path)
+    es = enc.init_state(1)
+    indices = []
+    for t in range(8):
+        idx, _, es = enc.step(es, speech[t][None].astype(np.float32), nq)
+        indices.append(np.asarray(idx)[0])
+
+    eng = DecoderEngine(16000, model_path)
+    recv_b = [True, True, False, False, False, False, False, True]
+
+    # Batched run: row0 receives everything, row1 follows recv_b.
+    st = eng.init_state(2, seed=0)
+    got0, got1 = [], []
+    for t in range(8):
+        batch_idx = np.stack([indices[t], indices[t]])
+        received = np.array([True, recv_b[t]])
+        audio, _, st = eng.step(st, batch_idx, received)
+        got0.append(np.asarray(audio)[0])
+        got1.append(np.asarray(audio)[1])
+
+    # Single-stream runs. Row seeds differ inside a batch (per-row RNG
+    # split), so compare only through the concealment hops for row1 (no CNG
+    # content until fade begins at tick 6).
+    st = eng.init_state(1, seed=0)
+    solo0 = []
+    for t in range(8):
+        audio, _, st = eng.step(st, indices[t][None], np.array([True]))
+        solo0.append(np.asarray(audio)[0])
+
+    np.testing.assert_allclose(
+        np.concatenate(got0), np.concatenate(solo0), atol=1)
+
+    # Row 1's concealment ticks (2..5) are CNG-free -> deterministic.
+    st = eng.init_state(1, seed=0)
+    solo1 = []
+    for t in range(8):
+        audio, _, st = eng.step(st, indices[t][None], np.array([recv_b[t]]))
+        solo1.append(np.asarray(audio)[0])
+    for t in range(6):
+        np.testing.assert_allclose(got1[t], solo1[t], atol=1)
+
+
+def test_encoder_facade_packet_bytes(model_path, speech):
+    enc = LyraEncoder(16000, bitrate=6000, model_path=model_path)
+    pkt = enc.encode(speech[0])
+    assert isinstance(pkt, bytes) and len(pkt) == config.packet_size(120)
+    assert enc.set_bitrate(9200) and enc.bitrate == 9200
+    pkt = enc.encode(speech[1])
+    assert len(pkt) == config.packet_size(184)
+    assert not enc.set_bitrate(1234)
+    assert enc.encode(speech[0][:100]) is None

@@ -53,6 +53,38 @@ def test_batch_matches_scalar():
         np.testing.assert_array_equal(back, idx)
 
 
+def test_native_matches_numpy():
+    """The C++ batch packer (native/packet_ops.cc) must agree bit-for-bit
+    with the numpy oracle across all bitrates and padded-stride inputs."""
+    from lyra_tpu.utils import native
+
+    lib = native.load()
+    assert lib is not None, "native library failed to build"
+    rng = np.random.default_rng(2)
+    for bits in config.SUPPORTED_QUANTIZED_BITS:
+        n_stages = bits // config.BITS_PER_QUANTIZER
+        # -1 padding beyond n_stages must be ignored by pack.
+        idx = np.full((33, config.MAX_NUM_QUANTIZERS), -1, np.int32)
+        idx[:, :n_stages] = rng.integers(0, 16, size=(33, n_stages))
+        a = packet._pack_indices_batch_native(lib, idx, bits)
+        b = packet.pack_indices_batch_np(idx, bits)
+        np.testing.assert_array_equal(a, b)
+        ua = packet._unpack_indices_batch_native(lib, a, bits)
+        ub = packet.unpack_indices_batch_np(a, bits)
+        np.testing.assert_array_equal(ua, ub)
+        np.testing.assert_array_equal(ua, idx[:, :n_stages])
+
+
+def test_native_rejects_out_of_range_index():
+    from lyra_tpu.utils import native
+
+    lib = native.load()
+    assert lib is not None
+    bad = np.full((1, 16), 99, np.int32)
+    with pytest.raises(ValueError):
+        packet._pack_indices_batch_native(lib, bad, 64)
+
+
 def test_unpack_wrong_length_raises():
     with pytest.raises(ValueError):
         packet.unpack_bitstring(b"\x00" * 3, 64)

