@@ -59,7 +59,10 @@ def _time_stage(fn: Callable, iters: int) -> np.ndarray:
 def run_benchmark(num_cond_vectors: int = 2000, batch: int = 1,
                   num_bits: int = 120,
                   model_path: str = config.DEFAULT_MODEL_PATH,
-                  csv_path: Optional[str] = None) -> dict:
+                  csv_path: Optional[str] = None,
+                  profile_dir: Optional[str] = None) -> dict:
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
@@ -116,15 +119,21 @@ def run_benchmark(num_cond_vectors: int = 2000, batch: int = 1,
         out, states["gan"] = decode(states["gan"], lossy_buf[0])
         return out
 
+    # Optional device trace (the jax.profiler analog of the reference's
+    # absl::Now() brackets): view with TensorBoard or xprof.
+    trace_cm = (jax.profiler.trace(profile_dir) if profile_dir
+                else contextlib.nullcontext())
     rows = {}
-    for name, fn in (
-        ("feature_extractor", stage_extract),
-        ("quantizer_quantize", stage_quantize),
-        ("quantizer_decode", stage_dequantize),
-        ("model_decode", stage_decode),
-    ):
-        rows[name] = TimingStats.from_durations(
-            _time_stage(fn, num_cond_vectors))
+    with trace_cm:
+        for name, fn in (
+            ("feature_extractor", stage_extract),
+            ("quantizer_quantize", stage_quantize),
+            ("quantizer_decode", stage_dequantize),
+            ("model_decode", stage_decode),
+        ):
+            with jax.profiler.TraceAnnotation(name):
+                rows[name] = TimingStats.from_durations(
+                    _time_stage(fn, num_cond_vectors))
 
     total_mean = sum(r.mean_us for r in rows.values())
     lines = []
@@ -166,9 +175,11 @@ def main(argv=None) -> int:
     p.add_argument("--csv", default=None,
                    help="Optional CSV output path (reference writes "
                         "/tmp/benchmarks/ CSVs).")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="Write a jax.profiler device trace to DIR.")
     args = p.parse_args(argv)
     run_benchmark(args.num_cond_vectors, args.batch, args.num_bits,
-                  args.model_path, args.csv)
+                  args.model_path, args.csv, args.profile)
     return 0
 
 

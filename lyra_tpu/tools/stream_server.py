@@ -1,0 +1,181 @@
+"""Multi-stream serving runtime over the batched lockstep engines.
+
+The reference's outermost layer is a phone app driving one codec instance
+from a mic thread (reference: lyra/android_example/MainActivity.java:44-299
++ the JNI bridge).  The TPU deployment analog is a server multiplexing
+thousands of calls onto one chip: this module is that host runtime.
+
+Per 20 ms tick the server
+  * collects each live stream's incoming packet bytes (or None on loss),
+  * batch-unpacks them to RVQ indices (native C++ path),
+  * runs the jitted decoder step for all slots at once,
+  * hands each stream its hop of audio,
+and symmetrically for the encode direction.  Slot admission/eviction works
+by masking rows of the engine state back to their initial values
+(`reset_rows`), so adding or dropping a call never recompiles or reshapes
+the device program — the batch is a fixed-capacity slot table, which is
+exactly the shape XLA wants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from lyra_tpu import config, packet
+from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+
+
+@dataclasses.dataclass
+class _Slot:
+    stream_id: object
+    active: bool = False
+
+
+class DecoderServer:
+    """Fixed-capacity batched decoder with per-stream admission."""
+
+    def __init__(self, capacity: int, engine: Optional[DecoderEngine] = None,
+                 model_path: str = config.DEFAULT_MODEL_PATH, seed: int = 0):
+        self.engine = engine or DecoderEngine(model_path=model_path)
+        self.capacity = capacity
+        self._state = self.engine.init_state(capacity, seed=seed)
+        self._slots: List[_Slot] = [_Slot(None) for _ in range(capacity)]
+        self._by_id: Dict[object, int] = {}
+        self._num_stages = self.engine.rvq.num_stages
+
+    @property
+    def num_active(self) -> int:
+        return len(self._by_id)
+
+    def add_stream(self, stream_id) -> int:
+        """Admit a stream; returns its slot. O(1) state reset, no recompile."""
+        if stream_id in self._by_id:
+            raise KeyError(f"stream {stream_id!r} already active")
+        for i, slot in enumerate(self._slots):
+            if not slot.active:
+                break
+        else:
+            raise RuntimeError("server at capacity")
+        mask = np.zeros(self.capacity, bool)
+        mask[i] = True
+        self._state = self.engine.reset_rows(self._state, mask)
+        self._slots[i] = _Slot(stream_id, True)
+        self._by_id[stream_id] = i
+        return i
+
+    def remove_stream(self, stream_id) -> None:
+        i = self._by_id.pop(stream_id)
+        self._slots[i] = _Slot(None, False)
+
+    def tick(self, packets: Dict[object, Optional[bytes]]) -> Dict[object, np.ndarray]:
+        """One 20 ms step for every active stream.
+
+        packets: stream_id -> wire bytes, or None/missing for packet loss.
+        Returns stream_id -> hop of int16 audio at the engine's sample rate.
+        """
+        indices = np.full((self.capacity, self._num_stages), -1, np.int32)
+        received = np.zeros(self.capacity, bool)
+        for sid, pkt in packets.items():
+            i = self._by_id.get(sid)
+            if i is None:
+                raise KeyError(f"unknown stream {sid!r}")
+            if pkt:
+                idx = packet.unpack_indices(pkt)
+                indices[i, : idx.size] = idx
+                received[i] = True
+
+        audio, is_cn, self._state = self.engine.step(
+            self._state, indices, received)
+        audio = np.asarray(audio).astype(np.int16)
+        self._last_comfort = np.asarray(is_cn)
+        return {sid: audio[i] for sid, i in self._by_id.items()}
+
+    def is_comfort_noise(self, stream_id) -> bool:
+        return bool(self._last_comfort[self._by_id[stream_id]])
+
+
+class EncoderServer:
+    """Fixed-capacity batched encoder; emits wire packets per stream."""
+
+    def __init__(self, capacity: int, engine: Optional[EncoderEngine] = None,
+                 model_path: str = config.DEFAULT_MODEL_PATH,
+                 bitrate: int = 3200):
+        self.engine = engine or EncoderEngine(model_path=model_path)
+        self.capacity = capacity
+        self._state = self.engine.init_state(capacity)
+        self._slots: List[_Slot] = [_Slot(None) for _ in range(capacity)]
+        self._by_id: Dict[object, int] = {}
+        bits = config.bitrate_to_num_quantized_bits(bitrate)
+        if bits < 0:
+            raise ValueError(f"unsupported bitrate {bitrate}")
+        self._nq = np.full(capacity, bits // config.BITS_PER_QUANTIZER, np.int32)
+        self._bits = np.full(capacity, bits, np.int32)
+
+    @property
+    def num_active(self) -> int:
+        return len(self._by_id)
+
+    def add_stream(self, stream_id, bitrate: Optional[int] = None) -> int:
+        if stream_id in self._by_id:
+            raise KeyError(f"stream {stream_id!r} already active")
+        for i, slot in enumerate(self._slots):
+            if not slot.active:
+                break
+        else:
+            raise RuntimeError("server at capacity")
+        mask = np.zeros(self.capacity, bool)
+        mask[i] = True
+        self._state = self.engine.reset_rows(self._state, mask)
+        self._slots[i] = _Slot(stream_id, True)
+        self._by_id[stream_id] = i
+        if bitrate is not None:
+            self.set_bitrate(stream_id, bitrate)
+        return i
+
+    def remove_stream(self, stream_id) -> None:
+        i = self._by_id.pop(stream_id)
+        self._slots[i] = _Slot(None, False)
+
+    def set_bitrate(self, stream_id, bitrate: int) -> None:
+        """Per-stream dynamic bitrate (reference: LyraEncoder::set_bitrate) —
+        streams at different bitrates batch together."""
+        bits = config.bitrate_to_num_quantized_bits(bitrate)
+        if bits < 0:
+            raise ValueError(f"unsupported bitrate {bitrate}")
+        i = self._by_id[stream_id]
+        self._nq[i] = bits // config.BITS_PER_QUANTIZER
+        self._bits[i] = bits
+
+    def tick(self, audio: Dict[object, np.ndarray]) -> Dict[object, bytes]:
+        """One 20 ms step: stream_id -> hop of int16 samples in,
+        stream_id -> wire packet bytes out (b"" for DTX noise hops)."""
+        frames = np.zeros((self.capacity, self.engine.hop_samples), np.float32)
+        for sid, hop in audio.items():
+            i = self._by_id.get(sid)
+            if i is None:
+                raise KeyError(f"unknown stream {sid!r}")
+            frames[i] = np.asarray(hop, np.float32)
+
+        indices, is_noise, self._state = self.engine.step(
+            self._state, frames, self._nq)
+        indices = np.asarray(indices)
+        is_noise = np.asarray(is_noise)
+
+        out: Dict[object, bytes] = {}
+        # Group by bitrate so each group packs in one native batch call.
+        for bits in np.unique(self._bits[list(self._by_id.values())] if self._by_id else []):
+            ids = [sid for sid, i in self._by_id.items()
+                   if self._bits[i] == bits and not is_noise[i]]
+            if not ids:
+                continue
+            rows = np.stack([indices[self._by_id[sid]] for sid in ids])
+            pkts = packet.pack_indices_batch(rows, int(bits))
+            for sid, row in zip(ids, pkts):
+                out[sid] = row.tobytes()
+        for sid, i in self._by_id.items():
+            if is_noise[i]:
+                out[sid] = b""
+        return out
