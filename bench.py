@@ -24,15 +24,26 @@ BASELINE_STREAMS = 2000.0
 def main():
     import jax
 
+    # Persistent compilation cache: round-over-round driver runs (and
+    # repeated local runs) skip the multi-minute XLA compiles.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lyra_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from lyra_tpu import config
     from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
 
-    enc = EncoderEngine(16000)
-    dec = DecoderEngine(16000)
+    # bf16 conv compute: half the HBM traffic and bf16 MXU passes; quality
+    # is LSD-indistinguishable from f32 (see tests/test_integration.py and
+    # the bar in BASELINE.md).
+    enc = EncoderEngine(16000, mode="bf16")
+    dec = DecoderEngine(16000, mode="bf16")
     rng = np.random.RandomState(0)
 
     best = (0.0, 0, 0.0)  # streams, batch, step_ms
-    for batch in (256, 1024, 4096):
+    for batch in (4096, 16384):
         try:
             import jax.numpy as jnp
 

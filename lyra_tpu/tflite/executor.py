@@ -188,6 +188,14 @@ class GraphLowering:
 
     def __init__(self, mdef: tfl.ModelDef, signature: str, mode: str = "float",
                  compute_dtype=jnp.float32):
+        if mode == "bf16":
+            # Shorthand: float dequantization with bfloat16 compute — the TPU
+            # throughput mode (MXU bf16 passes, half the HBM traffic for
+            # activations/state).  Weights came from an int8-quantized model,
+            # so bf16's 8-bit mantissa costs little fidelity (validated by
+            # the LSD oracle in tests/test_integration.py).
+            mode = "float"
+            compute_dtype = jnp.bfloat16
         if mode not in ("float", "fakequant"):
             raise ValueError(f"unknown mode {mode}")
         self.mdef = mdef
@@ -207,7 +215,20 @@ class GraphLowering:
                     self.consts[t.index] = _dequantize_const(t)
                 else:
                     self.consts[t.index] = t.data
+        if self.compute_dtype != jnp.float32:
+            cd = np.dtype(self.compute_dtype)
+            self.consts = {
+                i: (c.astype(cd) if isinstance(c, np.ndarray)
+                    and c.dtype.kind == "f" else c)
+                for i, c in self.consts.items()
+            }
         self.init_state_vals = self._run_init_subgraphs()
+        if self.compute_dtype != jnp.float32:
+            cd = np.dtype(self.compute_dtype)
+            self.init_state_vals = {
+                k: (v.astype(cd) if v.dtype.kind == "f" else v)
+                for k, v in self.init_state_vals.items()
+            }
 
     # -- init: interpret CALL_ONCE subgraphs (VAR_HANDLE/ASSIGN of constants) --
     def _run_init_subgraphs(self) -> Dict[str, np.ndarray]:
@@ -232,6 +253,7 @@ class GraphLowering:
 
     def lower(self) -> GraphFn:
         sg, consts, mode = self.sg, self.consts, self.mode
+        compute_dtype = self.compute_dtype
         tensors_meta = sg.tensors
         sig_inputs, sig_outputs = self.sig_inputs, self.sig_outputs
         init_state = self.init_state_vals
@@ -261,7 +283,11 @@ class GraphLowering:
                 )
 
             for name, idx in sig_inputs.items():
-                env[idx] = inputs[name]
+                x = inputs[name]
+                if compute_dtype != jnp.float32 and jnp.issubdtype(
+                        jnp.asarray(x).dtype, jnp.floating):
+                    x = jnp.asarray(x).astype(compute_dtype)
+                env[idx] = x
 
             for op in sg.ops:
                 nm = op.name
@@ -394,7 +420,14 @@ class GraphLowering:
                 else:
                     raise NotImplementedError(f"TFLite op {nm} not supported")
 
-            outputs = {name: get(idx) for name, idx in sig_outputs.items()}
+            def to_f32(v):
+                v = jnp.asarray(v)
+                if compute_dtype != jnp.float32 and jnp.issubdtype(
+                        v.dtype, jnp.floating):
+                    return v.astype(jnp.float32)
+                return v
+
+            outputs = {name: to_f32(get(idx)) for name, idx in sig_outputs.items()}
             return outputs, new_state
 
         return GraphFn(

@@ -117,6 +117,28 @@ def test_engine_batch_rows_independent(model_path, speech):
         np.testing.assert_allclose(got1[t], solo1[t], atol=1)
 
 
+def test_bf16_mode_meets_lsd_bar(model_path, speech):
+    """The TPU throughput mode (bf16 conv compute) must stay within the
+    reference quality bar (LSD < 2.0, lyra/lyra_integration_test.cc:141)."""
+    from lyra_tpu.dsp import melspec
+    from lyra_tpu.dsp import utils as dsp_utils
+
+    enc = EncoderEngine(16000, model_path, mode="bf16")
+    dec = DecoderEngine(16000, model_path, mode="bf16")
+    es, ds = enc.init_state(1), dec.init_state(1)
+    n = speech.shape[0]
+    outs = []
+    for t in range(n):
+        idx, _, es = enc.step(es, speech[t][None].astype(np.float32), 46)
+        audio, _, ds = dec.step(ds, np.asarray(idx), np.array([True]))
+        outs.append(np.asarray(audio)[0])
+    cfg = melspec.MelConfig.for_rate(16000, config.NUM_FEATURES)
+    ein, edec = melspec.LogMelExtractorRef(cfg), melspec.LogMelExtractorRef(cfg)
+    lsds = [dsp_utils.log_spectral_distance(
+        ein.extract(speech[t]), edec.extract(outs[t])) for t in range(n)]
+    assert float(np.mean(lsds[3:])) < 2.0
+
+
 def test_encoder_facade_packet_bytes(model_path, speech):
     enc = LyraEncoder(16000, bitrate=6000, model_path=model_path)
     pkt = enc.encode(speech[0])
