@@ -20,16 +20,20 @@ class WavData:
 
 
 def read_wav_int16(path: str) -> WavData:
-    with wave.open(path, "rb") as f:
-        if f.getsampwidth() != 2:
-            raise ValueError(f"{path}: expected 16-bit wav, got {8 * f.getsampwidth()}-bit")
-        data = f.readframes(f.getnframes())
-        samples = np.frombuffer(data, dtype="<i2")
-        return WavData(
-            samples=samples,
-            num_channels=f.getnchannels(),
-            sample_rate_hz=f.getframerate(),
-        )
+    try:
+        with wave.open(path, "rb") as f:
+            if f.getsampwidth() != 2:
+                raise ValueError(
+                    f"{path}: expected 16-bit wav, got {8 * f.getsampwidth()}-bit")
+            data = f.readframes(f.getnframes())
+            samples = np.frombuffer(data, dtype="<i2")
+            return WavData(
+                samples=samples,
+                num_channels=f.getnchannels(),
+                sample_rate_hz=f.getframerate(),
+            )
+    except wave.Error as e:
+        raise ValueError(f"{path}: not a valid wav file ({e})") from e
 
 
 def write_wav_int16(path: str, samples: np.ndarray, sample_rate_hz: int,

@@ -101,6 +101,75 @@ def test_cli_encode_decode_roundtrip(tmp_path, model_path, testdata_path, bitrat
     assert out.samples.size == n_packets * 320
 
 
+def test_decode_reference_golden_bitstreams(tmp_path, model_path, testdata_path):
+    """Wire compatibility: packets encoded by the reference C++ encoder
+    (shipped golden fixtures, reference: lyra/testdata/*.lyra +
+    lyra/cli_example/decoder_main_lib_test.cc:77-165) must decode in this
+    framework.  The fixtures carry stray trailing bytes that must be
+    trimmed, matching the reference CLI's behavior."""
+    from lyra_tpu.tools import decoder_main
+    from lyra_tpu.utils import wav as wavmod
+
+    cases = {"one_encoded_packet_16khz": 1, "two_encoded_packets_16khz": 2}
+    for stem, n_packets in cases.items():
+        rc = decoder_main.main([
+            "--encoded_path", os.path.join(testdata_path, stem + ".lyra"),
+            "--output_dir", str(tmp_path),
+            "--bitrate", "6000",
+            "--model_path", model_path,
+        ])
+        assert rc == 0
+        out = wavmod.read_wav_int16(str(tmp_path / (stem + "_decoded.wav")))
+        assert out.samples.size == n_packets * 320
+        assert out.sample_rate_hz == 16000
+
+    rc = decoder_main.main([
+        "--encoded_path", os.path.join(testdata_path, "incomplete_encoded_packet.lyra"),
+        "--output_dir", str(tmp_path),
+        "--bitrate", "6000",
+        "--model_path", model_path,
+    ])
+    assert rc == 1  # 9 bytes < one packet -> empty after trimming
+
+    rc = decoder_main.main([
+        "--encoded_path", os.path.join(testdata_path, "no_encoded_packet.lyra"),
+        "--output_dir", str(tmp_path),
+        "--bitrate", "6000",
+        "--model_path", model_path,
+    ])
+    assert rc == 1
+
+
+def test_encoder_main_rejects_invalid_wav(tmp_path, model_path, testdata_path):
+    from lyra_tpu.tools import encoder_main
+
+    rc = encoder_main.main([
+        "--input_path", os.path.join(testdata_path, "invalid.wav"),
+        "--output_dir", str(tmp_path),
+        "--model_path", model_path,
+    ])
+    assert rc == 1
+
+
+def test_encoder_dtx_emits_empty_packets_on_noise(model_path):
+    """DTX end to end (reference: lyra/lyra_encoder.cc:131-141): sustained
+    stationary noise must eventually be classified as noise and produce
+    0-byte packets."""
+    from lyra_tpu.codec.encoder import LyraEncoder
+
+    rng = np.random.RandomState(7)
+    enc = LyraEncoder(16000, bitrate=3200, enable_dtx=True,
+                      model_path=model_path)
+    empties = 0
+    for t in range(150):
+        hop = (rng.uniform(-1, 1, 320) * 1000).astype(np.int16)
+        pkt = enc.encode(hop)
+        assert pkt is not None
+        if pkt == b"":
+            empties += 1
+    assert empties > 0, "DTX never engaged on stationary noise"
+
+
 def test_decoder_main_rejects_empty_file(tmp_path, model_path):
     from lyra_tpu.tools import decoder_main
 
