@@ -257,6 +257,15 @@ class EncoderEngine:
         fresh = self.init_state(int(mask.shape[0]))
         return _mask_tree(mask, fresh, state)
 
+    def _state_with_bound(self, state: State, bound: float) -> State:
+        """Test seam: force the DTX classifier's noise bound, the analog of
+        the reference's NoiseEstimatorPeer (lyra/noise_estimator_test.cc)."""
+        if self.noise is None:
+            raise ValueError("DTX not enabled")
+        noise = dict(state["noise"])
+        noise["noise_bound"] = jnp.full_like(noise["noise_bound"], bound)
+        return {**state, "noise": noise}
+
     def step(self, state: State, audio: jnp.ndarray,
              num_quantizers: jnp.ndarray):
         """audio [B, hop_samples] at int16 scale; num_quantizers scalar or [B].
