@@ -60,7 +60,8 @@ def run_benchmark(num_cond_vectors: int = 2000, batch: int = 1,
                   num_bits: int = 120,
                   model_path: str = config.DEFAULT_MODEL_PATH,
                   csv_path: Optional[str] = None,
-                  profile_dir: Optional[str] = None) -> dict:
+                  profile_dir: Optional[str] = None,
+                  mode: str = "float") -> dict:
     import contextlib
 
     import jax
@@ -74,8 +75,8 @@ def run_benchmark(num_cond_vectors: int = 2000, batch: int = 1,
     nq = num_bits // config.BITS_PER_QUANTIZER
     rng = np.random.RandomState(0)
 
-    soundstream = SoundStreamEncoder(model_path)
-    gan = LyraGanModel(model_path)
+    soundstream = SoundStreamEncoder(model_path, mode=mode)
+    gan = LyraGanModel(model_path, mode=mode)
     rvq = ResidualVectorQuantizer.from_model_path(model_path)
 
     # Stage kernels, jitted standalone so each stage is timed in isolation
@@ -177,9 +178,11 @@ def main(argv=None) -> int:
                         "/tmp/benchmarks/ CSVs).")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Write a jax.profiler device trace to DIR.")
+    p.add_argument("--mode", default="float", choices=["float", "fakequant", "bf16"],
+                   help="Conv compute mode (bf16 = TPU throughput mode).")
     args = p.parse_args(argv)
     run_benchmark(args.num_cond_vectors, args.batch, args.num_bits,
-                  args.model_path, args.csv, args.profile)
+                  args.model_path, args.csv, args.profile, args.mode)
     return 0
 
 

@@ -45,6 +45,7 @@ class DecoderServer:
         self._slots: List[_Slot] = [_Slot(None) for _ in range(capacity)]
         self._by_id: Dict[object, int] = {}
         self._num_stages = self.engine.rvq.num_stages
+        self._last_comfort = np.zeros(capacity, bool)
 
     @property
     def num_active(self) -> int:
