@@ -69,17 +69,62 @@ class BatchedStreamingModel:
         return self._single(state, x)
 
 
+class _FusedModel:
+    """Streaming model backed by the pallas megakernel (ops/fused_stack.py).
+
+    Same init_state/reset_rows/call contract as BatchedStreamingModel, but
+    the whole conv stack runs in VMEM per stream block instead of one XLA
+    op per layer — the HBM-traffic-optimal serving path.
+    """
+
+    def __init__(self, path: str, mode: str, block_streams: int):
+        from lyra_tpu.ops.fused_stack import FusedStackKernel
+
+        self._kernel = FusedStackKernel(
+            path, mode=mode if mode in ("float", "bf16") else "float",
+            block_streams=block_streams)
+
+    def init_state(self, batch_size: int) -> State:
+        return self._kernel.init_state(batch_size)
+
+    def reset_rows(self, state: State, mask: jnp.ndarray) -> State:
+        fresh = self._kernel.init_state(int(mask.shape[0]))
+
+        def pick(new, old):
+            m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(m, new, old)
+
+        return jax.tree.map(pick, fresh, state)
+
+    def __call__(self, state: State, x: jnp.ndarray):
+        return self._kernel(state, x)
+
+
 class SoundStreamEncoder(BatchedStreamingModel):
     """320 samples @16 kHz → 64 features, per stream.
 
     Reference: lyra/soundstream_encoder.{h,cc} + soundstream_encoder.tflite.
     Input  [B, 320] unit-float audio; output [B, 64] features.
+    backend="fused" runs the pallas megakernel instead of the per-op XLA
+    lowering (identical math; see tests/test_fused_stack.py).
     """
 
-    def __init__(self, model_path: str, mode: str = "float"):
-        graph = load_graph(
-            os.path.join(model_path, "soundstream_encoder.tflite"), mode=mode
-        )
+    def __init__(self, model_path: str, mode: str = "float",
+                 backend: str = "xla", block_streams: int = 64):
+        path = os.path.join(model_path, "soundstream_encoder.tflite")
+        if backend == "fused":
+            fused = _FusedModel(path, mode, block_streams)
+            self._fused = fused
+            self.init_state = fused.init_state
+            self.reset_rows = fused.reset_rows
+
+            def extract(state, frames):
+                feats, state = fused(state, frames)  # [B, 320] -> [B, 1, 64]
+                return feats[:, 0, :], state
+
+            self.extract = extract
+            return
+        graph = load_graph(path, mode=mode)
         super().__init__(graph, "input_audio", "output_0")
 
     def extract(self, state: State, frames: jnp.ndarray):
@@ -92,10 +137,25 @@ class LyraGanModel(BatchedStreamingModel):
 
     Reference: lyra/lyra_gan_model.{h,cc} + lyragan.tflite.
     Input  [B, 64] features; output [B, 320] unit-float audio.
+    backend="fused" runs the pallas megakernel.
     """
 
-    def __init__(self, model_path: str, mode: str = "float"):
-        graph = load_graph(os.path.join(model_path, "lyragan.tflite"), mode=mode)
+    def __init__(self, model_path: str, mode: str = "float",
+                 backend: str = "xla", block_streams: int = 64):
+        path = os.path.join(model_path, "lyragan.tflite")
+        if backend == "fused":
+            fused = _FusedModel(path, mode, block_streams)
+            self._fused = fused
+            self.init_state = fused.init_state
+            self.reset_rows = fused.reset_rows
+
+            def decode_hop(state, features):
+                samples, state = fused(state, features[:, None, :])
+                return samples, state  # [B, 320]
+
+            self.decode_hop = decode_hop
+            return
+        graph = load_graph(path, mode=mode)
         super().__init__(graph, "input_audio", "output_0")
 
     def decode_hop(self, state: State, features: jnp.ndarray):
