@@ -43,6 +43,9 @@ class ComfortNoiseGenerator:
         inv_mass = np.where(mass > 0, 1.0 / np.maximum(mass, 1e-12), 0.0)
         # mag ≈ A @ (mel / mass): unit gain for smooth spectra.
         self._inverse = jnp.asarray(a * inv_mass[None, :], jnp.float32)  # [bins, mels]
+        ci, si = melspec.idft_matrices(self.cfg.fft_size)
+        self._idft_cos = jnp.asarray(ci)  # [bins, fft]
+        self._idft_sin = jnp.asarray(si)
 
     def init_state(self, batch_size: int, seed: int = 0) -> State:
         carry_len = self.cfg.fft_size - self.cfg.hop
@@ -71,8 +74,13 @@ class ComfortNoiseGenerator:
             )
 
         new_keys, phases = jax.vmap(sample_phase)(state["key"])
-        spec = mag * jnp.exp(1j * phases)  # [B, bins] complex
-        frame = jnp.fft.irfft(spec, n=self.cfg.fft_size, axis=-1)  # [B, fft]
+        # Inverse real-DFT as two matmuls (exact irfft; the TPU FFT custom
+        # call is an order of magnitude slower at these sizes).
+        re = mag * jnp.cos(phases)
+        im = mag * jnp.sin(phases)
+        hp = jax.lax.Precision.HIGHEST
+        frame = (jnp.matmul(re, self._idft_cos, precision=hp)
+                 + jnp.matmul(im, self._idft_sin, precision=hp))  # [B, fft]
 
         hop = self.cfg.hop
         carry = state["carry"]  # [B, fft - hop]

@@ -94,10 +94,10 @@ class DecoderEngine:
 
     def __init__(self, sample_rate_hz: int = config.INTERNAL_SAMPLE_RATE,
                  model_path: str = config.DEFAULT_MODEL_PATH,
-                 mode: str = "float"):
+                 mode: str = "float", backend: str = "xla"):
         config.check_params_supported(sample_rate_hz, config.NUM_CHANNELS, model_path)
         self.sample_rate_hz = sample_rate_hz
-        self.gan = LyraGanModel(model_path, mode=mode)
+        self.gan = LyraGanModel(model_path, mode=mode, backend=backend)
         self.rvq = ResidualVectorQuantizer.from_model_path(model_path)
         self.cng = ComfortNoiseGenerator(config.INTERNAL_SAMPLE_RATE)
         self.noise = NoiseEstimator(config.INTERNAL_SAMPLE_RATE)
@@ -230,11 +230,12 @@ class EncoderEngine:
 
     def __init__(self, sample_rate_hz: int = config.INTERNAL_SAMPLE_RATE,
                  model_path: str = config.DEFAULT_MODEL_PATH,
-                 enable_dtx: bool = False, mode: str = "float"):
+                 enable_dtx: bool = False, mode: str = "float",
+                 backend: str = "xla"):
         config.check_params_supported(sample_rate_hz, config.NUM_CHANNELS, model_path)
         self.sample_rate_hz = sample_rate_hz
         self.enable_dtx = enable_dtx
-        self.soundstream = SoundStreamEncoder(model_path, mode=mode)
+        self.soundstream = SoundStreamEncoder(model_path, mode=mode, backend=backend)
         self.rvq = ResidualVectorQuantizer.from_model_path(model_path)
         self.noise = NoiseEstimator(config.INTERNAL_SAMPLE_RATE) if enable_dtx else None
         self.resampler = (
@@ -299,5 +300,5 @@ class EncoderEngine:
         new_state["soundstream"] = _mask_tree(
             ~is_noise, ss_state, state["soundstream"])
 
-        indices = self.rvq.quantize(feats, num_quantizers)
+        indices = self.rvq.quantize(feats, num_quantizers, method="fast")
         return indices, is_noise, new_state

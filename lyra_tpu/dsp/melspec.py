@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -143,6 +144,33 @@ class LogMelExtractorRef:
         return (np.log(np.maximum(mel, LOG_FLOOR)) / NORM).astype(np.float32)
 
 
+def dft_matrices(window: int, fft_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT as two matmul matrices [window, bins]: X = x@C + i·x@S.
+
+    On TPU a [B, window] @ [window, bins] matmul is an order of magnitude
+    faster than the FFT custom call for these sizes, and it fuses with the
+    surrounding window/mel math.
+    """
+    bins = fft_size // 2 + 1
+    n = np.arange(window)[:, None]
+    k = np.arange(bins)[None, :]
+    ang = 2.0 * np.pi * n * k / fft_size
+    return (np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32))
+
+
+def idft_matrices(fft_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse real-DFT matmul matrices [bins, fft_size]:
+    x = re@Ci + im@Si (the exact `irfft`)."""
+    bins = fft_size // 2 + 1
+    k = np.arange(bins)[:, None]
+    n = np.arange(fft_size)[None, :]
+    ang = 2.0 * np.pi * k * n / fft_size
+    w = np.full((bins, 1), 2.0 / fft_size)
+    w[0] = w[-1] = 1.0 / fft_size
+    return ((np.cos(ang) * w).astype(np.float32),
+            (-np.sin(ang) * w).astype(np.float32))
+
+
 class LogMelExtractor:
     """Batched f32 JAX implementation over [num_streams, hop] frames."""
 
@@ -153,6 +181,9 @@ class LogMelExtractor:
             mel_weight_matrix(cfg.num_fft_bins, cfg.sample_rate, cfg.num_mel_bins),
             jnp.float32,
         )
+        c, s = dft_matrices(cfg.window, cfg.fft_size)
+        self._dft_cos = jnp.asarray(c)
+        self._dft_sin = jnp.asarray(s)
 
     def init_state(self, batch_size: int) -> jnp.ndarray:
         return jnp.zeros((batch_size, self.cfg.window - self.cfg.hop), jnp.float32)
@@ -162,7 +193,11 @@ class LogMelExtractor:
         x = frames.astype(jnp.float32)
         full = jnp.concatenate([state, x], axis=1)  # [B, window]
         new_state = full[:, self.cfg.hop :]
-        spec = jnp.abs(jnp.fft.rfft(full * self._win[None], n=self.cfg.fft_size)) ** 2
-        mel = jnp.sqrt(spec) @ self._mel
+        xw = full * self._win[None]
+        hp = jax.lax.Precision.HIGHEST  # magnitude math needs f32 MXU passes
+        re = jnp.matmul(xw, self._dft_cos, precision=hp)
+        im = jnp.matmul(xw, self._dft_sin, precision=hp)
+        mag = jnp.sqrt(re * re + im * im)
+        mel = jnp.matmul(mag, self._mel, precision=hp)
         feats = jnp.log(jnp.maximum(mel, LOG_FLOOR)) / NORM
         return feats, new_state

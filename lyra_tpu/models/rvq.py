@@ -60,38 +60,71 @@ class ResidualVectorQuantizer:
 
         return cls(extract_codebooks(os.path.join(model_path, "quantizer.tflite")))
 
-    def quantize(self, features: jnp.ndarray, num_quantizers) -> jnp.ndarray:
+    def quantize(self, features: jnp.ndarray, num_quantizers,
+                 method: str = "exact") -> jnp.ndarray:
         """features [B, F] → stage indices [B, S] (−1 beyond num_quantizers).
 
         `num_quantizers` is a scalar or [B] int array; it only masks the
         output — the residual recursion itself is bitrate-independent, exactly
         as in the reference encode graph.
+
+        method="exact" mirrors the TFLite encode graph arithmetic
+        (squared-difference distances) so stage indices are bit-exact
+        against the reference interpreter.  method="fast" is the TPU serving
+        path: MXU inner-product scores (argmin of ||c||² − 2·r·c) and
+        one-hot residual updates — mathematically the same nearest-neighbor
+        search, so only float near-ties can pick a different (equally
+        near) codeword.
         """
         cbs = self.codebooks
 
-        def stage(residual, cb):
-            # [B, 1, F] vs [16, F] → distances [B, 16]
-            d = jnp.sum(jnp.square(residual[:, None, :] - cb[None]), axis=-1)
-            idx = jnp.argmin(d, axis=-1).astype(jnp.int32)  # [B]
-            q = cb[idx]  # [B, F]
-            return residual - q, idx
+        if method == "fast":
+            cbs_t = jnp.swapaxes(cbs, 1, 2)  # [S, F, 16]
+            c2 = jnp.sum(jnp.square(cbs), axis=-1)  # [S, 16]
+            residual = features
+            idx_list = []
+            for s in range(self.num_stages):  # unrolled: XLA pipelines stages
+                scores = c2[s][None, :] - 2.0 * jax.lax.dot_general(
+                    residual, cbs_t[s],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                idx = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+                oh = jax.nn.one_hot(idx, cbs.shape[1], dtype=residual.dtype)
+                residual = residual - jax.lax.dot_general(
+                    oh, cbs[s], dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                idx_list.append(idx)
+            indices = jnp.stack(idx_list, axis=1)  # [B, S]
+        else:
+            def stage(residual, cb):
+                # [B, 1, F] vs [16, F] → distances [B, 16]
+                d = jnp.sum(jnp.square(residual[:, None, :] - cb[None]), axis=-1)
+                idx = jnp.argmin(d, axis=-1).astype(jnp.int32)  # [B]
+                q = cb[idx]  # [B, F]
+                return residual - q, idx
 
-        _, indices = jax.lax.scan(stage, features, cbs)  # indices [S, B]
-        indices = indices.T  # [B, S]
+            _, indices = jax.lax.scan(stage, features, cbs)  # [S, B]
+            indices = indices.T  # [B, S]
         nq = jnp.asarray(num_quantizers, jnp.int32)
         nq = jnp.broadcast_to(nq, indices.shape[:1])  # [B]
         stage_ids = jnp.arange(self.num_stages, dtype=jnp.int32)[None, :]
         return jnp.where(stage_ids < nq[:, None], indices, -1)
 
     def decode(self, indices: jnp.ndarray) -> jnp.ndarray:
-        """stage indices [B, S] (−1 = unused) → lossy features [B, F]."""
-        mask = (indices != -1).astype(self.codebooks.dtype)  # [B, S]
-        safe = jnp.maximum(indices, 0)
-        # codebooks [S, 16, F] gathered per (stage, index): [B, S, F]
-        q = jnp.take_along_axis(
-            self.codebooks[None], safe[:, :, None, None], axis=2
-        ).squeeze(2)
-        return jnp.sum(q * mask[:, :, None], axis=1)
+        """stage indices [B, S] (−1 = unused) → lossy features [B, F].
+
+        One-hot contraction instead of a gather: `jax.nn.one_hot(-1)` is the
+        all-zero row, which implements the unused-stage masking for free,
+        and the whole decode is a single [B, S·16] @ [S·16, F] matmul (MXU)
+        — gathers are pathologically slow on TPU.
+        """
+        s, k, f = self.codebooks.shape
+        oh = jax.nn.one_hot(indices, k, dtype=self.codebooks.dtype)  # [B,S,16]
+        return jax.lax.dot_general(
+            oh.reshape(-1, s * k), self.codebooks.reshape(s * k, f),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
 
     def num_bits_to_stages(self, num_bits: int) -> int:
         if num_bits % self.bits_per_stage != 0:
