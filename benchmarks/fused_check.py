@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import os; os.environ["LYRA_TPU_PLATFORM"]="cpu"
 import numpy as np, jax, jax.numpy as jnp
 from lyra_tpu import config

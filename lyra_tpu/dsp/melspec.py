@@ -194,7 +194,7 @@ class LogMelExtractor:
         full = jnp.concatenate([state, x], axis=1)  # [B, window]
         new_state = full[:, self.cfg.hop :]
         xw = full * self._win[None]
-        hp = jax.lax.Precision.HIGHEST  # magnitude math needs f32 MXU passes
+        hp = jax.lax.Precision.HIGH  # 3-pass bf16: ~1e-6 rel, 2x HIGHEST
         re = jnp.matmul(xw, self._dft_cos, precision=hp)
         im = jnp.matmul(xw, self._dft_sin, precision=hp)
         mag = jnp.sqrt(re * re + im * im)

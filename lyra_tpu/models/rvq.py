@@ -123,7 +123,7 @@ class ResidualVectorQuantizer:
         return jax.lax.dot_general(
             oh.reshape(-1, s * k), self.codebooks.reshape(s * k, f),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32)
 
     def num_bits_to_stages(self, num_bits: int) -> int:
