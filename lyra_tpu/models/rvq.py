@@ -53,6 +53,7 @@ class ResidualVectorQuantizer:
         self.codebooks = jnp.asarray(codebooks)  # [S, 16, F]
         self.num_stages = codebooks.shape[0]
         self.bits_per_stage = int(np.log2(codebooks.shape[1]))
+        self._pallas_kernel = None
 
     @classmethod
     def from_model_path(cls, model_path: str) -> "ResidualVectorQuantizer":
@@ -78,7 +79,14 @@ class ResidualVectorQuantizer:
         """
         cbs = self.codebooks
 
-        if method == "fast":
+        if method == "pallas":
+            # Whole 46-stage search in VMEM (lyra_tpu/ops/rvq_kernel.py).
+            if self._pallas_kernel is None:
+                from lyra_tpu.ops.rvq_kernel import RvqEncodeKernel
+
+                self._pallas_kernel = RvqEncodeKernel(np.asarray(self.codebooks))
+            indices = self._pallas_kernel(features)
+        elif method == "fast":
             cbs_t = jnp.swapaxes(cbs, 1, 2)  # [S, F, 16]
             c2 = jnp.sum(jnp.square(cbs), axis=-1)  # [S, 16]
             residual = features

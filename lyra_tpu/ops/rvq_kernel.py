@@ -1,0 +1,89 @@
+"""Pallas kernel for the RVQ encode search: 46 stages without leaving VMEM.
+
+The residual vector quantizer is a 46-deep *sequential* chain of tiny ops
+(score matmul, argmin, codeword subtract) — the worst case for XLA, which
+pays fusion-boundary and HBM round-trip overhead per stage (measured
+2.3 ms/step at B=16384 for the unrolled XLA form).  Here the whole chain
+runs in one pallas program per stream block: codebooks (~188 KB) and the
+residual stay in VMEM; HBM traffic is features in, indices out.
+
+Math identical to `ResidualVectorQuantizer.quantize(method="fast")`:
+argmin_k ||c_k||^2 - 2 r·c_k per stage, one-hot residual update.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class RvqEncodeKernel:
+    def __init__(self, codebooks: np.ndarray, block_streams: int = 1024,
+                 interpret: bool = False):
+        cb = np.asarray(codebooks, np.float32)  # [S, K, F]
+        self.num_stages, self.num_codes, self.num_features = cb.shape
+        self._cb = jnp.asarray(cb)
+        self._cb_t = jnp.asarray(np.swapaxes(cb, 1, 2).copy())  # [S, F, K]
+        self._c2 = jnp.asarray(np.sum(cb * cb, axis=-1))  # [S, K]
+        self.block = block_streams
+        self.interpret = interpret
+        self._call = functools.lru_cache(maxsize=8)(self._build)
+
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        """[B, F] float features → [B, S] int32 stage indices (all stages)."""
+        b = features.shape[0]
+        blk = min(self.block, b)
+        if b % blk != 0:
+            raise ValueError(f"batch {b} not divisible by block {blk}")
+        return self._call(b, blk)(features)
+
+    def _build(self, batch: int, blk: int):
+        s, k, f = self.num_stages, self.num_codes, self.num_features
+
+        def kernel(x_ref, cb_ref, cbt_ref, c2_ref, out_ref):
+            residual = x_ref[:].astype(jnp.float32)  # [blk, F]
+            cb = cb_ref[:]
+            cbt = cbt_ref[:]
+            c2 = c2_ref[:]
+            k_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, k), 1)
+            cols = []
+            for stage in range(s):
+                scores = c2[stage][None, :] - 2.0 * jnp.dot(
+                    residual, cbt[stage], preferred_element_type=jnp.float32)
+                idx = jnp.argmin(scores, axis=-1).astype(jnp.int32)  # [blk]
+                oh = (k_iota == idx[:, None]).astype(jnp.float32)  # [blk, K]
+                residual = residual - jnp.dot(
+                    oh, cb[stage], preferred_element_type=jnp.float32)
+                cols.append(idx)
+            out_ref[:] = jnp.stack(cols, axis=1)  # [blk, S] int32
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(batch // blk,),
+            in_specs=[
+                pl.BlockSpec((blk, f), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s, k, f), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s, f, k), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((blk, s), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((batch, s), jnp.int32),
+            interpret=self.interpret,
+        )
+
+        def run(features):
+            return call(features.astype(jnp.float32), self._cb, self._cb_t,
+                        self._c2)
+
+        return jax.jit(run)

@@ -1,5 +1,6 @@
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from lyra_tpu import config
 from lyra_tpu.models.rvq import ResidualVectorQuantizer
@@ -79,3 +80,20 @@ def test_per_stream_num_quantizers(rvq):
         assert (idx[b, n:] == -1).all()
         single = np.asarray(rvq.quantize(feats[b : b + 1], int(n)))
         np.testing.assert_array_equal(idx[b], single[0])
+
+
+def test_pallas_method_matches_fast(rvq):
+    """ops/rvq_kernel.py (interpret mode) must match the XLA fast method."""
+    from lyra_tpu.ops.rvq_kernel import RvqEncodeKernel
+
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.uniform(-1, 1, (8, 64)), jnp.float32)
+    kern = RvqEncodeKernel(np.asarray(rvq.codebooks), block_streams=4,
+                           interpret=True)
+    rvq._pallas_kernel = kern
+    a = np.asarray(rvq.quantize(feats, 46, method="fast"))
+    b = np.asarray(rvq.quantize(feats, 46, method="pallas"))
+    np.testing.assert_array_equal(a, b)
+    # bitrate masking applies identically
+    m = np.asarray(rvq.quantize(feats, 16, method="pallas"))
+    assert (m[:, 16:] == -1).all() and (m[:, :16] == b[:, :16]).all()
