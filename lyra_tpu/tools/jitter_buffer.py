@@ -1,0 +1,78 @@
+"""ctypes facade over the native per-stream jitter buffer
+(native/jitter_buffer.cc): reorders/dedups asynchronously arriving packets
+and drains one dense tick batch per 20 ms for the lockstep decoder engine.
+A missing packet at collect time is a loss — the engine's PLC machine takes
+over for that stream.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional, Tuple
+
+import numpy as np
+
+from lyra_tpu.utils import native
+
+
+class JitterBuffer:
+    def __init__(self, capacity: int, packet_size: int, depth: int = 8):
+        lib = native.load()
+        if lib is None:
+            raise RuntimeError("native library unavailable; build native/")
+        self._lib = lib
+        self.capacity = capacity
+        self.packet_size = packet_size
+        self.depth = depth
+        self._h = lib.lyra_jb_create(capacity, packet_size, depth)
+        if not self._h:
+            raise RuntimeError("jitter buffer allocation failed")
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.lyra_jb_destroy(h)
+            self._h = None
+
+    def add_stream(self, stream: int, start_seq: int = 0,
+                   playout_delay: int = 0) -> None:
+        """`playout_delay` ticks of buffering absorb network delay/jitter up
+        to that many packet intervals before draining begins."""
+        if self._lib.lyra_jb_add_stream(self._h, stream, start_seq,
+                                        playout_delay):
+            raise ValueError(f"bad stream slot {stream} / delay")
+
+    def remove_stream(self, stream: int) -> None:
+        if self._lib.lyra_jb_remove_stream(self._h, stream):
+            raise ValueError(f"bad stream slot {stream}")
+
+    def insert(self, stream: int, seq: int, packet: bytes) -> int:
+        """Returns 0 ok, 2 late-drop, 3 duplicate, 4 too-far-ahead."""
+        buf = (ctypes.c_uint8 * max(len(packet), 1)).from_buffer_copy(
+            packet or b"\x00")
+        rc = self._lib.lyra_jb_insert(self._h, stream, seq, buf, len(packet))
+        if rc == 1:
+            raise ValueError(f"bad insert args (stream {stream})")
+        return rc
+
+    def collect(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One tick: → (packets [capacity, packet_size] u8,
+        received [capacity] bool, sizes [capacity] u8)."""
+        out = np.zeros((self.capacity, self.packet_size), np.uint8)
+        received = np.zeros(self.capacity, np.uint8)
+        sizes = np.zeros(self.capacity, np.uint8)
+        self._lib.lyra_jb_collect(
+            self._h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            received.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out, received.astype(bool), sizes
+
+    def stats(self) -> dict:
+        late = ctypes.c_int64()
+        dup = ctypes.c_int64()
+        over = ctypes.c_int64()
+        self._lib.lyra_jb_stats(self._h, ctypes.byref(late),
+                                ctypes.byref(dup), ctypes.byref(over))
+        return {"late_drops": late.value, "dup_drops": dup.value,
+                "overflow_drops": over.value}

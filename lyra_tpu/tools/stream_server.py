@@ -97,6 +97,40 @@ class DecoderServer:
     def is_comfort_noise(self, stream_id) -> bool:
         return bool(self._last_comfort[self._by_id[stream_id]])
 
+    def tick_packed(self, packets: np.ndarray, received: np.ndarray,
+                    sizes: np.ndarray) -> np.ndarray:
+        """Array-based tick for high stream counts (no per-stream Python).
+
+        packets:  [capacity, max_packet_size] uint8 (e.g. JitterBuffer.collect)
+        received: [capacity] bool; sizes: [capacity] byte counts (0 = DTX
+        empty packet, treated as loss so CNG takes over, matching the
+        reference where an empty packet is not decodable).
+
+        Returns audio [capacity, hop] int16.  Wire bytes → indices runs
+        through the native batch codec, grouped by packet size (bitrate).
+        """
+        packets = np.ascontiguousarray(packets, np.uint8)
+        sizes = np.asarray(sizes)
+        active = np.zeros(self.capacity, bool)
+        if self._by_id:
+            active[list(self._by_id.values())] = True
+        received = np.asarray(received, bool) & (sizes > 0) & active
+        indices = np.full((self.capacity, self._num_stages), -1, np.int32)
+        for size in np.unique(sizes[received]):
+            bits = config.packet_size_to_num_quantized_bits(int(size))
+            if bits < 0:
+                received = received & (sizes != size)
+                continue
+            rows = np.flatnonzero(received & (sizes == size))
+            idx = packet.unpack_indices_batch(
+                packets[rows, :int(size)], bits)
+            indices[rows, : idx.shape[1]] = idx
+
+        audio, is_cn, self._state = self.engine.step(
+            self._state, indices, received)
+        self._last_comfort = np.asarray(is_cn)
+        return np.asarray(audio).astype(np.int16)
+
 
 class EncoderServer:
     """Fixed-capacity batched encoder; emits wire packets per stream."""
@@ -149,6 +183,31 @@ class EncoderServer:
         i = self._by_id[stream_id]
         self._nq[i] = bits // config.BITS_PER_QUANTIZER
         self._bits[i] = bits
+
+    def tick_packed(self, audio: np.ndarray):
+        """Array-based encode tick: audio [capacity, hop] int16-scale →
+        (packets [capacity, max_size] uint8, sizes [capacity] int32).
+
+        sizes is 0 for DTX noise hops; mixed per-stream bitrates pack in one
+        native batch call per size group."""
+        indices, is_noise, self._state = self.engine.step(
+            self._state, np.asarray(audio, np.float32), self._nq)
+        indices = np.asarray(indices)
+        is_noise = np.asarray(is_noise)
+        max_size = config.packet_size(int(self._bits.max()))
+        out = np.zeros((self.capacity, max_size), np.uint8)
+        sizes = np.zeros(self.capacity, np.int32)
+        active = np.zeros(self.capacity, bool)
+        if self._by_id:
+            active[list(self._by_id.values())] = True
+        for bits in np.unique(self._bits):
+            rows = np.flatnonzero((self._bits == bits) & ~is_noise & active)
+            if rows.size == 0:
+                continue
+            pkts = packet.pack_indices_batch(indices[rows], int(bits))
+            out[rows, : pkts.shape[1]] = pkts
+            sizes[rows] = pkts.shape[1]
+        return out, sizes
 
     def tick(self, audio: Dict[object, np.ndarray]) -> Dict[object, bytes]:
         """One 20 ms step: stream_id -> hop of int16 samples in,

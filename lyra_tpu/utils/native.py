@@ -23,10 +23,23 @@ _tried = False
 
 def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     i64, i32p, u8p = ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8)
+    i64p, vp = ctypes.POINTER(ctypes.c_int64), ctypes.c_void_p
     lib.lyra_pack_indices_batch.argtypes = [i32p, i64, i64, i64, i64, u8p, i64]
     lib.lyra_pack_indices_batch.restype = ctypes.c_int
     lib.lyra_unpack_indices_batch.argtypes = [u8p, i64, i64, i64, i64, i32p]
     lib.lyra_unpack_indices_batch.restype = ctypes.c_int
+    lib.lyra_jb_create.argtypes = [i64, i64, i64]
+    lib.lyra_jb_create.restype = vp
+    lib.lyra_jb_destroy.argtypes = [vp]
+    lib.lyra_jb_add_stream.argtypes = [vp, i64, i64, i64]
+    lib.lyra_jb_add_stream.restype = ctypes.c_int
+    lib.lyra_jb_remove_stream.argtypes = [vp, i64]
+    lib.lyra_jb_remove_stream.restype = ctypes.c_int
+    lib.lyra_jb_insert.argtypes = [vp, i64, i64, u8p, i64]
+    lib.lyra_jb_insert.restype = ctypes.c_int
+    lib.lyra_jb_collect.argtypes = [vp, u8p, u8p, u8p]
+    lib.lyra_jb_collect.restype = i64
+    lib.lyra_jb_stats.argtypes = [vp, i64p, i64p, i64p]
     return lib
 
 

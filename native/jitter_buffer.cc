@@ -1,0 +1,165 @@
+// Per-stream jitter buffer for the Lyra-TPU serving runtime.
+//
+// Real-time transport delivers packets out of order, duplicated, bursty or
+// late; the batched decode engine consumes exactly one packet per stream
+// per 20 ms tick.  This component is the native scheduler between the two:
+// a fixed-capacity table of per-stream sequence-indexed ring slots.
+// `insert` files a packet under its sequence number (dropping duplicates
+// and too-late arrivals); `collect` drains one tick for every stream at
+// once, emitting a dense [capacity, packet_size] matrix plus a received
+// mask — exactly the shape the TPU step consumes.  The reference has no
+// transport layer (its CLI reads a file, lyra/cli_example/decoder_main_
+// lib.cc:86-219, and loss is simulated); this is the deployment-scale
+// equivalent, in C++ because it runs per packet per stream.
+//
+// Concurrency model: single writer thread per buffer (or external locking).
+// All functions are O(1) per packet.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Slot {
+  bool occupied = false;
+  int64_t seq = -1;
+};
+
+struct JitterBuffer {
+  int64_t capacity;      // streams
+  int64_t packet_size;   // bytes per packet (max)
+  int64_t depth;         // ring depth in packets
+  std::vector<Slot> slots;       // [capacity * depth]
+  std::vector<uint8_t> payload;  // [capacity * depth * packet_size]
+  std::vector<uint8_t> sizes;    // actual size per slot (DTX empty = 0)
+  std::vector<int64_t> head_seq; // next sequence to play, per stream
+  std::vector<int64_t> delay;    // remaining playout-delay ticks, per stream
+  std::vector<uint8_t> active;   // stream slot in use
+  // stats
+  int64_t late_drops = 0, dup_drops = 0, overflow_drops = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* lyra_jb_create(int64_t capacity, int64_t packet_size, int64_t depth) {
+  auto* jb = new JitterBuffer();
+  jb->capacity = capacity;
+  jb->packet_size = packet_size;
+  jb->depth = depth;
+  jb->slots.resize(capacity * depth);
+  jb->payload.resize(capacity * depth * packet_size);
+  jb->sizes.resize(capacity * depth);
+  jb->head_seq.assign(capacity, 0);
+  jb->delay.assign(capacity, 0);
+  jb->active.assign(capacity, 0);
+  return jb;
+}
+
+void lyra_jb_destroy(void* h) { delete static_cast<JitterBuffer*>(h); }
+
+// Activate/reset a stream slot starting at sequence `start_seq`.
+// `playout_delay` ticks are absorbed before draining begins, so packets
+// delayed by up to that many ticks by the network still play in order.
+int lyra_jb_add_stream(void* h, int64_t stream, int64_t start_seq,
+                       int64_t playout_delay) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  if (stream < 0 || stream >= jb->capacity || playout_delay < 0 ||
+      playout_delay >= jb->depth) {
+    return 1;
+  }
+  jb->active[stream] = 1;
+  jb->head_seq[stream] = start_seq;
+  jb->delay[stream] = playout_delay;
+  for (int64_t d = 0; d < jb->depth; ++d) {
+    jb->slots[stream * jb->depth + d].occupied = false;
+  }
+  return 0;
+}
+
+int lyra_jb_remove_stream(void* h, int64_t stream) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  if (stream < 0 || stream >= jb->capacity) return 1;
+  jb->active[stream] = 0;
+  return 0;
+}
+
+// File a packet. size may be 0 (DTX empty packet: "received, no payload").
+// Returns 0 ok, 1 bad args, 2 late (already played), 3 duplicate,
+// 4 overflow (further than `depth` ahead of head: dropped).
+int lyra_jb_insert(void* h, int64_t stream, int64_t seq,
+                   const uint8_t* data, int64_t size) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  if (stream < 0 || stream >= jb->capacity || !jb->active[stream] ||
+      size < 0 || size > jb->packet_size) {
+    return 1;
+  }
+  const int64_t head = jb->head_seq[stream];
+  if (seq < head) {
+    ++jb->late_drops;
+    return 2;
+  }
+  if (seq >= head + jb->depth) {
+    ++jb->overflow_drops;
+    return 4;
+  }
+  Slot& slot = jb->slots[stream * jb->depth + (seq % jb->depth)];
+  if (slot.occupied && slot.seq == seq) {
+    ++jb->dup_drops;
+    return 3;
+  }
+  slot.occupied = true;
+  slot.seq = seq;
+  const int64_t idx = stream * jb->depth + (seq % jb->depth);
+  jb->sizes[idx] = static_cast<uint8_t>(size);
+  if (size > 0) {
+    std::memcpy(&jb->payload[idx * jb->packet_size], data, size);
+  }
+  return 0;
+}
+
+// Drain one tick for all streams: for each active stream, pop the packet at
+// head_seq (if present) into out[stream * packet_size ...], set
+// received[stream], sizes_out[stream]; advance head_seq.  Inactive streams
+// get received=0.  Returns number of received packets.
+int64_t lyra_jb_collect(void* h, uint8_t* out, uint8_t* received,
+                        uint8_t* sizes_out) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  int64_t n = 0;
+  for (int64_t s = 0; s < jb->capacity; ++s) {
+    received[s] = 0;
+    sizes_out[s] = 0;
+    if (!jb->active[s]) continue;
+    if (jb->delay[s] > 0) {  // still filling the playout buffer
+      --jb->delay[s];
+      continue;
+    }
+    const int64_t head = jb->head_seq[s];
+    Slot& slot = jb->slots[s * jb->depth + (head % jb->depth)];
+    if (slot.occupied && slot.seq == head) {
+      const int64_t idx = s * jb->depth + (head % jb->depth);
+      const uint8_t size = jb->sizes[idx];
+      if (size > 0) {
+        std::memcpy(&out[s * jb->packet_size],
+                    &jb->payload[idx * jb->packet_size], size);
+      }
+      received[s] = 1;
+      sizes_out[s] = size;
+      slot.occupied = false;
+      ++n;
+    }
+    jb->head_seq[s] = head + 1;  // missing packet == loss; PLC handles it
+  }
+  return n;
+}
+
+void lyra_jb_stats(void* h, int64_t* late, int64_t* dup, int64_t* overflow) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  *late = jb->late_drops;
+  *dup = jb->dup_drops;
+  *overflow = jb->overflow_drops;
+}
+
+}  // extern "C"

@@ -19,7 +19,7 @@ from lyra_tpu.utils import wav
 NUM_SECONDS = 1.5
 
 
-@pytest.mark.parametrize("sample_rate_hz", [16000, 48000])
+@pytest.mark.parametrize("sample_rate_hz", [8000, 16000, 32000, 48000])
 def test_codec_roundtrip_lsd(model_path, testdata_path, sample_rate_hz):
     khz = sample_rate_hz // 1000
     data = wav.read_wav_int16(f"{testdata_path}/sample1_{khz}kHz.wav")

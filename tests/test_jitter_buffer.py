@@ -1,0 +1,124 @@
+"""Native jitter buffer + packed array serving path tests."""
+
+import numpy as np
+import pytest
+
+from lyra_tpu import config
+from lyra_tpu.tools.jitter_buffer import JitterBuffer
+
+
+@pytest.fixture()
+def jb():
+    return JitterBuffer(capacity=4, packet_size=23, depth=8)
+
+
+def test_in_order_delivery(jb):
+    jb.add_stream(0)
+    for seq in range(3):
+        assert jb.insert(0, seq, bytes([seq] * 8)) == 0
+    for seq in range(3):
+        pkts, received, sizes = jb.collect()
+        assert received[0] and sizes[0] == 8
+        assert pkts[0, 0] == seq
+    _, received, _ = jb.collect()
+    assert not received[0]  # nothing queued -> loss tick
+
+
+def test_reorder_duplicate_late(jb):
+    jb.add_stream(1)
+    assert jb.insert(1, 1, b"b" * 8) == 0  # out of order
+    assert jb.insert(1, 0, b"a" * 8) == 0
+    assert jb.insert(1, 1, b"x" * 8) == 3  # duplicate dropped
+    pkts, received, sizes = jb.collect()
+    assert received[1] and pkts[1, 0] == ord("a")
+    pkts, received, _ = jb.collect()
+    assert received[1] and pkts[1, 0] == ord("b")
+    assert jb.insert(1, 0, b"z" * 8) == 2  # already played: late drop
+    assert jb.stats()["late_drops"] == 1
+    assert jb.stats()["dup_drops"] == 1
+
+
+def test_gap_becomes_loss_then_resumes(jb):
+    jb.add_stream(2)
+    jb.insert(2, 0, b"p" * 8)
+    jb.insert(2, 2, b"q" * 8)  # seq 1 never arrives
+    _, received, _ = jb.collect()
+    assert received[2]
+    _, received, _ = jb.collect()
+    assert not received[2]  # the gap -> PLC tick
+    pkts, received, _ = jb.collect()
+    assert received[2] and pkts[2, 0] == ord("q")
+
+
+def test_overflow_and_inactive(jb):
+    jb.add_stream(3)
+    assert jb.insert(3, 100, b"y" * 8) == 4  # beyond depth -> dropped
+    with pytest.raises(ValueError):
+        jb.insert(9, 0, b"")
+    _, received, _ = jb.collect()
+    assert not received[0]  # never added
+
+
+def test_dtx_empty_packet(jb):
+    jb.add_stream(0)
+    assert jb.insert(0, 0, b"") == 0
+    pkts, received, sizes = jb.collect()
+    assert received[0] and sizes[0] == 0
+
+
+def test_packed_serving_roundtrip(model_path, testdata_path):
+    """JitterBuffer -> DecoderServer.tick_packed end to end, with reordering
+    and loss, against EncoderServer.tick_packed output."""
+    from lyra_tpu.tools.stream_server import DecoderServer, EncoderServer
+    from lyra_tpu.utils import wav
+
+    cap = 4
+    enc = EncoderServer(cap, model_path=model_path, bitrate=3200)
+    dec = DecoderServer(cap, model_path=model_path)
+    jb = JitterBuffer(cap, config.packet_size(184))
+    for s, sid in enumerate(["a", "b"]):
+        enc.add_stream(sid)
+        dec.add_stream(sid)
+        jb.add_stream(dec._by_id[sid])
+    enc.set_bitrate("b", 9200)
+
+    data = wav.read_wav_int16(f"{testdata_path}/sample1_16kHz.wav")
+    x = data.samples[: 6 * 320].reshape(6, 320)
+
+    audio_in = np.zeros((cap, 320), np.float32)
+    outs = []
+    for t in range(6):
+        audio_in[list(enc._by_id.values())] = x[t]
+        pkts, sizes = enc.tick_packed(audio_in)
+        assert sizes[enc._by_id["a"]] == config.packet_size(64)
+        assert sizes[enc._by_id["b"]] == config.packet_size(184)
+        # deliver out of order / with loss for stream b
+        ia, ib = dec._by_id["a"], dec._by_id["b"]
+        jb.insert(ia, t, bytes(pkts[ia, : sizes[ia]]))
+        if t != 3:  # drop b's packet at t=3
+            jb.insert(ib, t, bytes(pkts[ib, : sizes[ib]]))
+        audio = dec.tick_packed(*jb.collect())
+        assert audio.shape == (cap, 320)
+        outs.append(audio)
+    # stream a decoded continuously (speech-level energy by the end)
+    a_rms = np.sqrt((outs[-1][dec._by_id["a"]].astype(float) ** 2).mean())
+    assert a_rms > 100
+
+
+def test_playout_delay_absorbs_network_delay():
+    """A stream whose packets all arrive one tick late plays cleanly with
+    playout_delay=1 (and starves without it)."""
+    jb = JitterBuffer(capacity=2, packet_size=8, depth=8)
+    jb.add_stream(0, playout_delay=0)
+    jb.add_stream(1, playout_delay=2)
+    got0, got1 = [], []
+    pending = {}
+    for t in range(6):
+        if t >= 1:  # packet for t-1 arrives now (one tick of network delay)
+            jb.insert(0, t - 1, bytes([t - 1] * 4))
+            jb.insert(1, t - 1, bytes([t - 1] * 4))
+        _, received, _ = jb.collect()
+        got0.append(bool(received[0]))
+        got1.append(bool(received[1]))
+    assert not any(got0)  # zero-delay stream never catches up
+    assert got1[2:] == [True] * 4  # delayed stream plays every tick

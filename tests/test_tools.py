@@ -116,6 +116,7 @@ def test_decode_reference_golden_bitstreams(tmp_path, model_path, testdata_path)
             "--encoded_path", os.path.join(testdata_path, stem + ".lyra"),
             "--output_dir", str(tmp_path),
             "--bitrate", "6000",
+            "--randomize_num_samples_requested",
             "--model_path", model_path,
         ])
         assert rc == 0
