@@ -18,7 +18,7 @@ Streaming state per stream: the inverse-FFT overlap-add carry
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

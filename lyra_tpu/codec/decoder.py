@@ -16,7 +16,6 @@ per-request control flow is exactly what should not be traced.
 
 from __future__ import annotations
 
-import math
 from collections import deque
 from typing import Callable, Optional
 

@@ -27,8 +27,7 @@ their initial values (stream admission/eviction without recompilation).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

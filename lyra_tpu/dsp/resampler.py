@@ -19,7 +19,6 @@ kernel launch.
 
 from __future__ import annotations
 
-import math
 from fractions import Fraction
 
 import jax

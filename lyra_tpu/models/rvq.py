@@ -17,8 +17,6 @@ per-stream array, so streams at different bitrates batch together.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,13 +12,12 @@ fit in HBM (SURVEY.md §2.1).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lyra_tpu import config
 from lyra_tpu.tflite.executor import GraphFn, load_graph
 
 State = Dict[str, jnp.ndarray]

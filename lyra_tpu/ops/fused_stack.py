@@ -46,7 +46,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lyra_tpu.tflite import model as tfl
 from lyra_tpu.tflite.executor import (
-    _ACT_FNS,
     _conv2d,
     _depthwise_conv2d,
     _strided_slice,

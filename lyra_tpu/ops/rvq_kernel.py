@@ -14,7 +14,6 @@ argmin_k ||c_k||^2 - 2 r·c_k per stage, one-hot residual update.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -67,7 +67,6 @@ def run_benchmark(num_cond_vectors: int = 2000, batch: int = 1,
     import jax
     import jax.numpy as jnp
 
-    from lyra_tpu.dsp import utils as dsp_utils
     from lyra_tpu.models.rvq import ResidualVectorQuantizer
     from lyra_tpu.models.streaming import LyraGanModel, SoundStreamEncoder
 

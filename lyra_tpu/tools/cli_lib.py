@@ -11,7 +11,6 @@ sizes) → wav.
 from __future__ import annotations
 
 import logging
-import os
 import time
 from typing import List, Optional
 

@@ -13,7 +13,6 @@ on restore — the runtime analog of the weights gate.
 
 from __future__ import annotations
 
-import io
 import json
 from typing import Any, Dict
 

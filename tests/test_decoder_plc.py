@@ -158,6 +158,18 @@ def test_fade_back_to_normal_after_packet():
     assert calls.noise_receive == before + 1
 
 
+def test_multiple_hops_one_request():
+    """Queue several packets, decode them in one request
+    (reference: lyra/lyra_decoder_test.cc:556-581)."""
+    d, calls = make_decoder()
+    for _ in range(4):
+        assert d.set_encoded_packet(PACKET)
+    out = d.decode_samples(4 * INTERNAL_HOP)
+    np.testing.assert_array_equal(out, np.full(4 * INTERNAL_HOP, MODEL_VALUE))
+    assert calls.noise_receive == 4
+    assert not d.is_comfort_noise()
+
+
 def test_subhop_requests_equal_hop_requests():
     """Arbitrary DecodeSamples sizes must produce the identical stream."""
     da, _ = make_decoder()
