@@ -67,6 +67,34 @@ def test_sharded_step_matches_local():
     assert out2.sharding.is_equivalent_to(batch_sharding(mesh), out2.ndim)
 
 
+def test_real_decoder_engine_sharded_matches_local(model_path):
+    """The full DecoderEngine step sharded over the 8-device mesh must equal
+    the single-device run (stream rows are independent, so partitioning the
+    batch axis cannot change results)."""
+    from lyra_tpu.codec.engine import DecoderEngine
+
+    eng = DecoderEngine(16000, model_path)
+    mesh = make_mesh()
+    sharded = ShardedEngine(eng, mesh)
+    b = 8
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 16, (b, eng.rvq.num_stages)).astype(np.int32)
+    received = np.ones(b, bool)
+    received[3] = False
+
+    st = sharded.init_state(b)
+    audio_s, cn_s, st = sharded.step(st, idx, received)
+    audio_s2, cn_s2, st = sharded.step(st, idx, received)
+
+    lst = eng.init_state(b)
+    audio_l, cn_l, lst = eng.step(lst, jnp.asarray(idx), jnp.asarray(received))
+    audio_l2, cn_l2, lst = eng.step(lst, jnp.asarray(idx), jnp.asarray(received))
+
+    np.testing.assert_allclose(np.asarray(audio_s), np.asarray(audio_l), atol=1)
+    np.testing.assert_allclose(np.asarray(audio_s2), np.asarray(audio_l2), atol=1)
+    np.testing.assert_array_equal(np.asarray(cn_s2), np.asarray(cn_l2))
+
+
 def test_uneven_batch_rejected():
     sharded = ShardedEngine(_ToyEngine(), make_mesh())
     with pytest.raises(ValueError):
