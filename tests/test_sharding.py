@@ -1,9 +1,10 @@
 """Stream-axis sharding tests on the virtual 8-device CPU mesh.
 
-Validates the mesh/sharding plumbing (lyra_tpu/parallel/sharding.py) the
-same way the driver's multichip dry-run does, but with a lightweight stand-in
-engine so the test doesn't pay for conv-graph compiles; the real engines go
-through the identical ShardedEngine path in __graft_entry__.dryrun_multichip.
+Validates the mesh/sharding plumbing (lyra_tpu/parallel/sharding.py): fast
+mechanics tests use a lightweight stand-in engine; one test runs the full
+DecoderEngine sharded-vs-local to pin that batch-axis partitioning cannot
+change results. The driver's multichip dry-run exercises the same path in
+__graft_entry__.dryrun_multichip.
 """
 
 import jax
