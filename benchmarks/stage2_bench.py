@@ -35,13 +35,8 @@ timeit("rvq_decode", jax.jit(rvq.decode), idx)
 cng = dec.cng
 cs = cng.init_state(B)
 timeit("cng", jax.jit(cng.generate_hop), cs, jnp.zeros((B,160), jnp.float32))
-# phases RNG alone
-def phases_only(keys):
-    def s(key):
-        k1, k2 = jax.random.split(key)
-        return k1, jax.random.uniform(k2, (513,))
-    return jax.vmap(s)(keys)[1]
-timeit("cng_rng_only", jax.jit(phases_only), cs["key"])
+# phases RNG alone (counter-hash path)
+timeit("cng_rng_only", jax.jit(lambda c: cng._random_phases(c, 513)), cs["ctr"])
 ne = dec.noise
 ns = ne.init_state(B)
 timeit("noise_est", jax.jit(ne.receive_hop), ns, audio)

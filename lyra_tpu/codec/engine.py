@@ -124,9 +124,12 @@ class DecoderEngine:
             state["resampler"] = self.resampler.init_state(b)
         return state
 
-    def reset_rows(self, state: State, mask: jnp.ndarray) -> State:
-        """Re-initialize streams where `mask` is set (stream admission)."""
-        fresh = self.init_state(int(mask.shape[0]))
+    def reset_rows(self, state: State, mask: jnp.ndarray,
+                   seed: int = 0) -> State:
+        """Re-initialize streams where `mask` is set (stream admission).
+        `seed` must match the one used for init_state so re-admitted slots
+        keep the server's per-stream RNG lineage."""
+        fresh = self.init_state(int(mask.shape[0]), seed=seed)
         return _mask_tree(mask, fresh, state)
 
     # -- one lockstep tick -----------------------------------------------------

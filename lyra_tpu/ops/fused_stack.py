@@ -22,9 +22,10 @@ and the kernel are the C>=16 activations, which cost only KB/stream.
 In-kernel op lowering (covers the full op vocabulary of the shipped Lyra
 models, SURVEY.md §2.1):
 
-* CONV_2D        — temporal, dilation 1, any stride, grouped: windowed
-                   matmul `win[blk*T_out, K*I_f] @ W[K*I_f, O_g]` per group
-                   (MXU), windows via the pad-reshape-shift trick.
+* CONV_2D        — temporal, dilation 1, any stride, grouped: per-tap
+                   matmuls accumulated on the MXU; strided taps gather their
+                   rows as concats of unit slices (Mosaic supports neither
+                   lane/sublane reshape splits nor >1-stride slices).
 * DEPTHWISE      — K=3, dilation d: shifted elementwise FMAs (VPU).
 * TRANSPOSE_CONV — stride s | kernel K: single matmul `x @ W[I, K*O]`
                    scattered by q = K/s shifted adds.
@@ -77,20 +78,6 @@ def _is_c1(shape: Sequence[int]) -> bool:
     """Channel-1 / channel-less tensors are kept on the XLA side."""
     m = _mapped_shape(shape)
     return len(m) < 2 or m[-1] == 1
-
-
-def _conv_windows(x: Array, t_out: int, k: int, stride: int) -> Array:
-    """x [blk, T_in, C] → windows [blk, t_out, k, C] for dilation-1 conv."""
-    blk, t_in, c = x.shape
-    q = -(-k // stride)
-    need = (t_out + q) * stride
-    if need > t_in:
-        x = jnp.concatenate(
-            [x, jnp.zeros((blk, need - t_in, c), x.dtype)], axis=1)
-    xr = x[:, : (t_out + q) * stride, :].reshape(blk, t_out + q, stride, c)
-    parts = [xr[:, a : a + t_out, :, :] for a in range(q)]  # j = a*stride + r
-    win = jnp.concatenate(parts, axis=2)  # [blk, t_out, q*stride, C]
-    return win[:, :, :k, :]
 
 
 class FusedStackKernel:

@@ -143,7 +143,11 @@ def pack_indices_batch_np(indices: np.ndarray, num_bits: int) -> np.ndarray:
     """
     bps = config.BITS_PER_QUANTIZER
     n_stages = num_bits // bps
-    idx = np.asarray(indices)[:, :n_stages].astype(np.uint8)
+    used = np.asarray(indices)[:, :n_stages]
+    if used.min(initial=0) < 0 or used.max(initial=0) >= (1 << bps):
+        raise ValueError(
+            f"stage index out of range for {bps} bits in packed batch")
+    idx = used.astype(np.uint8)
     # Expand each stage index into its bits, MSB of stage first.
     shifts = np.arange(bps - 1, -1, -1, dtype=np.uint8)
     bits = (idx[:, :, None] >> shifts[None, None, :]) & 1  # [B, n_stages, bps]

@@ -143,11 +143,11 @@ def run_benchmark(num_cond_vectors: int = 2000, batch: int = 1,
             f"mean: {r.mean_us:9.1f} us  stdev: {r.stdev_us:8.1f} us  "
             f"({r.num_calls} calls)")
     per_frame_ms = total_mean / 1e3
-    realtime_factor = 20.0 / per_frame_ms * batch
-    streams = batch * 20.0 / per_frame_ms
+    realtime_factor = 20.0 / per_frame_ms  # one step covers 20 ms per stream
+    streams = batch * realtime_factor
     lines.append(
         f"{'total':20s} mean: {total_mean:9.1f} us/step  batch: {batch}  "
-        f"=> {realtime_factor:.1f}x realtime, "
+        f"=> {realtime_factor:.1f}x realtime per step, "
         f"~{streams:.0f} concurrent streams/chip")
     report = "\n".join(lines)
     print(report)

@@ -41,6 +41,7 @@ class DecoderServer:
                  model_path: str = config.DEFAULT_MODEL_PATH, seed: int = 0):
         self.engine = engine or DecoderEngine(model_path=model_path)
         self.capacity = capacity
+        self._seed = seed
         self._state = self.engine.init_state(capacity, seed=seed)
         self._slots: List[_Slot] = [_Slot(None) for _ in range(capacity)]
         self._by_id: Dict[object, int] = {}
@@ -62,7 +63,8 @@ class DecoderServer:
             raise RuntimeError("server at capacity")
         mask = np.zeros(self.capacity, bool)
         mask[i] = True
-        self._state = self.engine.reset_rows(self._state, mask)
+        self._state = self.engine.reset_rows(self._state, mask,
+                                             seed=self._seed)
         self._slots[i] = _Slot(stream_id, True)
         self._by_id[stream_id] = i
         return i

@@ -45,8 +45,14 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
     return tree
 
 
+def _canonical(path: str) -> str:
+    # np.savez appends ".npz" itself; keep save/load agreeing on the name.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, state: Any, extra: Dict[str, Any] | None = None) -> None:
     """Snapshot an engine state pytree (host transfer + .npz)."""
+    path = _canonical(path)
     flat = _flatten(jax_to_numpy(state))
     header = json.dumps({
         "version": config.version_string(),
@@ -59,6 +65,7 @@ def save_state(path: str, state: Any, extra: Dict[str, Any] | None = None) -> No
 
 def load_state(path: str) -> tuple[Any, Dict[str, Any]]:
     """Restore a state pytree; raises on codec-version mismatch."""
+    path = _canonical(path)
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files if k != _HEADER_KEY}
         header = json.loads(bytes(data[_HEADER_KEY]).decode())

@@ -49,12 +49,21 @@ def load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src_dir = os.path.abspath(_NATIVE_DIR)
+    try:
+        sources = [os.path.join(src_dir, f) for f in os.listdir(src_dir)
+                   if f.endswith(".cc")]
+    except OSError:
+        sources = []
+    stale = (not os.path.exists(_LIB_PATH) or any(
+        os.path.getmtime(s) > os.path.getmtime(_LIB_PATH) for s in sources))
+    if stale:
         try:
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            subprocess.run(["make", "-C", src_dir],
                            check=True, capture_output=True, timeout=120)
         except (OSError, subprocess.SubprocessError):
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         _lib = _configure(ctypes.CDLL(_LIB_PATH))
     except OSError:

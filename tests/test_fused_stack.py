@@ -14,19 +14,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from lyra_tpu import config  # noqa: E402
 from lyra_tpu.models.streaming import LyraGanModel, SoundStreamEncoder  # noqa: E402
-from lyra_tpu.ops.fused_stack import FusedStackKernel, _conv_windows  # noqa: E402
-
-
-def test_conv_windows_matches_direct():
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(2, 25, 3)), jnp.float32)
-    for t_out, k, stride in ((20, 5, 1), (4, 10, 5), (2, 4, 2), (20, 64, 16)):
-        t_in = (t_out - 1) * stride + k
-        xx = jnp.asarray(rng.normal(size=(2, t_in, 3)), jnp.float32)
-        win = np.asarray(_conv_windows(xx, t_out, k, stride))
-        for t in range(t_out):
-            np.testing.assert_array_equal(
-                win[:, t], np.asarray(xx)[:, t * stride : t * stride + k])
+from lyra_tpu.ops.fused_stack import FusedStackKernel  # noqa: E402
 
 
 @pytest.mark.parametrize("name", ["soundstream_encoder", "lyragan"])
