@@ -35,7 +35,10 @@ import numpy as np
 
 from lyra_tpu import config
 from lyra_tpu.codec.comfort_noise import ComfortNoiseGenerator
-from lyra_tpu.codec.feature_estimator import ZeroFeatureEstimator
+from lyra_tpu.codec.feature_estimator import (
+    LastFrameFeatureEstimator,
+    ZeroFeatureEstimator,
+)
 from lyra_tpu.codec.noise_estimator import NoiseEstimator
 from lyra_tpu.dsp import utils as dsp_utils
 from lyra_tpu.dsp.resampler import Resampler
@@ -93,14 +96,21 @@ class DecoderEngine:
 
     def __init__(self, sample_rate_hz: int = config.INTERNAL_SAMPLE_RATE,
                  model_path: str = config.DEFAULT_MODEL_PATH,
-                 mode: str = "float", backend: str = "xla"):
+                 mode: str = "float", backend: str = "xla",
+                 feature_estimator: str = "zero"):
         config.check_params_supported(sample_rate_hz, config.NUM_CHANNELS, model_path)
         self.sample_rate_hz = sample_rate_hz
         self.gan = LyraGanModel(model_path, mode=mode, backend=backend)
         self.rvq = ResidualVectorQuantizer.from_model_path(model_path)
         self.cng = ComfortNoiseGenerator(config.INTERNAL_SAMPLE_RATE)
         self.noise = NoiseEstimator(config.INTERNAL_SAMPLE_RATE)
-        self.estimator = ZeroFeatureEstimator()
+        # Concealment conditioning strategy: "zero" is the reference's
+        # shipped estimator; "last_frame" repeats the last received features
+        # (the upgrade the reference's factory seam anticipates,
+        # lyra/lyra_components.cc:62-65).
+        self.estimator = (LastFrameFeatureEstimator()
+                          if feature_estimator == "last_frame"
+                          else ZeroFeatureEstimator())
         self.resampler = (
             None if sample_rate_hz == config.INTERNAL_SAMPLE_RATE
             else Resampler(config.INTERNAL_SAMPLE_RATE, sample_rate_hz)

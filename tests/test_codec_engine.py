@@ -148,3 +148,32 @@ def test_encoder_facade_packet_bytes(model_path, speech):
     assert len(pkt) == config.packet_size(184)
     assert not enc.set_bitrate(1234)
     assert enc.encode(speech[0][:100]) is None
+
+
+def test_last_frame_estimator_conditions_concealment(model_path, speech):
+    """feature_estimator='last_frame' carries the last received features into
+    concealment conditioning; 'zero' (the reference's shipped estimator)
+    conditions on zeros."""
+    nq = 120 // config.BITS_PER_QUANTIZER
+    enc = EncoderEngine(16000, model_path)
+    es = enc.init_state(1)
+    idx, _, es = enc.step(es, speech[5][None].astype(np.float32), nq)
+    idx = np.asarray(idx)
+
+    for est, expect_last in (("zero", False), ("last_frame", True)):
+        dec = DecoderEngine(16000, model_path, feature_estimator=est)
+        st = dec.init_state(1)
+        audio, _, st = dec.step(st, idx, np.array([True]))
+        lossy = np.asarray(dec.rvq.decode(idx))
+        est_feats = np.asarray(dec.estimator.estimate(st["est"]))
+        if expect_last:
+            np.testing.assert_allclose(est_feats, lossy, atol=1e-5)
+        else:
+            np.testing.assert_array_equal(est_feats, 0.0)
+        # The concealment tick consumes the estimate; different estimators
+        # must produce different concealment audio on non-trivial features.
+        a1, _, _ = dec.step(st, idx, np.array([False]))
+        if est == "zero":
+            zero_audio = np.asarray(a1)
+        else:
+            assert np.abs(np.asarray(a1) - zero_audio).max() > 0
