@@ -434,6 +434,8 @@ class FusedStackKernel:
         core_call = pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shapes, interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )
         weights = [jnp.asarray(w) for w in self._weights]
         n_exit = len(kernel_exit)

@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 class RvqEncodeKernel:
-    def __init__(self, codebooks: np.ndarray, block_streams: int = 1024,
+    def __init__(self, codebooks: np.ndarray, block_streams: int = 4096,
                  interpret: bool = False):
         cb = np.asarray(codebooks, np.float32)  # [S, K, F]
         self.num_stages, self.num_codes, self.num_features = cb.shape
@@ -65,6 +65,8 @@ class RvqEncodeKernel:
         call = pl.pallas_call(
             kernel,
             grid=(batch // blk,),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             in_specs=[
                 pl.BlockSpec((blk, f), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
