@@ -104,6 +104,7 @@ class DecoderEngine:
         self.rvq = ResidualVectorQuantizer.from_model_path(model_path)
         self.cng = ComfortNoiseGenerator(config.INTERNAL_SAMPLE_RATE)
         self.noise = NoiseEstimator(config.INTERNAL_SAMPLE_RATE)
+        self._decode_dtype = jnp.bfloat16 if mode == "bf16" else None
         # Concealment conditioning strategy: "zero" is the reference's
         # shipped estimator; "last_frame" repeats the last received features
         # (the upgrade the reference's factory seam anticipates,
@@ -161,7 +162,7 @@ class DecoderEngine:
 
         # SetEncodedPacket: unquantize + condition the feature estimator
         # (reference: lyra/lyra_decoder.cc:198-208).
-        lossy = self.rvq.decode(indices)  # [B, F]
+        lossy = self.rvq.decode(indices, dtype=self._decode_dtype)  # [B, F]
         est_state = self.estimator.update(state["est"], lossy, received)
 
         # PLC state update (reference: lyra/lyra_decoder.cc:249-265).

@@ -116,15 +116,26 @@ class ResidualVectorQuantizer:
         stage_ids = jnp.arange(self.num_stages, dtype=jnp.int32)[None, :]
         return jnp.where(stage_ids < nq[:, None], indices, -1)
 
-    def decode(self, indices: jnp.ndarray) -> jnp.ndarray:
+    def decode(self, indices: jnp.ndarray, dtype=None) -> jnp.ndarray:
         """stage indices [B, S] (−1 = unused) → lossy features [B, F].
 
         One-hot contraction instead of a gather: `jax.nn.one_hot(-1)` is the
         all-zero row, which implements the unused-stage masking for free,
         and the whole decode is a single [B, S·16] @ [S·16, F] matmul (MXU)
         — gathers are pathologically slow on TPU.
+
+        dtype=jnp.bfloat16 halves the one-hot HBM traffic (~0.2% feature
+        error, far below the quantizer's own error) — the bf16-mode engines
+        use it; default is f32-accurate.
         """
         s, k, f = self.codebooks.shape
+        if dtype is not None and dtype != jnp.float32:
+            oh = jax.nn.one_hot(indices, k, dtype=dtype)
+            return jax.lax.dot_general(
+                oh.reshape(-1, s * k),
+                self.codebooks.astype(dtype).reshape(s * k, f),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         oh = jax.nn.one_hot(indices, k, dtype=self.codebooks.dtype)  # [B,S,16]
         return jax.lax.dot_general(
             oh.reshape(-1, s * k), self.codebooks.reshape(s * k, f),
