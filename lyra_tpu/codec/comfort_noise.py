@@ -41,11 +41,15 @@ class ComfortNoiseGenerator:
         )  # [bins, mels], magnitude-domain triangles
         mass = a.sum(axis=0)  # [mels]
         inv_mass = np.where(mass > 0, 1.0 / np.maximum(mass, 1e-12), 0.0)
-        # mag ≈ A @ (mel / mass): unit gain for smooth spectra.
-        self._inverse = jnp.asarray(a * inv_mass[None, :], jnp.float32)  # [bins, mels]
+        inv = a * inv_mass[None, :]  # [bins, mels]
+        # Bins with zero mel mass (e.g. Nyquist) synthesize zero magnitude;
+        # dropping them is exact and lane-aligns the matmuls (512 vs 513).
+        nz = np.flatnonzero(np.abs(inv).sum(axis=1) > 0)
+        self._num_used_bins = int(nz[-1]) + 1 if nz.size else self.cfg.num_fft_bins
+        self._inverse = jnp.asarray(inv[: self._num_used_bins], jnp.float32)
         ci, si = melspec.idft_matrices(self.cfg.fft_size)
-        self._idft_cos = jnp.asarray(ci)  # [bins, fft]
-        self._idft_sin = jnp.asarray(si)
+        self._idft_cos = jnp.asarray(ci[: self._num_used_bins])  # [bins, fft]
+        self._idft_sin = jnp.asarray(si[: self._num_used_bins])
 
     def init_state(self, batch_size: int, seed: int = 0) -> State:
         carry_len = self.cfg.fft_size - self.cfg.hop
@@ -86,7 +90,7 @@ class ComfortNoiseGenerator:
         mag = mel @ self._inverse.T  # [B, bins]
 
         ctr = state["ctr"]
-        phases = self._random_phases(ctr, self.cfg.num_fft_bins)
+        phases = self._random_phases(ctr, self._num_used_bins)
         new_ctr = ctr + jnp.uint32(0x6A09E667)
         # Inverse real-DFT as two matmuls (exact irfft; the TPU FFT custom
         # call is an order of magnitude slower at these sizes).  Default

@@ -180,9 +180,15 @@ class LogMelExtractor:
             mel_weight_matrix(cfg.num_fft_bins, cfg.sample_rate, cfg.num_mel_bins),
             jnp.float32,
         )
+        # Truncate to the last FFT bin with nonzero mel weight: the tail
+        # bins (e.g. the Nyquist bin 512) carry zero mel mass, and 512 lanes
+        # tile the TPU perfectly where 513 pads to 640.
+        nz = np.flatnonzero(np.abs(np.asarray(self._mel)).sum(axis=1) > 0)
+        self._num_used_bins = int(nz[-1]) + 1 if nz.size else cfg.num_fft_bins
+        self._mel = self._mel[: self._num_used_bins]
         c, s = dft_matrices(cfg.window, cfg.fft_size)
-        self._dft_cos = jnp.asarray(c)
-        self._dft_sin = jnp.asarray(s)
+        self._dft_cos = jnp.asarray(c[:, : self._num_used_bins])
+        self._dft_sin = jnp.asarray(s[:, : self._num_used_bins])
 
     def init_state(self, batch_size: int) -> jnp.ndarray:
         return jnp.zeros((batch_size, self.cfg.window - self.cfg.hop), jnp.float32)
