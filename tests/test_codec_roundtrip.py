@@ -51,3 +51,30 @@ def test_codec_roundtrip_lsd(model_path, testdata_path, sample_rate_hz):
     # reference does via its |num_frames_to_ignore| logic.
     lsd = np.asarray(lsds)[5:]
     assert lsd.mean() < 2.0, f"mean LSD {lsd.mean():.3f} at {sample_rate_hz} Hz"
+
+
+def test_codec_roundtrip_sample2_all_bitrates(model_path, testdata_path):
+    """Second speech sample, every bitrate, facade API (reference integration
+    style, lyra/lyra_integration_test.cc sweeps sample rates x bitrates)."""
+    data = wav.read_wav_int16(f"{testdata_path}/sample2_16kHz.wav")
+    hop = config.num_samples_per_hop(16000)
+    num_hops = 40
+    x = data.samples[: num_hops * hop].reshape(num_hops, hop)
+
+    enc = LyraEncoder(16000, bitrate=3200, model_path=model_path)
+    dec = LyraDecoder(16000, model_path=model_path)
+    cfg = melspec.MelConfig.for_rate(16000, config.NUM_FEATURES)
+    ein, edec = melspec.LogMelExtractorRef(cfg), melspec.LogMelExtractorRef(cfg)
+    lsds = []
+    for t in range(num_hops):
+        if t == 15:
+            assert enc.set_bitrate(6000)
+        if t == 30:
+            assert enc.set_bitrate(9200)
+        pkt = enc.encode(x[t])
+        assert dec.set_encoded_packet(pkt)
+        out = dec.decode_samples(hop)
+        lsds.append(dsp_utils.log_spectral_distance(
+            ein.extract(x[t]), edec.extract(out)))
+    # mid-stream bitrate switches must stay within the quality bar
+    assert float(np.mean(lsds[5:])) < 2.0
