@@ -36,6 +36,7 @@ import numpy as np
 from lyra_tpu import config
 from lyra_tpu.codec.comfort_noise import ComfortNoiseGenerator
 from lyra_tpu.codec.feature_estimator import (
+    DecayingFeatureEstimator,
     LastFrameFeatureEstimator,
     ZeroFeatureEstimator,
 )
@@ -106,12 +107,13 @@ class DecoderEngine:
         self.noise = NoiseEstimator(config.INTERNAL_SAMPLE_RATE)
         self._decode_dtype = jnp.bfloat16 if mode == "bf16" else None
         # Concealment conditioning strategy: "zero" is the reference's
-        # shipped estimator; "last_frame" repeats the last received features
-        # (the upgrade the reference's factory seam anticipates,
-        # lyra/lyra_components.cc:62-65).
-        self.estimator = (LastFrameFeatureEstimator()
-                          if feature_estimator == "last_frame"
-                          else ZeroFeatureEstimator())
+        # shipped estimator; "last_frame" repeats the last received features;
+        # "decaying" fades them out geometrically (the upgrades the
+        # reference's factory seam anticipates, lyra/lyra_components.cc:62-65).
+        self.estimator = {
+            "last_frame": LastFrameFeatureEstimator,
+            "decaying": DecayingFeatureEstimator,
+        }.get(feature_estimator, ZeroFeatureEstimator)()
         self.resampler = (
             None if sample_rate_hz == config.INTERNAL_SAMPLE_RATE
             else Resampler(config.INTERNAL_SAMPLE_RATE, sample_rate_hz)

@@ -45,3 +45,22 @@ class LastFrameFeatureEstimator(ZeroFeatureEstimator):
     def update(self, state: jnp.ndarray, features: jnp.ndarray,
                mask: jnp.ndarray) -> jnp.ndarray:
         return jnp.where(mask[:, None], features, state)
+
+
+class DecayingFeatureEstimator(ZeroFeatureEstimator):
+    """Geometrically fades the last received features during concealment.
+
+    Repeating a frame verbatim sounds robotic on long losses; decaying it
+    toward zero each lost hop gives a natural fade-out before comfort noise
+    takes over (concealment lasts 4 hops, so decay=0.6 reaches ~13% by the
+    crossfade).
+    """
+
+    def __init__(self, decay: float = 0.6,
+                 num_features: int = config.NUM_FEATURES):
+        super().__init__(num_features)
+        self.decay = float(decay)
+
+    def update(self, state: jnp.ndarray, features: jnp.ndarray,
+               mask: jnp.ndarray) -> jnp.ndarray:
+        return jnp.where(mask[:, None], features, state * self.decay)

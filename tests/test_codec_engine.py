@@ -177,3 +177,21 @@ def test_last_frame_estimator_conditions_concealment(model_path, speech):
             zero_audio = np.asarray(a1)
         else:
             assert np.abs(np.asarray(a1) - zero_audio).max() > 0
+
+
+def test_decaying_estimator_fades(model_path, speech):
+    nq = 120 // config.BITS_PER_QUANTIZER
+    enc = EncoderEngine(16000, model_path)
+    es = enc.init_state(1)
+    idx, _, es = enc.step(es, speech[5][None].astype(np.float32), nq)
+    idx = np.asarray(idx)
+
+    dec = DecoderEngine(16000, model_path, feature_estimator="decaying")
+    st = dec.init_state(1)
+    _, _, st = dec.step(st, idx, np.array([True]))
+    lossy = np.asarray(dec.rvq.decode(idx))
+    for k in range(1, 4):
+        _, _, st = dec.step(st, idx, np.array([False]))
+        np.testing.assert_allclose(
+            np.asarray(st["est"]), lossy * dec.estimator.decay ** k,
+            rtol=1e-5, atol=1e-5)
