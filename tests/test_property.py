@@ -1,0 +1,65 @@
+"""Property-based tests (hypothesis) for the wire format and jitter buffer."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from lyra_tpu import config, packet
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(0, len(config.SUPPORTED_QUANTIZED_BITS) - 1),
+    st.integers(1, 33),
+    st.integers(0, 2**32 - 1),
+)
+def test_packet_roundtrip_property(bits_i, batch, seed):
+    num_bits = config.SUPPORTED_QUANTIZED_BITS[bits_i]
+    n_stages = num_bits // config.BITS_PER_QUANTIZER
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, 16, (batch, n_stages)).astype(np.int32)
+    pkts = packet.pack_indices_batch(idx, num_bits)
+    assert pkts.shape == (batch, config.packet_size(num_bits))
+    back = packet.unpack_indices_batch(pkts, num_bits)
+    np.testing.assert_array_equal(back, idx)
+    # scalar path agrees with the batch path
+    for b in range(min(batch, 4)):
+        assert bytes(pkts[b]) == packet.pack_indices(idx[b], num_bits)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_jitter_buffer_matches_model(data):
+    """The native jitter buffer behaves like a simple python dict model for
+    arbitrary insert orders with duplicates, gaps, and delays."""
+    from lyra_tpu.tools.jitter_buffer import JitterBuffer
+
+    depth = 8
+    n_seq = data.draw(st.integers(1, 12))
+    # (seq, arrival_tick) pairs; arrival >= seq (causality), bounded delay
+    arrivals = []
+    for seq in range(n_seq):
+        if data.draw(st.booleans()):  # packet survives the network
+            delay = data.draw(st.integers(0, 3))
+            arrivals.append((seq, seq + delay))
+    dup = data.draw(st.booleans())
+    if dup and arrivals:
+        arrivals.append(arrivals[0])
+
+    delay = data.draw(st.integers(0, 3))
+    jb = JitterBuffer(1, 8, depth=depth)
+    jb.add_stream(0, playout_delay=delay)
+
+    model = {}  # seq -> payload accepted by the buffer
+    got, expect = [], []
+    for t in range(n_seq + 6):
+        for seq, at in arrivals:
+            if at == t:
+                rc = jb.insert(0, seq, bytes([seq]))
+                if rc == 0:
+                    model.setdefault(seq, bytes([seq]))
+        pkts, received, sizes = jb.collect()
+        got.append(bytes(pkts[0, : sizes[0]]) if received[0] else None)
+        # the first `delay` collects absorb playout delay; afterwards one
+        # sequence number plays per tick
+        expect.append(model.pop(t - delay, None) if t >= delay else None)
+    assert got == expect
