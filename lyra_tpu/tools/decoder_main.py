@@ -43,6 +43,8 @@ def main(argv=None) -> int:
     p.add_argument("--model_path", default=config.DEFAULT_MODEL_PATH)
     args = p.parse_args(argv)
 
+    from lyra_tpu.utils import native
+    native.build()  # compile the wire codec up front, not mid-decode
     os.makedirs(args.output_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.encoded_path))[0]
     output_path = os.path.join(args.output_dir,

@@ -35,6 +35,8 @@ def main(argv=None) -> int:
                    help="Directory containing the model weights.")
     args = p.parse_args(argv)
 
+    from lyra_tpu.utils import native
+    native.build()  # compile the wire codec up front, not mid-encode
     os.makedirs(args.output_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.input_path))[0]
     output_path = os.path.join(args.output_dir, stem + ".lyra")

@@ -26,6 +26,7 @@ import numpy as np
 
 from lyra_tpu import config, packet
 from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+from lyra_tpu.utils import native
 
 
 @dataclasses.dataclass
@@ -39,6 +40,7 @@ class DecoderServer:
 
     def __init__(self, capacity: int, engine: Optional[DecoderEngine] = None,
                  model_path: str = config.DEFAULT_MODEL_PATH, seed: int = 0):
+        native.build()  # compile the wire codec now, not mid-tick
         self.engine = engine or DecoderEngine(model_path=model_path)
         self.capacity = capacity
         self._seed = seed
@@ -47,6 +49,8 @@ class DecoderServer:
         self._by_id: Dict[object, int] = {}
         self._num_stages = self.engine.rvq.num_stages
         self._last_comfort = np.zeros(capacity, bool)
+        # Malformed wire packets per slot: treated as loss, never fatal.
+        self.bad_packets = np.zeros(capacity, np.int64)
 
     @property
     def num_active(self) -> int:
@@ -86,7 +90,15 @@ class DecoderServer:
             if i is None:
                 raise KeyError(f"unknown stream {sid!r}")
             if pkt:
-                idx = packet.unpack_indices(pkt)
+                try:
+                    idx = packet.unpack_indices(pkt)
+                except ValueError:
+                    # Malformed/unsupported-size packet from one remote peer
+                    # must not drop the tick for the whole batch (reference:
+                    # LyraDecoder::SetEncodedPacket returns false per stream).
+                    # Treat it as loss; PLC covers the hop.
+                    self.bad_packets[i] += 1
+                    continue
                 indices[i, : idx.size] = idx
                 received[i] = True
 
@@ -140,6 +152,7 @@ class EncoderServer:
     def __init__(self, capacity: int, engine: Optional[EncoderEngine] = None,
                  model_path: str = config.DEFAULT_MODEL_PATH,
                  bitrate: int = 3200):
+        native.build()  # compile the wire codec now, not mid-tick
         self.engine = engine or EncoderEngine(model_path=model_path)
         self.capacity = capacity
         self._state = self.engine.init_state(capacity)

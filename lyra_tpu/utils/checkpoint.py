@@ -22,6 +22,9 @@ from lyra_tpu import config
 
 _HEADER_KEY = "__lyra_tpu_header__"
 _SEP = "\x1f"
+# Data keys are namespaced so no state-dict key can collide with np.savez's
+# positional `file` parameter or with the header entry.
+_DATA_PREFIX = "d" + _SEP
 
 
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
@@ -59,15 +62,16 @@ def save_state(path: str, state: Any, extra: Dict[str, Any] | None = None) -> No
         "identifier": config.VERSION_MINOR,
         "extra": extra or {},
     })
-    np.savez(path, **flat, **{_HEADER_KEY: np.frombuffer(
-        header.encode(), dtype=np.uint8)})
+    np.savez(path, **{_DATA_PREFIX + k: v for k, v in flat.items()},
+             **{_HEADER_KEY: np.frombuffer(header.encode(), dtype=np.uint8)})
 
 
 def load_state(path: str) -> tuple[Any, Dict[str, Any]]:
     """Restore a state pytree; raises on codec-version mismatch."""
     path = _canonical(path)
     with np.load(path) as data:
-        flat = {k: data[k] for k in data.files if k != _HEADER_KEY}
+        flat = {k[len(_DATA_PREFIX):]: data[k] for k in data.files
+                if k.startswith(_DATA_PREFIX)}
         header = json.loads(bytes(data[_HEADER_KEY]).decode())
     if header["identifier"] != config.VERSION_MINOR:
         raise ValueError(

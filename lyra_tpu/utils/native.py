@@ -10,9 +10,12 @@ runtime.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 from typing import Optional
+
+_log = logging.getLogger("lyra_tpu")
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liblyra_native.so"))
@@ -43,12 +46,12 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     return lib
 
 
-def load() -> Optional[ctypes.CDLL]:
-    """Return the native library, building it if needed; None if unavailable."""
-    global _lib, _tried
-    if _lib is not None or _tried:
-        return _lib
-    _tried = True
+def build() -> bool:
+    """Compile the native library if missing or stale. Call this eagerly at
+    server/CLI startup — `load()` itself never runs the compiler on an
+    up-to-date tree, so a hot serving tick can't stall behind `make`.
+
+    Returns True if the .so exists (freshly built or already current)."""
     src_dir = os.path.abspath(_NATIVE_DIR)
     try:
         sources = [os.path.join(src_dir, f) for f in os.listdir(src_dir)
@@ -61,11 +64,28 @@ def load() -> Optional[ctypes.CDLL]:
         try:
             subprocess.run(["make", "-C", src_dir],
                            check=True, capture_output=True, timeout=120)
-        except (OSError, subprocess.SubprocessError):
-            if not os.path.exists(_LIB_PATH):
-                return None
+        except (OSError, subprocess.SubprocessError) as e:
+            _log.warning("native build failed (%s); numpy fallback in use", e)
+    return os.path.exists(_LIB_PATH)
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Return the native library (dlopen only — build happens in `build()`,
+    or here exactly once if the .so has never been compiled); None if
+    unavailable, in which case callers use the numpy fallback."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        # First-ever use on this checkout: compile once. Deliberately no
+        # mtime staleness check here — a source edit must not trigger a
+        # rebuild in the middle of serving; that's build()'s job.
+        build()
     try:
         _lib = _configure(ctypes.CDLL(_LIB_PATH))
     except OSError:
         _lib = None
+        _log.warning("native library unavailable at %s; "
+                     "using numpy pack/unpack fallback", _LIB_PATH)
     return _lib

@@ -45,6 +45,11 @@ struct JitterBuffer {
 extern "C" {
 
 void* lyra_jb_create(int64_t capacity, int64_t packet_size, int64_t depth) {
+  // Per-slot sizes are stored as uint8_t; a larger packet_size would let
+  // insert() silently truncate the recorded size.  Lyra packets are <=23 B.
+  if (capacity <= 0 || packet_size <= 0 || packet_size > 255 || depth <= 0) {
+    return nullptr;
+  }
   auto* jb = new JitterBuffer();
   jb->capacity = capacity;
   jb->packet_size = packet_size;

@@ -25,6 +25,12 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+from lyra_tpu.utils import native  # noqa: E402
+
+# Rebuild the native library up front if sources changed — load() itself
+# deliberately never recompiles a stale .so (no mid-serving rebuilds).
+native.build()
+
 REFERENCE_ROOT = "/root/reference/lyra"
 MODEL_COEFFS = os.path.join(REFERENCE_ROOT, "model_coeffs")
 TESTDATA = os.path.join(REFERENCE_ROOT, "testdata")

@@ -52,3 +52,18 @@ def test_engine_state_resume_equivalence(model_path):
         restored, _ = checkpoint.load_state(f.name)
     a2, _, _ = eng.step(restored, idx, received)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_roundtrip_reserved_key_names(tmp_path):
+    # Keys that collide with np.savez's positional parameter or the header
+    # entry must still round-trip (data keys are namespaced on disk).
+    state = {
+        "file": np.arange(4, dtype=np.int32),
+        "__lyra_tpu_header__": np.ones(2, np.float32),
+    }
+    path = str(tmp_path / "reserved.npz")
+    checkpoint.save_state(path, state)
+    restored, _ = checkpoint.load_state(path)
+    assert set(restored) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(restored[k], state[k])

@@ -122,3 +122,12 @@ def test_playout_delay_absorbs_network_delay():
         got1.append(bool(received[1]))
     assert not any(got0)  # zero-delay stream never catches up
     assert got1[2:] == [True] * 4  # delayed stream plays every tick
+
+
+def test_create_rejects_oversized_packet_size():
+    # Per-slot sizes are uint8 in the native struct; packet_size > 255 would
+    # silently truncate recorded sizes. Creation must fail instead.
+    with pytest.raises(RuntimeError):
+        JitterBuffer(capacity=2, packet_size=256, depth=4)
+    with pytest.raises(RuntimeError):
+        JitterBuffer(capacity=0, packet_size=8, depth=4)

@@ -67,3 +67,16 @@ def test_decoder_comfort_noise_after_sustained_loss(servers):
     for _ in range(10):
         dec.tick({sid: None for sid in dec_ids})
     assert dec.is_comfort_noise(target)
+
+
+def test_malformed_packet_is_treated_as_loss(model_path):
+    dec = DecoderServer(2, model_path=model_path)
+    dec.add_stream("good")
+    dec.add_stream("evil")
+    valid = bytes(config.packet_size(64))
+    # Wrong length (not a supported packet size) must not raise out of
+    # tick(): the stream gets PLC for the hop, the batch keeps running.
+    audio = dec.tick({"good": valid, "evil": b"\x01\x02\x03"})
+    assert set(audio) == {"good", "evil"}
+    assert dec.bad_packets[dec._by_id["evil"]] == 1
+    assert dec.bad_packets[dec._by_id["good"]] == 0
