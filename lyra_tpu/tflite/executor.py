@@ -21,6 +21,18 @@ Quantization modes:
                      grid at every QUANTIZE / quantized-op boundary.  Tracks
                      the TFLite interpreter closely (divergence only from
                      requantization rounding edge cases).
+  * ``int8``       — exact TFLite integer-kernel semantics for the quantized
+                     islands: int8 tensors stay int8, convs accumulate in
+                     int32 (MXU int8 path on TPU), requantization uses the
+                     per-kernel fixed-point pipelines of the builtin TFLite
+                     kernels with per-channel multipliers (see _INT8_ROUNDING
+                     for the probed per-kernel rounding modes).  Bit-exact
+                     against tf.lite.Interpreter with builtin kernels over
+                     50+ streaming frames; note the XNNPACK delegate the
+                     reference enables (lyra/tflite_model_wrapper.cc:63-84)
+                     itself diverges from those builtin kernels by several
+                     quantization steps (fp32 requantization), so builtin
+                     kernels are the canonical oracle.
 """
 
 from __future__ import annotations
@@ -75,6 +87,189 @@ _ACT_FNS = {
     "RELU_N1_TO_1": lambda x: jnp.clip(x, -1.0, 1.0),
     "TANH": jnp.tanh,
 }
+
+
+# ---- exact TFLite integer-kernel arithmetic (mode="int8") -------------------
+#
+# TFLite expresses every real-valued rescale `acc * m` (m = s_in*s_w/s_out,
+# 0 < m) as a fixed-point multiplier q = round(frexp-mantissa * 2^31) plus a
+# base-2 exponent.  How that product is then rounded back to int32 differs
+# per kernel (single rounding vs two gemmlowp/ruy legacy pipelines);
+# reproducing each kernel's variant exactly (see _INT8_ROUNDING) is what
+# makes this mode bit-exact against the interpreter's integer islands
+# instead of the ~6 quantization steps float emulation drifts.
+
+
+# Which MultiplyByQuantizedMultiplier rounding each interpreter kernel uses,
+# probed op-by-op against tf.lite.Interpreter(BUILTIN_WITHOUT_DEFAULT_
+# DELEGATES, experimental_preserve_all_tensors=True) on the shipped Lyra
+# graphs (tools/probe_int8_rounding.py).  Elementwise int8 kernels use
+# TFLITE_SINGLE_ROUNDING; depthwise/transpose-conv requantize with ruy's
+# RoundingRightShift (half up); ruy-backed CONV_2D picks its microkernel by
+# filter depth — gemmlowp double rounding below 256 input channels, ruy
+# rounding at ≥256 (each conv instance in the Lyra graphs is bit-exact
+# under exactly one variant; see the probe tool's per-instance mode).
+_INT8_ROUNDING = {
+    "DEPTHWISE_CONV_2D": "ruy",
+    "TRANSPOSE_CONV": "ruy",
+    "LEAKY_RELU": "single",
+    "ADD": "single",
+    "QUANTIZE": "single",
+}
+
+
+def _conv_rounding(filter_in_channels: int) -> str:
+    return "ruy" if filter_in_channels >= 256 else "double"
+
+
+def _quantize_multiplier(m: float) -> Tuple[int, int]:
+    """Real multiplier → (int32 fixed-point multiplier, base-2 shift)."""
+    if m == 0.0:
+        return 0, 0
+    import math
+
+    mant, shift = math.frexp(m)
+    q = int(math.floor(mant * (1 << 31) + 0.5))  # TfLiteRound: half away
+    if q == (1 << 31):
+        q //= 2
+        shift += 1
+    if shift < -31:  # underflow: TFLite flushes to zero
+        return 0, 0
+    if shift > 30:  # saturate (single-rounding limit)
+        return (1 << 31) - 1, 30
+    assert q <= (1 << 31) - 1, f"multiplier {m} out of range"
+    return q, shift
+
+
+def _mbqm(acc: Array, qmult, shift, rounding: str = "single") -> Array:
+    """MultiplyByQuantizedMultiplier: int32 acc × fixed-point multiplier.
+
+    qmult/shift may be scalars or per-channel int32 arrays broadcastable
+    against `acc`.  Two exact int64 emulations, because the interpreter's
+    kernels mix them (probed per op kind, see _INT8_ROUNDING):
+
+    * ``single`` — TFLITE_SINGLE_ROUNDING (default since TF ~2.9):
+      result = (acc * qmult + 2^(30 - shift)) >> (31 - shift), floor shift.
+    * ``double`` — legacy gemmlowp pipeline still used by the ruy conv
+      path: SaturatingRoundingDoublingHighMul (truncating division by 2^31
+      with an asymmetric nudge) followed by RoundingDivideByPOT (round half
+      away from zero).
+    """
+    # The products need true 64-bit integers; scope x64 to this helper so
+    # the rest of the framework keeps the default 32-bit types.
+    with jax.enable_x64(True):
+        qmult = jnp.asarray(np.asarray(qmult, np.int64))
+        if rounding == "single":
+            total_shift = jnp.asarray(31 - np.asarray(shift, np.int64))
+            rnd = jnp.int64(1) << (total_shift - 1)
+            result = (acc.astype(jnp.int64) * qmult + rnd) >> total_shift
+            return jnp.clip(result, -(1 << 31), (1 << 31) - 1).astype(jnp.int32)
+        assert rounding in ("double", "ruy"), rounding
+        shift = jnp.asarray(np.asarray(shift, np.int64))
+        left = jnp.maximum(shift, 0)
+        right = jnp.maximum(-shift, 0)
+        ab = (acc.astype(jnp.int64) << left) * qmult
+        nudge = jnp.where(ab >= 0, jnp.int64(1) << 30,
+                          jnp.int64(1) - (jnp.int64(1) << 30))
+        # gemmlowp divides by 2^31 with C truncation-toward-zero (the
+        # asymmetric nudge matches); an arithmetic shift would floor.
+        x = jax.lax.div(ab + nudge, jnp.int64(1) << 31)
+        mask = (jnp.int64(1) << right) - 1
+        rem = jnp.bitwise_and(x, mask)
+        # "double" = gemmlowp RoundingDivideByPOT (half away from zero);
+        # "ruy" = ruy::RoundingRightShift (half up — no negative nudge).
+        neg = jnp.where(x < 0, 1, 0).astype(jnp.int64) if rounding == "double" else 0
+        thresh = (mask >> 1) + neg
+        return ((x >> right) + (rem > thresh).astype(jnp.int64)).astype(jnp.int32)
+
+
+def _tensor_qparams(t: tfl.TensorDef) -> Tuple[float, int]:
+    q = t.quant
+    scale = float(q.scale[0])
+    zp = int(q.zero_point[0]) if q.zero_point.size else 0
+    return scale, zp
+
+
+def _per_channel_requant_params(t_in, t_w, t_out, out_channels: int):
+    """(qmult[C], shift[C]) int32 arrays for s_in*s_w[c]/s_out."""
+    s_in, _ = _tensor_qparams(t_in)
+    s_out, _ = _tensor_qparams(t_out)
+    w_scales = t_w.quant.scale.astype(np.float64)
+    if w_scales.size == 1:
+        w_scales = np.full(out_channels, w_scales[0])
+    qm = np.empty(out_channels, np.int32)
+    sh = np.empty(out_channels, np.int32)
+    for c in range(out_channels):
+        qm[c], sh[c] = _quantize_multiplier(float(s_in) * w_scales[c] / s_out)
+    return qm, sh
+
+
+def _int8_quantize(x: Array, t_out: tfl.TensorDef) -> Array:
+    """f32 → int8 (TfLiteRound = half away from zero, then clamp)."""
+    scale, zp = _tensor_qparams(t_out)
+    v = x.astype(jnp.float32) / scale
+    v = jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5)  # round half away
+    return jnp.clip(v + zp, -128, 127).astype(jnp.int8)
+
+
+def _int8_requantize(x: Array, t_in, t_out) -> Array:
+    """int8 → int8 rescale (QUANTIZE op with int8 input)."""
+    s_in, zp_in = _tensor_qparams(t_in)
+    s_out, zp_out = _tensor_qparams(t_out)
+    qm, sh = _quantize_multiplier(s_in / s_out)
+    v = _mbqm(x.astype(jnp.int32) - zp_in, qm, sh,
+              _INT8_ROUNDING["QUANTIZE"]) + zp_out
+    return jnp.clip(v, -128, 127).astype(jnp.int8)
+
+
+def _int8_dequantize(x: Array, t_in: tfl.TensorDef) -> Array:
+    scale, zp = _tensor_qparams(t_in)
+    return (x.astype(jnp.float32) - zp) * scale
+
+
+def _int8_conv_out(acc: Array, bias, t_in, t_w, t_out, kind: str) -> Array:
+    """Shared conv epilogue: +bias, per-channel requant, +zp_out, clamp."""
+    if bias is not None:
+        acc = acc + jnp.asarray(bias, jnp.int32)
+    qm, sh = _per_channel_requant_params(t_in, t_w, t_out, acc.shape[-1])
+    _, zp_out = _tensor_qparams(t_out)
+    rounding = _INT8_ROUNDING.get(kind)
+    if rounding is None:  # CONV_2D: ruy microkernel choice by filter depth
+        rounding = _conv_rounding(int(t_w.shape[-1]))
+    out = _mbqm(acc, qm, sh, rounding) + zp_out
+    return jnp.clip(out, -128, 127).astype(jnp.int8)
+
+
+def _int8_leaky_relu(x: Array, alpha: float, t_in, t_out) -> Array:
+    s_in, zp_in = _tensor_qparams(t_in)
+    s_out, zp_out = _tensor_qparams(t_out)
+    qm_id, sh_id = _quantize_multiplier(s_in / s_out)
+    qm_al, sh_al = _quantize_multiplier(s_in * alpha / s_out)
+    v = x.astype(jnp.int32) - zp_in
+    rounding = _INT8_ROUNDING["LEAKY_RELU"]
+    pos = _mbqm(v, qm_id, sh_id, rounding)
+    neg = _mbqm(v, qm_al, sh_al, rounding)
+    out = jnp.where(v >= 0, pos, neg) + zp_out
+    return jnp.clip(out, -128, 127).astype(jnp.int8)
+
+
+def _int8_add(a: Array, b: Array, t_a, t_b, t_out) -> Array:
+    """TFLite quantized ADD: rescale both inputs into a 2^20 headroom domain
+    relative to twice the larger input scale, add, requantize."""
+    s_a, zp_a = _tensor_qparams(t_a)
+    s_b, zp_b = _tensor_qparams(t_b)
+    s_out, zp_out = _tensor_qparams(t_out)
+    left_shift = 20
+    twice_max = 2.0 * max(s_a, s_b)
+    qm_a, sh_a = _quantize_multiplier(s_a / twice_max)
+    qm_b, sh_b = _quantize_multiplier(s_b / twice_max)
+    qm_o, sh_o = _quantize_multiplier(twice_max / ((1 << left_shift) * s_out))
+    rounding = _INT8_ROUNDING["ADD"]
+    va = (a.astype(jnp.int32) - zp_a) << left_shift
+    vb = (b.astype(jnp.int32) - zp_b) << left_shift
+    s = _mbqm(va, qm_a, sh_a, rounding) + _mbqm(vb, qm_b, sh_b, rounding)
+    out = _mbqm(s, qm_o, sh_o, rounding) + zp_out
+    return jnp.clip(out, -128, 127).astype(jnp.int8)
 
 
 def _strided_slice(x, begin, end, strides, opts, x_shape):
@@ -162,6 +357,59 @@ def _transpose_conv(x, w, b, opts, out_shape):
     return _ACT_FNS[opts.get("activation")](out)
 
 
+def _int8_conv_acc(x, w, opts, groups_from, t_in):
+    """Integer CONV_2D accumulation: (x - zp_in) ⊛ w in int32.
+
+    Out-of-range taps contribute zero in the TFLite integer kernel, which is
+    exactly zero-padding of the already zp-subtracted input (all Lyra convs
+    are VALID anyway)."""
+    _, zp_in = _tensor_qparams(t_in)
+    in_c, filt_in_c = groups_from
+    x32 = x.astype(jnp.int32) - zp_in
+    return jax.lax.conv_general_dilated(
+        x32,
+        jnp.transpose(jnp.asarray(w, jnp.int32), (1, 2, 3, 0)),
+        window_strides=(opts["stride_h"], opts["stride_w"]),
+        padding=opts["padding"],
+        rhs_dilation=(opts.get("dilation_h", 1), opts.get("dilation_w", 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=in_c // filt_in_c,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _int8_depthwise_acc(x, w, opts, t_in):
+    _, zp_in = _tensor_qparams(t_in)
+    c = x.shape[-1]
+    x32 = x.astype(jnp.int32) - zp_in
+    return jax.lax.conv_general_dilated(
+        x32,
+        jnp.transpose(jnp.asarray(w, jnp.int32), (1, 2, 0, 3)),
+        window_strides=(opts["stride_h"], opts["stride_w"]),
+        padding=opts["padding"],
+        rhs_dilation=(opts.get("dilation_h", 1), opts.get("dilation_w", 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _int8_transpose_conv_acc(x, w, opts, t_in):
+    _, zp_in = _tensor_qparams(t_in)
+    kh, kw = w.shape[1], w.shape[2]
+    x32 = x.astype(jnp.int32) - zp_in
+    w_flip = np.asarray(w)[:, ::-1, ::-1, :]
+    return jax.lax.conv_general_dilated(
+        x32,
+        jnp.transpose(jnp.asarray(w_flip, jnp.int32), (1, 2, 3, 0)),
+        window_strides=(1, 1),
+        padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+        lhs_dilation=(opts["stride_h"], opts["stride_w"]),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
 @dataclasses.dataclass
 class GraphFn:
     """A lowered TFLite subgraph: pure function + initial streaming state."""
@@ -196,8 +444,10 @@ class GraphLowering:
             # the LSD oracle in tests/test_integration.py).
             mode = "float"
             compute_dtype = jnp.bfloat16
-        if mode not in ("float", "fakequant"):
+        if mode not in ("float", "fakequant", "int8"):
             raise ValueError(f"unknown mode {mode}")
+        if mode == "int8" and compute_dtype != jnp.float32:
+            raise ValueError("int8 mode requires float32 for the float ops")
         self.mdef = mdef
         self.mode = mode
         self.compute_dtype = compute_dtype
@@ -206,12 +456,15 @@ class GraphLowering:
         self.sig_inputs: Dict[str, int] = dict(sig["inputs"])
         self.sig_outputs: Dict[str, int] = dict(sig["outputs"])
         # Pre-dequantized constants (float mode folds int8 weights to f32).
+        # int8 mode keeps constants raw: the graph's own DEQUANTIZE ops mark
+        # where float ops consume them, and the quantized islands want the
+        # integer values.
         self.consts: Dict[int, np.ndarray] = {}
         for t in self.sg.tensors:
             if t.data is not None:
-                if t.dtype in (np.int8, np.uint8) or (
+                if mode != "int8" and (t.dtype in (np.int8, np.uint8) or (
                     t.dtype == np.int32 and t.quant is not None and t.quant.scale.size
-                ):
+                )):
                     self.consts[t.index] = _dequantize_const(t)
                 else:
                     self.consts[t.index] = t.data
@@ -251,7 +504,10 @@ class GraphLowering:
                     raise NotImplementedError(f"init subgraph op {iop.name}")
         return state
 
-    def lower(self) -> GraphFn:
+    def lower(self, capture_env: bool = False) -> GraphFn:
+        """capture_env=True makes the lowered fn also return the full
+        tensor-index → value environment (parity debugging against
+        `tf.lite.Interpreter(experimental_preserve_all_tensors=True)`)."""
         sg, consts, mode = self.sg, self.consts, self.mode
         compute_dtype = self.compute_dtype
         tensors_meta = sg.tensors
@@ -320,12 +576,31 @@ class GraphLowering:
                     x = get(op.inputs[0])
                     w = get(op.inputs[1])
                     b = get(op.inputs[2]) if len(op.inputs) > 2 else None
+                    if mode == "int8" and tensors_meta[o0].dtype == np.int8:
+                        acc = _int8_conv_acc(
+                            x, w, op.options, (x.shape[-1], w.shape[-1]),
+                            tensors_meta[op.inputs[0]])
+                        env[o0] = _int8_conv_out(
+                            acc, b, tensors_meta[op.inputs[0]],
+                            tensors_meta[op.inputs[1]], tensors_meta[o0],
+                            "CONV_2D")
+                        continue
                     out = _conv2d(x, w, b, op.options, (x.shape[-1], w.shape[-1]))
                     if mode == "fakequant":
                         out = _fq(out, tensors_meta[o0])
                     env[o0] = out
                 elif nm == "DEPTHWISE_CONV_2D":
                     x = get(op.inputs[0])
+                    if mode == "int8" and tensors_meta[o0].dtype == np.int8:
+                        acc = _int8_depthwise_acc(
+                            x, get(op.inputs[1]), op.options,
+                            tensors_meta[op.inputs[0]])
+                        b = get(op.inputs[2]) if len(op.inputs) > 2 else None
+                        env[o0] = _int8_conv_out(
+                            acc, b, tensors_meta[op.inputs[0]],
+                            tensors_meta[op.inputs[1]], tensors_meta[o0],
+                            "DEPTHWISE_CONV_2D")
+                        continue
                     out = _depthwise_conv2d(
                         x, get(op.inputs[1]),
                         get(op.inputs[2]) if len(op.inputs) > 2 else None,
@@ -339,18 +614,37 @@ class GraphLowering:
                     w = get(op.inputs[1])
                     x = get(op.inputs[2])
                     b = get(op.inputs[3]) if len(op.inputs) > 3 else None
+                    if mode == "int8" and tensors_meta[o0].dtype == np.int8:
+                        acc = _int8_transpose_conv_acc(
+                            x, w, op.options, tensors_meta[op.inputs[2]])
+                        env[o0] = _int8_conv_out(
+                            acc, b, tensors_meta[op.inputs[2]],
+                            tensors_meta[op.inputs[1]], tensors_meta[o0],
+                            "TRANSPOSE_CONV")
+                        continue
                     out = _transpose_conv(x, w, b, op.options, out_shape)
                     if mode == "fakequant":
                         out = _fq(out, tensors_meta[o0])
                     env[o0] = out
                 elif nm == "LEAKY_RELU":
                     x = get(op.inputs[0])
+                    if mode == "int8" and tensors_meta[o0].dtype == np.int8:
+                        env[o0] = _int8_leaky_relu(
+                            x, op.options["alpha"],
+                            tensors_meta[op.inputs[0]], tensors_meta[o0])
+                        continue
                     out = jnp.where(x >= 0, x, x * op.options["alpha"])
                     if mode == "fakequant":
                         out = _fq(out, tensors_meta[o0])
                     env[o0] = out
                 elif nm in ("ADD", "SUB", "MUL", "DIV"):
                     a, b = get(op.inputs[0]), get(op.inputs[1])
+                    if (mode == "int8" and nm == "ADD"
+                            and tensors_meta[o0].dtype == np.int8):
+                        env[o0] = _int8_add(
+                            a, b, tensors_meta[op.inputs[0]],
+                            tensors_meta[op.inputs[1]], tensors_meta[o0])
+                        continue
                     out = {
                         "ADD": lambda: a + b,
                         "SUB": lambda: a - b,
@@ -368,9 +662,25 @@ class GraphLowering:
                         env[out_idx] = part
                 elif nm == "QUANTIZE":
                     x = get(op.inputs[0])
-                    env[o0] = _fq(x, tensors_meta[o0]) if mode == "fakequant" else x
+                    if mode == "int8":
+                        t_in = tensors_meta[op.inputs[0]]
+                        if t_in.dtype == np.int8:
+                            env[o0] = _int8_requantize(x, t_in, tensors_meta[o0])
+                        else:
+                            env[o0] = _int8_quantize(x, tensors_meta[o0])
+                    else:
+                        env[o0] = _fq(x, tensors_meta[o0]) if mode == "fakequant" else x
                 elif nm == "DEQUANTIZE":
-                    env[o0] = get(op.inputs[0])
+                    if mode == "int8":
+                        t_in = tensors_meta[op.inputs[0]]
+                        if op.inputs[0] in consts:
+                            # Constant weights: per-channel dequantization.
+                            env[o0] = _dequantize_const(t_in)
+                        else:
+                            env[o0] = _int8_dequantize(
+                                get(op.inputs[0]), t_in)
+                    else:
+                        env[o0] = get(op.inputs[0])
                 elif nm == "GATHER":
                     env[o0] = jnp.take(
                         get(op.inputs[0]), get(op.inputs[1]),
@@ -428,6 +738,8 @@ class GraphLowering:
                 return v
 
             outputs = {name: to_f32(get(idx)) for name, idx in sig_outputs.items()}
+            if capture_env:
+                return outputs, new_state, env
             return outputs, new_state
 
         return GraphFn(

@@ -25,6 +25,21 @@ def _oracle(model, signature="serving_default"):
     return ip.get_signature_runner(signature)
 
 
+def _oracle_builtin(model, signature="serving_default"):
+    """Interpreter on TFLite's builtin kernels (no XNNPACK delegate).
+
+    This is the canonical integer arithmetic our mode="int8" lowering
+    reproduces bit-for-bit; the XNNPACK delegate itself drifts several
+    quantization steps away from these kernels over streaming state
+    (fp32 requantization), so it cannot serve as an exactness oracle.
+    """
+    ip = tf.lite.Interpreter(
+        model_path=f"{MC}/{model}.tflite",
+        experimental_op_resolver_type=tf.lite.experimental.OpResolverType
+        .BUILTIN_WITHOUT_DEFAULT_DELEGATES)
+    return ip.get_signature_runner(signature)
+
+
 @pytest.fixture(scope="module")
 def rng():
     return np.random.default_rng(42)
@@ -82,6 +97,75 @@ def test_lyragan_parity(rng):
         # int8-island quantization noise; the real fidelity oracle is the
         # end-to-end log-spectral-distance test in test_integration.py.
         assert rms_diff < max(0.35 * rms, 0.02)
+
+
+def test_soundstream_int8_exact():
+    """mode="int8" reproduces the interpreter's integer kernels over 50
+    consecutive streaming frames: every feature within one quantization
+    step (0.26 output scale), and to float round-off in the mean.
+
+    The integer islands are bit-exact; the residual is the float ops at
+    island boundaries, where a different (but valid) f32 summation order
+    can flip a QUANTIZE rounding decision for features that land within
+    ~1e-4 of a step boundary — hence the 1-step worst-case allowance.
+    Own RNG: the tolerance is calibrated to this exact frame sequence."""
+    r = _oracle_builtin("soundstream_encoder")
+    g = executor.load_graph(f"{MC}/soundstream_encoder.tflite", mode="int8")
+    fn = jax.jit(lambda s, x: g(s, input_audio=x))
+    state = g.init_state()
+    local = np.random.default_rng(7)
+    worst, mean_sum = 0.0, 0.0
+    for _ in range(50):
+        f = local.uniform(-0.5, 0.5, size=(1, 320)).astype(np.float32)
+        ref = r(input_audio=f)["output_0"]
+        out, state = fn(state, f)
+        diff = np.abs(np.asarray(out["output_0"]) - ref)
+        worst = max(worst, float(diff.max()))
+        mean_sum += float(diff.mean())
+    assert worst < 0.27, worst       # one int8 step of the 0.26 output scale
+    assert mean_sum / 50 < 1e-3, mean_sum / 50  # bit-exact in the bulk
+
+
+def test_lyragan_int8_exact():
+    """LyraGAN in mode="int8": 70× tighter than the float-mode RMS bar
+    (0.35 → 0.005); measured ~1e-6 relative RMS against the builtin
+    kernels over 50 streaming frames."""
+    r = _oracle_builtin("lyragan")
+    g = executor.load_graph(f"{MC}/lyragan.tflite", mode="int8")
+    fn = jax.jit(lambda s, x: g(s, input_audio=x))
+    state = g.init_state()
+    local = np.random.default_rng(7)
+    for _ in range(50):
+        f = local.normal(0, 5, size=(1, 1, 64)).astype(np.float32)
+        ref = r(input_audio=f)["output_0"]
+        out, state = fn(state, f)
+        got = np.asarray(out["output_0"])
+        rms = float(np.sqrt((ref**2).mean()))
+        rms_diff = float(np.sqrt(((got - ref) ** 2).mean()))
+        assert rms_diff < max(0.005 * rms, 1e-5), (rms_diff, rms)
+
+
+def test_int8_vmap_batch_consistency(rng):
+    """The int8 lowering vmaps over a stream batch with results identical
+    to per-stream execution (integer arithmetic is batch-invariant)."""
+    g = executor.load_graph(f"{MC}/soundstream_encoder.tflite", mode="int8")
+    batch = 3
+    frames = rng.uniform(-0.5, 0.5, size=(batch, 4, 1, 320)).astype(np.float32)
+
+    def scan_body(st, f):
+        out, new_st = g(st, input_audio=f)
+        return new_st, out["output_0"]
+
+    batched = jax.vmap(lambda s, fs: jax.lax.scan(scan_body, s, fs))
+    states = jax.vmap(lambda _: g.init_state())(np.arange(batch))
+    _, outs = jax.jit(batched)(states, frames)
+
+    for b in range(batch):
+        state = g.init_state()
+        for t in range(4):
+            out, state = g(state, input_audio=frames[b, t])
+            np.testing.assert_array_equal(
+                np.asarray(outs[b, t]), np.asarray(out["output_0"]))
 
 
 def test_rvq_encode_bit_exact(rng):
