@@ -100,3 +100,61 @@ def test_uneven_batch_rejected():
     sharded = ShardedEngine(_ToyEngine(), make_mesh())
     with pytest.raises(ValueError):
         sharded.init_state(12)  # 12 % 8 != 0
+
+
+def test_real_encoder_engine_sharded_matches_local(model_path):
+    """EncoderEngine sharded over the mesh must equal the local run —
+    indices are integer so equality is exact."""
+    from lyra_tpu.codec.engine import EncoderEngine
+
+    eng = EncoderEngine(16000, model_path)
+    mesh = make_mesh()
+    sharded = ShardedEngine(eng, mesh)
+    b = 8
+    rng = np.random.default_rng(1)
+    audio = rng.integers(-8000, 8000, (b, eng.hop_samples)).astype(np.float32)
+    nq = np.full(b, 30, np.int32)
+
+    st = sharded.init_state(b)
+    lst = eng.init_state(b)
+    for _ in range(3):
+        idx_s, noise_s, st = sharded.step(st, audio, nq)
+        idx_l, noise_l, lst = eng.step(lst, jnp.asarray(audio), jnp.asarray(nq))
+        np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_l))
+        np.testing.assert_array_equal(np.asarray(noise_s), np.asarray(noise_l))
+
+
+def test_wire_roundtrip_around_sharded_tick(model_path):
+    """Full wire path around a sharded encode→decode tick: pack the sharded
+    encoder's indices to bytes (native C++ batch codec), unpack, and feed a
+    sharded decoder — i.e. exactly what a serving host does per 20 ms, with
+    the device work partitioned over the 8-device mesh."""
+    from lyra_tpu import config, packet
+    from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+
+    mesh = make_mesh()
+    enc = ShardedEngine(EncoderEngine(16000, model_path), mesh)
+    dec = ShardedEngine(DecoderEngine(16000, model_path), mesh)
+    b = 16
+    bits = 120
+    nq = np.full(b, bits // config.BITS_PER_QUANTIZER, np.int32)
+    rng = np.random.default_rng(2)
+    audio = rng.integers(-8000, 8000, (b, 320)).astype(np.float32)
+
+    est = enc.init_state(b)
+    dst = dec.init_state(b)
+    for t in range(3):
+        idx, _, est = enc.step(est, audio, nq)
+        idx = np.asarray(idx)
+
+        pkts = packet.pack_indices_batch(idx[:, : nq[0]], bits)
+        assert pkts.shape == (b, config.packet_size(bits))
+        back = packet.unpack_indices_batch(pkts, bits)
+        np.testing.assert_array_equal(back, idx[:, : nq[0]])
+
+        received = np.ones(b, bool)
+        received[t::5] = False  # sprinkle loss through the PLC branch
+        padded = np.full((b, idx.shape[1]), -1, np.int32)
+        padded[:, : nq[0]] = back
+        out, _, dst = dec.step(dst, padded, received)
+        assert np.asarray(out).shape == (b, 320)
