@@ -2,22 +2,39 @@ import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 """End-to-end serving throughput: engine steps + native wire codec on host.
 
-Production-shaped loop: the host processes tick t-1's packet bytes while
-the device computes tick t (software pipelining, one tick of added
-latency), and index transfers are compacted to int8 [B, nq] (12x smaller
-than the raw [B, 46] int32).  Run with `--sync` to see the naive
-blocking loop for comparison."""
-import numpy as np, jax, jax.numpy as jnp, time
+Production-shaped loop with a configurable software-pipeline depth:
+
+  depth 1 — the host processes tick t-1's packet bytes while the device
+            computes tick t (one tick of added latency).
+  depth 2 — additionally starts the device→host copy of tick t's indices
+            asynchronously at dispatch time and lets the host consume tick
+            t-2, so at any instant the device computes tick t, the D2H
+            transfer moves tick t-1, and the host wire codec crunches tick
+            t-2 (two ticks of added latency, 40 ms — still well inside
+            conversational budgets).
+
+Index transfers are compacted to int8 [B, nq] (12x smaller than the raw
+[B, 46] int32).  Run with `--sync` to see the naive blocking loop.
+
+Usage: python benchmarks/serving_bench.py [B] [--depth=2] [--sync]
+"""
+import time
+from collections import deque
+
+import numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/lyra_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from lyra_tpu import config, packet
 from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+B = int(args[0]) if args else 16384
+DEPTH = 2 if "--depth=2" in sys.argv else 1
+SYNC = "--sync" in sys.argv
 NQ = 16  # 3.2 kbps
 rng = np.random.RandomState(0)
-enc = EncoderEngine(16000, mode="bf16")
-dec = DecoderEngine(16000, mode="bf16")
+enc = EncoderEngine(16000, mode="bf16", max_bitrate=3200)
+dec = DecoderEngine(16000, mode="bf16", max_bitrate=3200)
 
 @jax.jit
 def enc_step(es, audio):
@@ -39,18 +56,42 @@ idx8, es = enc_step(es, audio)
 out, iscn, ds = dec_step(ds, idx8, received_j)
 jax.block_until_ready(out)
 
-iters = 30
-t0 = time.perf_counter()
-prev = idx8
-for _ in range(iters):
-    idx8, es = enc_step(es, audio)          # enqueue tick t
-    host_idx = np.asarray(prev, np.int32)   # fetch t-1 (overlaps device)
+
+def host_codec(idx8_dev):
+    host_idx = np.asarray(idx8_dev, np.int32)
     pkts = packet.pack_indices_batch(host_idx, 64)
     back = packet.unpack_indices_batch(pkts, 64)
-    out, iscn, ds = dec_step(ds, jnp.asarray(back.astype(np.int8)), received_j)
-    prev = idx8
-jax.block_until_ready(out)
-jax.block_until_ready(prev)
-dt = (time.perf_counter() - t0) / iters
-print(f"serving e2e (pipelined): {dt*1e3:.2f} ms/tick at B={B} -> "
+    return jnp.asarray(back.astype(np.int8))
+
+
+iters = 30
+if SYNC:
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        idx8, es = enc_step(es, audio)
+        out, iscn, ds = dec_step(ds, host_codec(idx8), received_j)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    label = "sync"
+else:
+    # Prime the pipeline with DEPTH in-flight encoder ticks.
+    q = deque()
+    for _ in range(DEPTH):
+        idx8, es = enc_step(es, audio)
+        if hasattr(idx8, "copy_to_host_async"):
+            idx8.copy_to_host_async()
+        q.append(idx8)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        idx8, es = enc_step(es, audio)              # device: tick t
+        if hasattr(idx8, "copy_to_host_async"):
+            idx8.copy_to_host_async()               # D2H: tick t (bg)
+        out, iscn, ds = dec_step(ds, host_codec(q[0]), received_j)
+        q.popleft(); q.append(idx8)                 # host codec ran t-DEPTH
+    jax.block_until_ready(out)
+    jax.block_until_ready(q[-1])
+    dt = (time.perf_counter() - t0) / iters
+    label = f"pipelined depth={DEPTH}"
+
+print(f"serving e2e ({label}): {dt*1e3:.2f} ms/tick at B={B} -> "
       f"{B*0.02/dt:.0f} realtime streams/chip", flush=True)

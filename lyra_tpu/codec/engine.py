@@ -98,11 +98,18 @@ class DecoderEngine:
     def __init__(self, sample_rate_hz: int = config.INTERNAL_SAMPLE_RATE,
                  model_path: str = config.DEFAULT_MODEL_PATH,
                  mode: str = "float", backend: str = "xla",
-                 feature_estimator: str = "zero"):
+                 feature_estimator: str = "zero",
+                 max_bitrate: int | None = None):
         config.check_params_supported(sample_rate_hz, config.NUM_CHANNELS, model_path)
         self.sample_rate_hz = sample_rate_hz
         self.gan = LyraGanModel(model_path, mode=mode, backend=backend)
         self.rvq = ResidualVectorQuantizer.from_model_path(model_path)
+        # Static serving specialization: a fleet capped at one bitrate skips
+        # RVQ stage work the wire format can never carry (the engine stays
+        # fully general when max_bitrate is None).
+        self._max_stages = (None if max_bitrate is None else
+                            self.rvq.num_bits_to_stages(
+                                config.bitrate_to_num_quantized_bits(max_bitrate)))
         self.cng = ComfortNoiseGenerator(config.INTERNAL_SAMPLE_RATE)
         self.noise = NoiseEstimator(config.INTERNAL_SAMPLE_RATE)
         self._decode_dtype = jnp.bfloat16 if mode == "bf16" else None
@@ -164,7 +171,8 @@ class DecoderEngine:
 
         # SetEncodedPacket: unquantize + condition the feature estimator
         # (reference: lyra/lyra_decoder.cc:198-208).
-        lossy = self.rvq.decode(indices, dtype=self._decode_dtype)  # [B, F]
+        lossy = self.rvq.decode(indices, dtype=self._decode_dtype,
+                                max_stages=self._max_stages)  # [B, F]
         est_state = self.estimator.update(state["est"], lossy, received)
 
         # PLC state update (reference: lyra/lyra_decoder.cc:249-265).
@@ -246,12 +254,16 @@ class EncoderEngine:
     def __init__(self, sample_rate_hz: int = config.INTERNAL_SAMPLE_RATE,
                  model_path: str = config.DEFAULT_MODEL_PATH,
                  enable_dtx: bool = False, mode: str = "float",
-                 backend: str = "xla"):
+                 backend: str = "xla", max_bitrate: int | None = None):
         config.check_params_supported(sample_rate_hz, config.NUM_CHANNELS, model_path)
         self.sample_rate_hz = sample_rate_hz
         self.enable_dtx = enable_dtx
         self.soundstream = SoundStreamEncoder(model_path, mode=mode, backend=backend)
         self.rvq = ResidualVectorQuantizer.from_model_path(model_path)
+        # See DecoderEngine: static single-bitrate serving specialization.
+        self._max_stages = (None if max_bitrate is None else
+                            self.rvq.num_bits_to_stages(
+                                config.bitrate_to_num_quantized_bits(max_bitrate)))
         self.noise = NoiseEstimator(config.INTERNAL_SAMPLE_RATE) if enable_dtx else None
         self.resampler = (
             None if sample_rate_hz == config.INTERNAL_SAMPLE_RATE
@@ -315,5 +327,6 @@ class EncoderEngine:
         new_state["soundstream"] = _mask_tree(
             ~is_noise, ss_state, state["soundstream"])
 
-        indices = self.rvq.quantize(feats, num_quantizers, method="fast")
+        indices = self.rvq.quantize(feats, num_quantizers, method="fast",
+                                    max_stages=self._max_stages)
         return indices, is_noise, new_state

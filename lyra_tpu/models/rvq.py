@@ -60,7 +60,8 @@ class ResidualVectorQuantizer:
         return cls(extract_codebooks(os.path.join(model_path, "quantizer.tflite")))
 
     def quantize(self, features: jnp.ndarray, num_quantizers,
-                 method: str = "exact") -> jnp.ndarray:
+                 method: str = "exact", max_stages: int | None = None
+                 ) -> jnp.ndarray:
         """features [B, F] → stage indices [B, S] (−1 beyond num_quantizers).
 
         `num_quantizers` is a scalar or [B] int array; it only masks the
@@ -74,8 +75,18 @@ class ResidualVectorQuantizer:
         one-hot residual updates — mathematically the same nearest-neighbor
         search, so only float near-ties can pick a different (equally
         near) codeword.
+
+        `max_stages` (static) caps the residual recursion itself: a fleet
+        pinned at one bitrate (e.g. 3.2 kbps → 16 stages) skips the ~65% of
+        stage work the wire format can never carry.  Stages ≥ max_stages
+        come back −1; per-stream num_quantizers may be anything ≤ max_stages.
+        Computed stage indices are identical to the full run — stage s never
+        depends on later stages.
         """
         cbs = self.codebooks
+        run_stages = self.num_stages if max_stages is None else int(max_stages)
+        if not 1 <= run_stages <= self.num_stages:
+            raise ValueError(f"max_stages {max_stages} out of range")
 
         if method == "pallas":
             # Whole 46-stage search in VMEM (lyra_tpu/ops/rvq_kernel.py).
@@ -89,7 +100,7 @@ class ResidualVectorQuantizer:
             c2 = jnp.sum(jnp.square(cbs), axis=-1)  # [S, 16]
             residual = features
             idx_list = []
-            for s in range(self.num_stages):  # unrolled: XLA pipelines stages
+            for s in range(run_stages):  # unrolled: XLA pipelines stages
                 scores = c2[s][None, :] - 2.0 * jax.lax.dot_general(
                     residual, cbs_t[s],
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -100,7 +111,7 @@ class ResidualVectorQuantizer:
                     oh, cbs[s], dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 idx_list.append(idx)
-            indices = jnp.stack(idx_list, axis=1)  # [B, S]
+            indices = jnp.stack(idx_list, axis=1)  # [B, run_stages]
         else:
             def stage(residual, cb):
                 # [B, 1, F] vs [16, F] → distances [B, 16]
@@ -109,14 +120,20 @@ class ResidualVectorQuantizer:
                 q = cb[idx]  # [B, F]
                 return residual - q, idx
 
-            _, indices = jax.lax.scan(stage, features, cbs)  # [S, B]
-            indices = indices.T  # [B, S]
+            _, indices = jax.lax.scan(stage, features, cbs[:run_stages])
+            indices = indices.T  # [B, run_stages]
+        if indices.shape[1] < self.num_stages:
+            indices = jnp.pad(indices,
+                              ((0, 0), (0, self.num_stages - indices.shape[1])),
+                              constant_values=-1)
         nq = jnp.asarray(num_quantizers, jnp.int32)
+        nq = jnp.minimum(nq, run_stages)  # pallas computes all stages; cap
         nq = jnp.broadcast_to(nq, indices.shape[:1])  # [B]
         stage_ids = jnp.arange(self.num_stages, dtype=jnp.int32)[None, :]
         return jnp.where(stage_ids < nq[:, None], indices, -1)
 
-    def decode(self, indices: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    def decode(self, indices: jnp.ndarray, dtype=None,
+               max_stages: int | None = None) -> jnp.ndarray:
         """stage indices [B, S] (−1 = unused) → lossy features [B, F].
 
         One-hot contraction instead of a gather: `jax.nn.one_hot(-1)` is the
@@ -127,18 +144,26 @@ class ResidualVectorQuantizer:
         dtype=jnp.bfloat16 halves the one-hot HBM traffic (~0.2% feature
         error, far below the quantizer's own error) — the bf16-mode engines
         use it; default is f32-accurate.
+
+        `max_stages` (static) contracts only the first max_stages stages —
+        exact when the wire format caps the bitrate (later indices are −1,
+        i.e. all-zero one-hot rows anyway).
         """
         s, k, f = self.codebooks.shape
+        if max_stages is not None:
+            s = int(max_stages)
+            indices = indices[:, :s]
+        cbs = self.codebooks[:s]
         if dtype is not None and dtype != jnp.float32:
             oh = jax.nn.one_hot(indices, k, dtype=dtype)
             return jax.lax.dot_general(
                 oh.reshape(-1, s * k),
-                self.codebooks.astype(dtype).reshape(s * k, f),
+                cbs.astype(dtype).reshape(s * k, f),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        oh = jax.nn.one_hot(indices, k, dtype=self.codebooks.dtype)  # [B,S,16]
+        oh = jax.nn.one_hot(indices, k, dtype=cbs.dtype)  # [B,S,16]
         return jax.lax.dot_general(
-            oh.reshape(-1, s * k), self.codebooks.reshape(s * k, f),
+            oh.reshape(-1, s * k), cbs.reshape(s * k, f),
             dimension_numbers=(((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32)

@@ -123,6 +123,14 @@ class DecoderServer:
         Returns audio [capacity, hop] int16.  Wire bytes → indices runs
         through the native batch codec, grouped by packet size (bitrate).
         """
+        indices, received = self._unpack_wire(packets, received, sizes)
+        audio, is_cn, self._state = self.engine.step(
+            self._state, indices, received)
+        self._last_comfort = np.asarray(is_cn)
+        return np.asarray(audio).astype(np.int16)
+
+    def _unpack_wire(self, packets, received, sizes):
+        """Wire bytes → (indices [capacity, stages], effective received)."""
         packets = np.ascontiguousarray(packets, np.uint8)
         sizes = np.asarray(sizes)
         active = np.zeros(self.capacity, bool)
@@ -136,14 +144,44 @@ class DecoderServer:
                 received = received & (sizes != size)
                 continue
             rows = np.flatnonzero(received & (sizes == size))
-            idx = packet.unpack_indices_batch(
-                packets[rows, :int(size)], bits)
+            idx = packet.unpack_indices_batch(packets[rows, :int(size)], bits)
             indices[rows, : idx.shape[1]] = idx
+        return indices, received
 
+    def tick_packed_async(self, packets: np.ndarray, received: np.ndarray,
+                          sizes: np.ndarray) -> Optional[np.ndarray]:
+        """Pipelined tick: submit this tick's packets, return the *previous*
+        tick's audio (None on the first call).
+
+        One tick (20 ms) of added playout latency buys full overlap of
+        device compute, D2H transfer, and host byte handling: the device
+        computes tick t while the host receives tick t−1's audio, whose
+        transfer was started asynchronously at dispatch time.  Ordering and
+        loss semantics are identical to `tick_packed` shifted by one tick
+        (pinned by tests/test_stream_server.py).
+        """
+        indices, received = self._unpack_wire(packets, received, sizes)
         audio, is_cn, self._state = self.engine.step(
             self._state, indices, received)
-        self._last_comfort = np.asarray(is_cn)
-        return np.asarray(audio).astype(np.int16)
+        for dev_arr in (audio, is_cn):
+            if hasattr(dev_arr, "copy_to_host_async"):
+                dev_arr.copy_to_host_async()
+        pending, self._pending = getattr(self, "_pending", None), (audio, is_cn)
+        if pending is None:
+            return None
+        audio_prev, is_cn_prev = pending
+        self._last_comfort = np.asarray(is_cn_prev)
+        return np.asarray(audio_prev).astype(np.int16)
+
+    def flush_async(self) -> Optional[np.ndarray]:
+        """Drain the last in-flight tick of the async pipeline."""
+        pending = getattr(self, "_pending", None)
+        self._pending = None
+        if pending is None:
+            return None
+        audio_prev, is_cn_prev = pending
+        self._last_comfort = np.asarray(is_cn_prev)
+        return np.asarray(audio_prev).astype(np.int16)
 
 
 class EncoderServer:
@@ -207,8 +245,10 @@ class EncoderServer:
         native batch call per size group."""
         indices, is_noise, self._state = self.engine.step(
             self._state, np.asarray(audio, np.float32), self._nq)
-        indices = np.asarray(indices)
-        is_noise = np.asarray(is_noise)
+        return self._pack_wire(np.asarray(indices), np.asarray(is_noise))
+
+    def _pack_wire(self, indices: np.ndarray, is_noise: np.ndarray):
+        """Indices → (packets [capacity, max_size] u8, sizes [capacity])."""
         max_size = config.packet_size(int(self._bits.max()))
         out = np.zeros((self.capacity, max_size), np.uint8)
         sizes = np.zeros(self.capacity, np.int32)
@@ -223,6 +263,29 @@ class EncoderServer:
             out[rows, : pkts.shape[1]] = pkts
             sizes[rows] = pkts.shape[1]
         return out, sizes
+
+    def tick_packed_async(self, audio: np.ndarray):
+        """Pipelined encode tick: submit this tick's audio, return the
+        *previous* tick's (packets, sizes) — None on the first call.  Same
+        overlap contract as DecoderServer.tick_packed_async."""
+        indices, is_noise, self._state = self.engine.step(
+            self._state, np.asarray(audio, np.float32), self._nq)
+        for dev_arr in (indices, is_noise):
+            if hasattr(dev_arr, "copy_to_host_async"):
+                dev_arr.copy_to_host_async()
+        pending = getattr(self, "_pending", None)
+        self._pending = (indices, is_noise)
+        if pending is None:
+            return None
+        return self._pack_wire(np.asarray(pending[0]), np.asarray(pending[1]))
+
+    def flush_async(self):
+        """Drain the last in-flight tick of the async pipeline."""
+        pending = getattr(self, "_pending", None)
+        self._pending = None
+        if pending is None:
+            return None
+        return self._pack_wire(np.asarray(pending[0]), np.asarray(pending[1]))
 
     def tick(self, audio: Dict[object, np.ndarray]) -> Dict[object, bytes]:
         """One 20 ms step: stream_id -> hop of int16 samples in,

@@ -15,11 +15,27 @@ def test_run_benchmark_stages_and_csv(tmp_path, model_path):
     rows = result["rows"]
     assert set(rows) == {"feature_extractor", "quantizer_quantize",
                          "quantizer_decode", "model_decode"}
-    for r in rows.values():
-        assert r.num_calls == 3 and r.mean_us > 0
+    for name, r in rows.items():
+        # Stats must be internally consistent, not merely present
+        # (mirrors TimingStats invariants, lyra_benchmark_lib.cc:62-83).
+        assert r.num_calls == 3, name
+        assert 0 < r.min_us <= r.mean_us <= r.max_us, name
+        assert r.stdev_us >= 0, name
+        assert r.max_us < 60e6, name  # a stage call is not taking a minute
     assert result["streams_per_chip"] > 0
+    # streams/chip must agree with the measured stage means: one stream's
+    # 20 ms budget divided by the per-frame total, times the batch.
+    total_us = sum(r.mean_us for r in rows.values())
+    expect = 2 * 0.02e6 / total_us
+    assert result["streams_per_chip"] == pytest.approx(expect, rel=0.2)
     csv = (tmp_path / "bench.csv").read_text().splitlines()
     assert csv[0].startswith("stage,") and len(csv) == 5
+    # CSV rows carry the same numbers that were reported.
+    for line in csv[1:]:
+        stage, *vals = line.split(",")
+        r = rows[stage]
+        assert float(vals[0]) == pytest.approx(r.max_us, rel=1e-6)
+        assert float(vals[2]) == pytest.approx(r.mean_us, rel=1e-6)
 
 
 def test_melspec_benchmark_runs(capsys):

@@ -195,3 +195,103 @@ def test_decaying_estimator_fades(model_path, speech):
         np.testing.assert_allclose(
             np.asarray(st["est"]), lossy * dec.estimator.decay ** k,
             rtol=1e-5, atol=1e-5)
+
+
+def test_engines_with_max_bitrate_match_default(model_path):
+    """The single-bitrate serving specialization cannot change results for
+    traffic within the cap."""
+    from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+
+    rng = np.random.default_rng(9)
+    audio = rng.integers(-8000, 8000, (4, 320)).astype(np.float32)
+    nq = np.full(4, 16, np.int32)
+
+    enc_a = EncoderEngine(16000, model_path)
+    enc_b = EncoderEngine(16000, model_path, max_bitrate=3200)
+    sa, sb = enc_a.init_state(4), enc_b.init_state(4)
+    idx_a, _, sa = enc_a.step(sa, audio, nq)
+    idx_b, _, sb = enc_b.step(sb, audio, nq)
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+
+    dec_a = DecoderEngine(16000, model_path)
+    dec_b = DecoderEngine(16000, model_path, max_bitrate=3200)
+    da, db = dec_a.init_state(4), dec_b.init_state(4)
+    received = np.array([True, True, False, True])
+    out_a, cn_a, da = dec_a.step(da, np.asarray(idx_a), received)
+    out_b, cn_b, db = dec_b.step(db, np.asarray(idx_b), received)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(cn_a), np.asarray(cn_b))
+
+
+def test_engine_matches_facade_mixed_loss_per_stream(model_path, speech):
+    """Batched engine with per-stream loss patterns vs one facade per
+    stream: streams in different PLC states must not bleed into each other
+    through the vectorized where-masks."""
+    num_bits = 64
+    nq = num_bits // config.BITS_PER_QUANTIZER
+    ticks = speech.shape[0]
+    patterns = [
+        [True] * ticks,                                   # clean
+        [True] * 2 + [False] * 10 + [True] * 4,           # deep burst → CNG
+        [t % 3 != 2 for t in range(ticks)],               # scattered loss
+    ]
+    b = len(patterns)
+
+    enc = EncoderEngine(16000, model_path)
+    es = enc.init_state(1)
+    packets = []
+    for t in range(ticks):
+        idx, _, es = enc.step(es, speech[t][None].astype(np.float32), nq)
+        packets.append(packet.pack_indices(np.asarray(idx)[0], num_bits))
+
+    # Path A: independent single-stream facades.
+    facade_out = []
+    for pattern in patterns:
+        dec = LyraDecoder(16000, model_path=model_path, seed=0)
+        hops = []
+        for t, received in enumerate(pattern):
+            if received:
+                assert dec.set_encoded_packet(packets[t])
+            hops.append(dec.decode_samples(INTERNAL_HOP))
+        facade_out.append(np.concatenate(hops))
+
+    # Path B: one batched engine advancing all three patterns at once.
+    eng = DecoderEngine(16000, model_path)
+    st = eng.init_state(b, seed=0)
+    engine_out = [[] for _ in range(b)]
+    for t in range(ticks):
+        idx = packet.unpack_indices(packets[t])
+        padded = np.full((b, eng.rvq.num_stages), -1, np.int32)
+        padded[:, : idx.size] = idx
+        received = np.array([p[t] for p in patterns])
+        audio, _, st = eng.step(st, padded, received)
+        for i in range(b):
+            engine_out[i].append(np.asarray(audio)[i])
+
+    # Streams 0 and 2 never reach the CNG fade (scattered losses stay in
+    # concealment), so they must match the facade sample-exactly even while
+    # batched next to a stream deep in comfort noise — the strongest
+    # cross-stream-isolation check.
+    for i in (0, 2):
+        np.testing.assert_allclose(
+            np.concatenate(engine_out[i]), facade_out[i], atol=1.0,
+            err_msg=f"stream {i} pattern diverged")
+
+    # Stream 1 enters comfort noise: its CNG phases come from its *row*'s
+    # RNG lineage (row 1 ≠ the facade's row 0 — per-stream noise must
+    # differ by design), so compare sample-exactly outside CNG involvement
+    # (ticks 0-5 concealment, 14-15 recovered) and by spectral envelope
+    # during the fade/CNG span (same noise estimate ⇒ same log-mel shape).
+    from lyra_tpu.dsp import melspec
+    from lyra_tpu.dsp import utils as dsp_utils
+
+    for t in list(range(6)) + [14, 15]:
+        np.testing.assert_allclose(
+            engine_out[1][t], facade_out[1][t * INTERNAL_HOP:(t + 1) * INTERNAL_HOP],
+            atol=1.0, err_msg=f"stream 1 tick {t} diverged")
+    cfg = melspec.MelConfig.for_rate(16000, config.NUM_FEATURES)
+    ea, eb = melspec.LogMelExtractorRef(cfg), melspec.LogMelExtractorRef(cfg)
+    for t in range(6, 14):
+        fa = ea.extract(np.concatenate(engine_out[1])[t * INTERNAL_HOP:(t + 1) * INTERNAL_HOP])
+        fb = eb.extract(facade_out[1][t * INTERNAL_HOP:(t + 1) * INTERNAL_HOP])
+        assert dsp_utils.log_spectral_distance(fa, fb) < 1.0, f"tick {t}"

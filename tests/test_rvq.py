@@ -97,3 +97,31 @@ def test_pallas_method_matches_fast(rvq):
     # bitrate masking applies identically
     m = np.asarray(rvq.quantize(feats, 16, method="pallas"))
     assert (m[:, 16:] == -1).all() and (m[:, :16] == b[:, :16]).all()
+
+
+def test_quantize_max_stages_matches_full(model_path):
+    """Static stage cap: computed indices identical to the full 46-stage
+    run (stage s never depends on later stages), −1 beyond the cap."""
+    import numpy as np
+
+    rvq = ResidualVectorQuantizer.from_model_path(model_path)
+    rng = np.random.default_rng(5)
+    feats = rng.normal(0, 5, (8, 64)).astype(np.float32)
+    for method in ("exact", "fast"):
+        full = np.asarray(rvq.quantize(feats, 16, method=method))
+        capped = np.asarray(rvq.quantize(feats, 16, method=method,
+                                         max_stages=16))
+        np.testing.assert_array_equal(full, capped)
+        assert (capped[:, 16:] == -1).all()
+
+
+def test_decode_max_stages_matches_full(model_path):
+    import numpy as np
+
+    rvq = ResidualVectorQuantizer.from_model_path(model_path)
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, 16, (8, 46)).astype(np.int32)
+    idx[:, 16:] = -1
+    full = np.asarray(rvq.decode(idx))
+    capped = np.asarray(rvq.decode(idx, max_stages=16))
+    np.testing.assert_allclose(full, capped, rtol=1e-6, atol=1e-6)

@@ -80,3 +80,49 @@ def test_malformed_packet_is_treated_as_loss(model_path):
     assert set(audio) == {"good", "evil"}
     assert dec.bad_packets[dec._by_id["evil"]] == 1
     assert dec.bad_packets[dec._by_id["good"]] == 0
+
+
+def test_async_pipelined_ticks_match_sync(model_path):
+    """tick_packed_async == tick_packed shifted by one tick: ordering and
+    loss semantics survive the pipelining (same engine state trajectory,
+    outputs delayed by exactly one call)."""
+    cap = 4
+    enc_a = EncoderServer(cap, model_path=model_path, bitrate=6000)
+    enc_s = EncoderServer(cap, model_path=model_path, bitrate=6000)
+    dec_a = DecoderServer(cap, model_path=model_path)
+    dec_s = DecoderServer(cap, model_path=model_path)
+    for s in (enc_a, enc_s, dec_a, dec_s):
+        for sid in range(cap):
+            s.add_stream(sid)
+
+    rng = np.random.default_rng(3)
+    ticks = 5
+    audio = rng.integers(-8000, 8000, (ticks, cap, INTERNAL_HOP)).astype(np.int16)
+    loss = rng.uniform(size=(ticks, cap)) < 0.3
+
+    sync_out, async_out = [], []
+    for t in range(ticks):
+        pkts, sizes = enc_s.tick_packed(audio[t])
+        received = ~loss[t]
+        sync_out.append(dec_s.tick_packed(pkts, received, sizes))
+
+        got = enc_a.tick_packed_async(audio[t])
+        if t == 0:
+            assert got is None
+        else:
+            pkts_a, sizes_a = got
+            out_a = dec_a.tick_packed_async(pkts_a, ~loss[t - 1], sizes_a)
+            if t == 1:
+                assert out_a is None
+            else:
+                async_out.append(out_a)
+    # Drain the pipeline: encoder tick t-1, then the last two decoder ticks.
+    pkts_a, sizes_a = enc_a.flush_async()
+    out_a = dec_a.tick_packed_async(pkts_a, ~loss[ticks - 1], sizes_a)
+    async_out.append(out_a)
+    async_out.append(dec_a.flush_async())
+
+    assert len(async_out) == len(sync_out)
+    for t, (a, s) in enumerate(zip(async_out, sync_out)):
+        np.testing.assert_array_equal(a, s, err_msg=f"tick {t}")
+        assert a.shape == (cap, INTERNAL_HOP)
