@@ -98,10 +98,37 @@ class ShardedEngine:
                 f"batch size {batch_size} must divide evenly over "
                 f"{self.num_devices} devices")
 
+    def __getattr__(self, name):
+        # Delegate engine metadata (rvq, hop_samples, ...) so a ShardedEngine
+        # drops into every seam a plain engine fits — notably the stream
+        # servers (tools/stream_server.py), which makes the serving runtime
+        # multi-chip without code changes there.  Dunders are excluded so
+        # protocol probes (copy/pickle) see this object, not the engine.
+        if name.startswith("__") or name == "engine":
+            raise AttributeError(name)
+        return getattr(self.engine, name)
+
     def init_state(self, batch_size: int, **kw):
         self._check_batch(batch_size)
         return shard_batch_tree(
             self.engine.init_state(batch_size, **kw), self.mesh, self.axis_name)
+
+    def reset_rows(self, state, mask, **kw):
+        """Stream admission/eviction on the mesh: re-initialize the masked
+        rows, keeping every leaf sharded over the stream axis."""
+        mask = np.asarray(mask)
+        fresh = shard_batch_tree(
+            self.engine.init_state(int(mask.shape[0]), **kw),
+            self.mesh, self.axis_name)
+        mask_dev = jax.device_put(mask, self._sh)
+
+        def pick(new, old):
+            m = mask_dev.reshape((-1,) + (1,) * (new.ndim - 1))
+            import jax.numpy as jnp
+
+            return jnp.where(m, new, old)
+
+        return jax.tree.map(pick, fresh, state)
 
     def step(self, state, *args):
         def put(a):

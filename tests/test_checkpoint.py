@@ -67,3 +67,30 @@ def test_roundtrip_reserved_key_names(tmp_path):
     assert set(restored) == set(state)
     for k in state:
         np.testing.assert_array_equal(restored[k], state[k])
+
+
+def test_sharded_state_checkpoint_migrates_to_local(model_path, tmp_path):
+    """Host-drain scenario: snapshot a mesh-sharded decoder's state and
+    resume on a single device — the stream continues bit-identically."""
+    from lyra_tpu.codec.engine import DecoderEngine
+    from lyra_tpu.parallel.sharding import ShardedEngine, make_mesh
+
+    eng = DecoderEngine(16000, model_path)
+    sharded = ShardedEngine(eng, make_mesh())
+    b = 8
+    rng = np.random.default_rng(4)
+    idx = rng.integers(0, 16, (b, eng.rvq.num_stages)).astype(np.int32)
+    received = np.ones(b, bool)
+
+    st = sharded.init_state(b)
+    for _ in range(2):
+        _, _, st = sharded.step(st, idx, received)
+    path = str(tmp_path / "drain.npz")
+    checkpoint.save_state(path, st)
+    a_sharded, _, _ = sharded.step(st, idx, received)
+
+    restored, _ = checkpoint.load_state(path)
+    a_local, _, _ = eng.step(
+        restored, np.asarray(idx), np.asarray(received))
+    np.testing.assert_allclose(
+        np.asarray(a_sharded), np.asarray(a_local), atol=1)

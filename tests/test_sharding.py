@@ -158,3 +158,51 @@ def test_wire_roundtrip_around_sharded_tick(model_path):
         padded[:, : nq[0]] = back
         out, _, dst = dec.step(dst, padded, received)
         assert np.asarray(out).shape == (b, 320)
+
+
+def test_stream_servers_over_sharded_engines(model_path):
+    """The serving runtime runs unmodified over mesh-sharded engines:
+    admission, packed encode/decode ticks, and eviction all work with
+    state sharded across the 8 virtual devices, and the audio equals the
+    single-device servers'."""
+    from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+    from lyra_tpu.tools.stream_server import DecoderServer, EncoderServer
+
+    mesh = make_mesh()
+    cap = 8
+    enc_s = EncoderServer(cap, engine=ShardedEngine(
+        EncoderEngine(16000, model_path), mesh), bitrate=3200)
+    dec_s = DecoderServer(cap, engine=ShardedEngine(
+        DecoderEngine(16000, model_path), mesh))
+    enc_l = EncoderServer(cap, engine=EncoderEngine(16000, model_path),
+                          bitrate=3200)
+    dec_l = DecoderServer(cap, engine=DecoderEngine(16000, model_path))
+
+    for s in (enc_s, dec_s, enc_l, dec_l):
+        for sid in range(6):  # partial occupancy: 2 slots stay empty
+            s.add_stream(sid)
+
+    rng = np.random.default_rng(11)
+    for t in range(3):
+        audio = rng.integers(-8000, 8000, (cap, 320)).astype(np.int16)
+        pkts_s, sizes_s = enc_s.tick_packed(audio)
+        pkts_l, sizes_l = enc_l.tick_packed(audio)
+        np.testing.assert_array_equal(pkts_s, pkts_l)
+        np.testing.assert_array_equal(sizes_s, sizes_l)
+
+        received = np.ones(cap, bool)
+        received[t % 6] = False
+        out_s = dec_s.tick_packed(pkts_s, received, sizes_s)
+        out_l = dec_l.tick_packed(pkts_l, received, sizes_l)
+        np.testing.assert_allclose(out_s, out_l, atol=1)
+
+    # Evict + re-admit on the sharded servers only: state reset must not
+    # disturb other rows (next tick still matches the local servers, which
+    # get the same reset).
+    for s in (enc_s, enc_l, dec_s, dec_l):
+        s.remove_stream(3)
+        s.add_stream("fresh")
+    audio = rng.integers(-8000, 8000, (cap, 320)).astype(np.int16)
+    pkts_s, sizes_s = enc_s.tick_packed(audio)
+    pkts_l, sizes_l = enc_l.tick_packed(audio)
+    np.testing.assert_array_equal(pkts_s, pkts_l)
