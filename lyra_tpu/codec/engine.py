@@ -99,7 +99,8 @@ class DecoderEngine:
                  model_path: str = config.DEFAULT_MODEL_PATH,
                  mode: str = "float", backend: str = "xla",
                  feature_estimator: str = "zero",
-                 max_bitrate: int | None = None):
+                 max_bitrate: int | None = None,
+                 gate_idle_stages: bool = True):
         config.check_params_supported(sample_rate_hz, config.NUM_CHANNELS, model_path)
         self.sample_rate_hz = sample_rate_hz
         self.gan = LyraGanModel(model_path, mode=mode, backend=backend)
@@ -126,6 +127,9 @@ class DecoderEngine:
             else Resampler(config.INTERNAL_SAMPLE_RATE, sample_rate_hz)
         )
         self.hop_samples = config.num_samples_per_hop(sample_rate_hz)
+        # lax.cond-skip CNG synthesis when no stream needs it this tick (see
+        # _step_impl); False forces the always-run path (the gating's oracle).
+        self._gate_idle = gate_idle_stages
         self._step = jax.jit(self._step_impl)
 
     # -- state ----------------------------------------------------------------
@@ -202,10 +206,34 @@ class DecoderEngine:
         model_hop = dsp_utils.unit_to_int16(model_unit).astype(jnp.float32)
 
         # Comfort noise conditioned on the decoder-side noise estimate.
-        cng_hop, cng_state = self.cng.generate_hop(
-            state["cng"], self.noise.noise_estimate(state["noise"]))
-        cng_hop = dsp_utils.clip_to_int16(cng_hop).astype(jnp.float32)
-        cng_state = _mask_tree(run_cng, cng_state, state["cng"])
+        # Skipped wholesale (lax.cond) when NO stream is fading or in comfort
+        # noise — the steady serving state never pays for the mel-inverse +
+        # IDFT synthesis.  This is the one PLC stage where a conditional
+        # wins: its branch outputs (one hop + the small OLA/RNG state) are
+        # tiny, so the cond's branch-result materialization costs ~nothing
+        # next to the ~1 ms of synthesis it skips.  The conv stacks get no
+        # such gate on purpose: routing their multi-hundred-MB state trees
+        # through a conditional forces XLA to copy them every tick (+6 ms/
+        # step at B=16k, measured — PERF.md round 2), far more than any
+        # masked-select it would save.  Each branch is exactly the masked
+        # update it replaces, so results are bit-identical either way.
+        def _cng_on(_):
+            hop, cng_state = self.cng.generate_hop(
+                state["cng"], self.noise.noise_estimate(state["noise"]))
+            hop = dsp_utils.clip_to_int16(hop).astype(jnp.float32)
+            return hop, _mask_tree(run_cng, cng_state, state["cng"])
+
+        def _cng_off(_):
+            # The synthesized hop would be discarded by the crossfade and
+            # the OLA/RNG state frozen by the mask.
+            return (jnp.zeros((feats.shape[0], INTERNAL_HOP), jnp.float32),
+                    state["cng"])
+
+        if self._gate_idle:
+            cng_hop, cng_state = jax.lax.cond(
+                jnp.any(run_cng), _cng_on, _cng_off, None)
+        else:
+            cng_hop, cng_state = _cng_on(None)
 
         # cos^2 crossfade (reference: lyra/lyra_decoder.cc:342-373).
         w = fade_weights(state["fade"], fade_dir, INTERNAL_HOP)
@@ -324,6 +352,11 @@ class EncoderEngine:
 
         feats, ss_state = self.soundstream.extract(
             state["soundstream"], dsp_utils.int16_to_unit(x))
+        # No all-noise lax.cond skip here: routing the SoundStream state tree
+        # through a conditional's outputs copies it every tick (see the
+        # DecoderEngine CNG gate comment), costing an active DTX fleet more
+        # than an idle one would save.  The per-stream mask below is the
+        # reference semantics (lyra/lyra_encoder.cc:131-141) and the fast path.
         new_state["soundstream"] = _mask_tree(
             ~is_noise, ss_state, state["soundstream"])
 

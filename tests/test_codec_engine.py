@@ -295,3 +295,48 @@ def test_engine_matches_facade_mixed_loss_per_stream(model_path, speech):
         fa = ea.extract(np.concatenate(engine_out[1])[t * INTERNAL_HOP:(t + 1) * INTERNAL_HOP])
         fb = eb.extract(facade_out[1][t * INTERNAL_HOP:(t + 1) * INTERNAL_HOP])
         assert dsp_utils.log_spectral_distance(fa, fb) < 1.0, f"tick {t}"
+
+
+def test_idle_stage_gating_is_bit_identical(model_path, speech):
+    """The lax.cond fast path (skip CNG synthesis when no stream is fading
+    or in comfort noise) must be indistinguishable from the always-run step.
+
+    Drives both engines through every gate combination: all-received steady
+    state, partial loss, a full-fleet outage deep enough to saturate comfort
+    noise (concealment 4 hops + fade 2 hops), and recovery.
+    """
+    num_bits = 120
+    nq = num_bits // config.BITS_PER_QUANTIZER
+    batch = 3
+    # Per-stream loss patterns: row 0 healthy until the outage, row 1 loses
+    # early (enters CN alone), row 2 sporadic single losses.
+    pattern = np.ones((16, batch), bool)
+    pattern[2:11, 1] = False            # row 1: 9-tick burst -> saturated CN
+    pattern[5, 2] = pattern[9, 2] = False  # row 2: sporadic
+    pattern[11:14, :] = False           # ticks 11-13: full-fleet outage
+
+    enc = EncoderEngine(16000, model_path)
+    es = enc.init_state(batch)
+    gated = DecoderEngine(16000, model_path)
+    plain = DecoderEngine(16000, model_path, gate_idle_stages=False)
+    assert gated._gate_idle and not plain._gate_idle
+    sg = gated.init_state(batch, seed=0)
+    sp = plain.init_state(batch, seed=0)
+
+    rng = np.random.RandomState(7)
+    for t in range(pattern.shape[0]):
+        hop = speech[t % speech.shape[0]][None] + rng.randint(
+            -50, 50, (batch, INTERNAL_HOP))
+        idx, _, es = enc.step(es, hop.astype(np.float32), nq)
+        idx = np.asarray(idx)
+        a_g, cn_g, sg = gated.step(sg, idx, pattern[t])
+        a_p, cn_p, sp = plain.step(sp, idx, pattern[t])
+        np.testing.assert_array_equal(np.asarray(cn_g), np.asarray(cn_p), err_msg=f"tick {t}")
+        np.testing.assert_allclose(
+            np.asarray(a_g), np.asarray(a_p), atol=0, rtol=0,
+            err_msg=f"tick {t}")
+    # States converge too (same trees, same values).
+    import jax
+    for lg, lp in zip(jax.tree.leaves(sg), jax.tree.leaves(sp)):
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(lp),
+                                   atol=0, rtol=0)
