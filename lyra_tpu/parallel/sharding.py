@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -34,8 +35,6 @@ def donation_supported() -> bool:
     """
     global _DONATION_SUPPORTED
     if _DONATION_SUPPORTED is None:
-        import jax.numpy as jnp
-
         try:
             f = jax.jit(lambda x: x + 1, donate_argnums=(0,))
             f(jnp.zeros(8, jnp.float32)).block_until_ready()
@@ -124,8 +123,6 @@ class ShardedEngine:
 
         def pick(new, old):
             m = mask_dev.reshape((-1,) + (1,) * (new.ndim - 1))
-            import jax.numpy as jnp
-
             return jnp.where(m, new, old)
 
         return jax.tree.map(pick, fresh, state)

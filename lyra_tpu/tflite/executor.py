@@ -538,6 +538,25 @@ class GraphLowering:
                     f"tensor {i} ({tensors_meta[i].name}) must be a static constant"
                 )
 
+            def get_weight(i: int) -> Array:
+                """Operand for a *float* kernel. int8 mode keeps quantized
+                constants raw (integer values), relying on the graph's own
+                DEQUANTIZE ops to mark float consumers; a float op reading
+                one directly (hybrid/dynamic-range quantization) would
+                silently compute on raw ints scaled ~100x off — refuse at
+                trace time instead."""
+                if i < 0:
+                    return None
+                t = tensors_meta[i]
+                if (mode == "int8" and i in consts and t.quant is not None
+                        and t.quant.scale.size
+                        and t.dtype in (np.int8, np.uint8, np.int32)):
+                    raise NotImplementedError(
+                        f"float op consumes raw quantized constant "
+                        f"{t.name} in int8 mode (hybrid quantization is "
+                        f"not supported)")
+                return get(i)
+
             for name, idx in sig_inputs.items():
                 x = inputs[name]
                 if compute_dtype != jnp.float32 and jnp.issubdtype(
@@ -574,9 +593,9 @@ class GraphLowering:
                     )
                 elif nm == "CONV_2D":
                     x = get(op.inputs[0])
-                    w = get(op.inputs[1])
-                    b = get(op.inputs[2]) if len(op.inputs) > 2 else None
                     if mode == "int8" and tensors_meta[o0].dtype == np.int8:
+                        w = get(op.inputs[1])
+                        b = get(op.inputs[2]) if len(op.inputs) > 2 else None
                         acc = _int8_conv_acc(
                             x, w, op.options, (x.shape[-1], w.shape[-1]),
                             tensors_meta[op.inputs[0]])
@@ -585,6 +604,8 @@ class GraphLowering:
                             tensors_meta[op.inputs[1]], tensors_meta[o0],
                             "CONV_2D")
                         continue
+                    w = get_weight(op.inputs[1])
+                    b = get_weight(op.inputs[2]) if len(op.inputs) > 2 else None
                     out = _conv2d(x, w, b, op.options, (x.shape[-1], w.shape[-1]))
                     if mode == "fakequant":
                         out = _fq(out, tensors_meta[o0])
@@ -602,8 +623,8 @@ class GraphLowering:
                             "DEPTHWISE_CONV_2D")
                         continue
                     out = _depthwise_conv2d(
-                        x, get(op.inputs[1]),
-                        get(op.inputs[2]) if len(op.inputs) > 2 else None,
+                        x, get_weight(op.inputs[1]),
+                        get_weight(op.inputs[2]) if len(op.inputs) > 2 else None,
                         op.options,
                     )
                     if mode == "fakequant":
@@ -611,10 +632,10 @@ class GraphLowering:
                     env[o0] = out
                 elif nm == "TRANSPOSE_CONV":
                     out_shape = [int(v) for v in static(op.inputs[0])]
-                    w = get(op.inputs[1])
                     x = get(op.inputs[2])
-                    b = get(op.inputs[3]) if len(op.inputs) > 3 else None
                     if mode == "int8" and tensors_meta[o0].dtype == np.int8:
+                        w = get(op.inputs[1])
+                        b = get(op.inputs[3]) if len(op.inputs) > 3 else None
                         acc = _int8_transpose_conv_acc(
                             x, w, op.options, tensors_meta[op.inputs[2]])
                         env[o0] = _int8_conv_out(
@@ -622,6 +643,8 @@ class GraphLowering:
                             tensors_meta[op.inputs[1]], tensors_meta[o0],
                             "TRANSPOSE_CONV")
                         continue
+                    w = get_weight(op.inputs[1])
+                    b = get_weight(op.inputs[3]) if len(op.inputs) > 3 else None
                     out = _transpose_conv(x, w, b, op.options, out_shape)
                     if mode == "fakequant":
                         out = _fq(out, tensors_meta[o0])

@@ -190,8 +190,9 @@ def main(argv=None) -> int:
                 samples, args.sample_rate, 1)
         return 0
 
-    ok = True
-    for rate, items in sorted(_group_by_rate(paths).items()):
+    groups = _group_by_rate(paths)
+    processed = sum(len(items) for items in groups.values())
+    for rate, items in sorted(groups.items()):
         waves = [s for _, s in items]
         encoded = encode_batch(waves, rate, args.bitrate, args.model_path,
                                enable_dtx=args.enable_dtx,
@@ -210,7 +211,9 @@ def main(argv=None) -> int:
                 wav.write_wav_int16(
                     os.path.join(args.output_dir, f"{stem}_decoded.wav"),
                     samples, rate, 1)
-    return 0 if ok else 1
+    # Unreadable/unsupported inputs were logged and skipped; surface them in
+    # the exit code so batch pipelines notice.
+    return 0 if processed == len(paths) else 1
 
 
 if __name__ == "__main__":

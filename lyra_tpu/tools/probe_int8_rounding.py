@@ -47,23 +47,32 @@ def probe(model_dir: str = config.DEFAULT_MODEL_PATH, frames: int = 8):
         rng = np.random.default_rng(0)
         for _ in range(frames):
             runner(**make_input(rng))
+            probe_ops = ("CONV_2D", "DEPTHWISE_CONV_2D", "TRANSPOSE_CONV",
+                         "LEAKY_RELU", "ADD", "QUANTIZE")
             for op in sg.ops:
                 if not op.outputs:
                     continue
                 o0 = op.outputs[0]
                 t_out = sg.tensors[o0]
-                if t_out.dtype != np.int8 or op.name not in executor._INT8_ROUNDING:
+                if t_out.dtype != np.int8 or op.name not in probe_ops:
                     continue
                 try:
                     ref = ip.get_tensor(o0)
                 except Exception:
                     continue
+                # CONV_2D's rounding is chosen per instance by filter depth
+                # (executor._conv_rounding): bucket its results by input
+                # channels so the table validates that threshold directly.
+                key = op.name
+                if op.name == "CONV_2D":
+                    cin = int(sg.tensors[op.inputs[1]].shape[-1])
+                    key = f"CONV_2D:cin={cin}"
                 for rounding in ("single", "double", "ruy"):
                     executor._INT8_ROUNDING[op.name] = rounding
                     got = _run_op(executor, sg, op, ip, jnp)
                     if got is None:
                         continue
-                    totals[op.name][rounding] += int(
+                    totals[key][rounding] += int(
                         (np.asarray(got) != ref).sum())
 
     # Restore defaults (CONV_2D must fall back to the per-instance choice).

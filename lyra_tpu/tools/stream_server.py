@@ -48,6 +48,10 @@ class DecoderServer:
         self._slots: List[_Slot] = [_Slot(None) for _ in range(capacity)]
         self._by_id: Dict[object, int] = {}
         self._num_stages = self.engine.rvq.num_stages
+        # Engines built with max_bitrate= statically skip RVQ stages beyond
+        # the cap; packets that need more stages would decode silently
+        # degraded, so the server treats them as malformed instead.
+        self._stage_cap = self.engine._max_stages or self._num_stages
         self._last_comfort = np.zeros(capacity, bool)
         # Malformed wire packets per slot: treated as loss, never fatal.
         self.bad_packets = np.zeros(capacity, np.int64)
@@ -71,6 +75,7 @@ class DecoderServer:
                                              seed=self._seed)
         self._slots[i] = _Slot(stream_id, True)
         self._by_id[stream_id] = i
+        self.bad_packets[i] = 0  # the slot's counter belongs to its stream
         return i
 
     def remove_stream(self, stream_id) -> None:
@@ -92,6 +97,11 @@ class DecoderServer:
             if pkt:
                 try:
                     idx = packet.unpack_indices(pkt)
+                    if idx.size > self._stage_cap:
+                        # Packet needs RVQ stages this engine statically
+                        # skipped (max_bitrate cap): decoding it would play
+                        # silently degraded audio, so refuse it instead.
+                        raise ValueError("packet exceeds engine max_bitrate")
                 except ValueError:
                     # Malformed/unsupported-size packet from one remote peer
                     # must not drop the tick for the whole batch (reference:
@@ -140,8 +150,14 @@ class DecoderServer:
         indices = np.full((self.capacity, self._num_stages), -1, np.int32)
         for size in np.unique(sizes[received]):
             bits = config.packet_size_to_num_quantized_bits(int(size))
-            if bits < 0:
-                received = received & (sizes != size)
+            if (bits < 0
+                    or bits // config.BITS_PER_QUANTIZER > self._stage_cap):
+                # Unknown size, or a bitrate above the engine's static
+                # max_bitrate cap (would decode silently degraded): treat
+                # the whole size group as malformed → loss.
+                bad = received & (sizes == size)
+                self.bad_packets[bad] += 1
+                received = received & ~bad
                 continue
             rows = np.flatnonzero(received & (sizes == size))
             idx = packet.unpack_indices_batch(packets[rows, :int(size)], bits)
@@ -158,7 +174,9 @@ class DecoderServer:
         computes tick t while the host receives tick t−1's audio, whose
         transfer was started asynchronously at dispatch time.  Ordering and
         loss semantics are identical to `tick_packed` shifted by one tick
-        (pinned by tests/test_stream_server.py).
+        (pinned by tests/test_stream_server.py).  Corollary: the first hop
+        drained after add_stream() predates the admission — callers should
+        start playout for a new stream one tick after admitting it.
         """
         indices, received = self._unpack_wire(packets, received, sizes)
         audio, is_cn, self._state = self.engine.step(
@@ -196,11 +214,20 @@ class EncoderServer:
         self._state = self.engine.init_state(capacity)
         self._slots: List[_Slot] = [_Slot(None) for _ in range(capacity)]
         self._by_id: Dict[object, int] = {}
+        self._stage_cap = self.engine._max_stages or self.engine.rvq.num_stages
+        bits = self._check_bits(bitrate)
+        self._nq = np.full(capacity, bits // config.BITS_PER_QUANTIZER, np.int32)
+        self._bits = np.full(capacity, bits, np.int32)
+
+    def _check_bits(self, bitrate: int) -> int:
         bits = config.bitrate_to_num_quantized_bits(bitrate)
         if bits < 0:
             raise ValueError(f"unsupported bitrate {bitrate}")
-        self._nq = np.full(capacity, bits // config.BITS_PER_QUANTIZER, np.int32)
-        self._bits = np.full(capacity, bits, np.int32)
+        if bits // config.BITS_PER_QUANTIZER > self._stage_cap:
+            raise ValueError(
+                f"bitrate {bitrate} needs more RVQ stages than this engine's "
+                f"max_bitrate cap computes ({self._stage_cap})")
+        return bits
 
     @property
     def num_active(self) -> int:
@@ -230,9 +257,7 @@ class EncoderServer:
     def set_bitrate(self, stream_id, bitrate: int) -> None:
         """Per-stream dynamic bitrate (reference: LyraEncoder::set_bitrate) —
         streams at different bitrates batch together."""
-        bits = config.bitrate_to_num_quantized_bits(bitrate)
-        if bits < 0:
-            raise ValueError(f"unsupported bitrate {bitrate}")
+        bits = self._check_bits(bitrate)
         i = self._by_id[stream_id]
         self._nq[i] = bits // config.BITS_PER_QUANTIZER
         self._bits[i] = bits
@@ -245,18 +270,29 @@ class EncoderServer:
         native batch call per size group."""
         indices, is_noise, self._state = self.engine.step(
             self._state, np.asarray(audio, np.float32), self._nq)
-        return self._pack_wire(np.asarray(indices), np.asarray(is_noise))
+        return self._pack_wire(np.asarray(indices), np.asarray(is_noise),
+                               self._bits, self._active_mask())
 
-    def _pack_wire(self, indices: np.ndarray, is_noise: np.ndarray):
-        """Indices → (packets [capacity, max_size] u8, sizes [capacity])."""
-        max_size = config.packet_size(int(self._bits.max()))
-        out = np.zeros((self.capacity, max_size), np.uint8)
-        sizes = np.zeros(self.capacity, np.int32)
+    def _active_mask(self) -> np.ndarray:
         active = np.zeros(self.capacity, bool)
         if self._by_id:
             active[list(self._by_id.values())] = True
-        for bits in np.unique(self._bits):
-            rows = np.flatnonzero((self._bits == bits) & ~is_noise & active)
+        return active
+
+    def _pack_wire(self, indices: np.ndarray, is_noise: np.ndarray,
+                   bits_arr: np.ndarray, active: np.ndarray):
+        """Indices → (packets [capacity, max_size] u8, sizes [capacity]).
+
+        bits_arr/active are the per-slot wire config *of the tick that
+        produced the indices* — the async path snapshots them at submit time
+        so set_bitrate/add_stream between submit and drain can't pack a
+        row with a config its indices weren't encoded for.
+        """
+        max_size = config.packet_size(int(bits_arr.max()))
+        out = np.zeros((self.capacity, max_size), np.uint8)
+        sizes = np.zeros(self.capacity, np.int32)
+        for bits in np.unique(bits_arr):
+            rows = np.flatnonzero((bits_arr == bits) & ~is_noise & active)
             if rows.size == 0:
                 continue
             pkts = packet.pack_indices_batch(indices[rows], int(bits))
@@ -274,10 +310,14 @@ class EncoderServer:
             if hasattr(dev_arr, "copy_to_host_async"):
                 dev_arr.copy_to_host_async()
         pending = getattr(self, "_pending", None)
-        self._pending = (indices, is_noise)
+        # Snapshot the wire config with the indices it belongs to (see
+        # _pack_wire): self._bits/_by_id may legally change before drain.
+        self._pending = (indices, is_noise, self._bits.copy(),
+                         self._active_mask())
         if pending is None:
             return None
-        return self._pack_wire(np.asarray(pending[0]), np.asarray(pending[1]))
+        return self._pack_wire(np.asarray(pending[0]), np.asarray(pending[1]),
+                               pending[2], pending[3])
 
     def flush_async(self):
         """Drain the last in-flight tick of the async pipeline."""
@@ -285,7 +325,8 @@ class EncoderServer:
         self._pending = None
         if pending is None:
             return None
-        return self._pack_wire(np.asarray(pending[0]), np.asarray(pending[1]))
+        return self._pack_wire(np.asarray(pending[0]), np.asarray(pending[1]),
+                               pending[2], pending[3])
 
     def tick(self, audio: Dict[object, np.ndarray]) -> Dict[object, bytes]:
         """One 20 ms step: stream_id -> hop of int16 samples in,

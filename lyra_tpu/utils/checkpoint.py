@@ -72,6 +72,11 @@ def load_state(path: str) -> tuple[Any, Dict[str, Any]]:
     with np.load(path) as data:
         flat = {k[len(_DATA_PREFIX):]: data[k] for k in data.files
                 if k.startswith(_DATA_PREFIX)}
+        if not flat:
+            # Legacy snapshot (pre key-namespacing): data keys are bare.
+            # Restoring as an empty tree would surface as a KeyError deep
+            # inside engine.step, far from the cause — read them instead.
+            flat = {k: data[k] for k in data.files if k != _HEADER_KEY}
         header = json.loads(bytes(data[_HEADER_KEY]).decode())
     if header["identifier"] != config.VERSION_MINOR:
         raise ValueError(

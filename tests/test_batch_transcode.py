@@ -107,3 +107,12 @@ def test_cli_end_to_end(model_path, waves, tmp_path, testdata_path):
         "--input_glob", str(indir / "*.nope"),
         "--output_dir", str(outdir),
     ]) == 1
+
+
+def test_cli_exit_code_on_unreadable_inputs(tmp_path):
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a wav at all")
+    assert batch_transcode.main([
+        "--input_glob", str(tmp_path / "*.wav"),
+        "--output_dir", str(tmp_path / "out"),
+    ]) == 1

@@ -94,3 +94,23 @@ def test_sharded_state_checkpoint_migrates_to_local(model_path, tmp_path):
         restored, np.asarray(idx), np.asarray(received))
     np.testing.assert_allclose(
         np.asarray(a_sharded), np.asarray(a_local), atol=1)
+
+
+def test_legacy_unprefixed_snapshot_loads(tmp_path):
+    """Snapshots written before data-key namespacing (bare flattened keys)
+    must still restore, not silently come back as an empty tree."""
+    import json
+
+    path = str(tmp_path / "legacy.npz")
+    header = json.dumps({"version": config.version_string(),
+                         "identifier": config.VERSION_MINOR, "extra": {}})
+    sep = checkpoint._SEP
+    np.savez(path,
+             **{f"gan{sep}var_a": np.arange(4, dtype=np.float32),
+                "fade": np.array([0, 640], np.int32),
+                checkpoint._HEADER_KEY: np.frombuffer(header.encode(),
+                                                      dtype=np.uint8)})
+    restored, extra = checkpoint.load_state(path)
+    np.testing.assert_array_equal(restored["gan"]["var_a"],
+                                  np.arange(4, dtype=np.float32))
+    np.testing.assert_array_equal(restored["fade"], [0, 640])

@@ -126,3 +126,80 @@ def test_async_pipelined_ticks_match_sync(model_path):
     for t, (a, s) in enumerate(zip(async_out, sync_out)):
         np.testing.assert_array_equal(a, s, err_msg=f"tick {t}")
         assert a.shape == (cap, INTERNAL_HOP)
+
+
+def test_async_drain_uses_submit_time_wire_config(model_path):
+    """set_bitrate/add_stream between an async submit and its drain must not
+    repack the in-flight tick with the new config (the indices were encoded
+    under the old one)."""
+    enc = EncoderServer(2, model_path=model_path, bitrate=3200)
+    enc.add_stream("a")
+    rng = np.random.RandomState(0)
+    hop = rng.randint(-8000, 8000, (2, INTERNAL_HOP)).astype(np.float32)
+
+    assert enc.tick_packed_async(hop) is None  # prime the pipeline
+    enc.set_bitrate("a", 9200)                 # config change mid-flight
+    out, sizes = enc.tick_packed_async(hop)    # drains the 3200-bps tick
+    assert sizes[enc._by_id["a"]] == config.packet_size(64)  # old config
+    out, sizes = enc.flush_async()             # this tick saw 9200
+    assert sizes[enc._by_id["a"]] == config.packet_size(184)
+
+    # A stream admitted mid-flight must not emit a packet for the tick that
+    # predates its admission.
+    enc2 = EncoderServer(2, model_path=model_path, bitrate=3200)
+    enc2.add_stream("a")
+    assert enc2.tick_packed_async(hop) is None
+    enc2.add_stream("b")
+    out, sizes = enc2.tick_packed_async(hop)
+    assert sizes[enc2._by_id["b"]] == 0
+    out, sizes = enc2.flush_async()
+    assert sizes[enc2._by_id["b"]] == config.packet_size(64)
+
+
+def test_decoder_rejects_packets_beyond_engine_bitrate_cap(model_path):
+    """A max_bitrate-capped engine statically skips RVQ stages; packets
+    that need them must be refused (treated as loss), not silently decoded
+    degraded."""
+    from lyra_tpu.codec.engine import DecoderEngine
+
+    dec = DecoderServer(
+        2, engine=DecoderEngine(model_path=model_path, max_bitrate=3200))
+    dec.add_stream("a")
+    ok_pkt = bytes(config.packet_size(64))
+    big_pkt = bytes(config.packet_size(120))  # 6 kbps: over the cap
+    dec.tick({"a": ok_pkt})
+    assert dec.bad_packets[dec._by_id["a"]] == 0
+    dec.tick({"a": big_pkt})
+    assert dec.bad_packets[dec._by_id["a"]] == 1
+
+    # Packed path: same refusal, whole size group counted.
+    cap = dec.capacity
+    pkts = np.zeros((cap, config.packet_size(120)), np.uint8)
+    sizes = np.full(cap, config.packet_size(120), np.int32)
+    received = np.ones(cap, bool)
+    dec.tick_packed(pkts, received, sizes)
+    assert dec.bad_packets[dec._by_id["a"]] == 2
+
+    # Encoder-side: configuring a bitrate above the cap is a hard error.
+    from lyra_tpu.codec.engine import EncoderEngine
+
+    enc = EncoderServer(
+        2, engine=EncoderEngine(model_path=model_path, max_bitrate=3200))
+    enc.add_stream("a")
+    with pytest.raises(ValueError, match="max_bitrate"):
+        enc.set_bitrate("a", 9200)
+    with pytest.raises(ValueError, match="max_bitrate"):
+        EncoderServer(2, engine=EncoderEngine(
+            model_path=model_path, max_bitrate=3200), bitrate=6000)
+
+
+def test_bad_packet_counter_resets_on_slot_reuse(model_path):
+    dec = DecoderServer(1, model_path=model_path)
+    dec.add_stream("a")
+    dec.tick({"a": b"\x00\x01\x02"})  # malformed size
+    slot = dec._by_id["a"]
+    assert dec.bad_packets[slot] == 1
+    dec.remove_stream("a")
+    dec.add_stream("b")  # reuses slot 0
+    assert dec._by_id["b"] == slot
+    assert dec.bad_packets[slot] == 0
