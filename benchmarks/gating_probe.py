@@ -15,10 +15,13 @@ tick, whichever branch executes.
 Usage: python benchmarks/gating_probe.py [B]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
