@@ -215,9 +215,10 @@ class EncoderServer:
         self._slots: List[_Slot] = [_Slot(None) for _ in range(capacity)]
         self._by_id: Dict[object, int] = {}
         self._stage_cap = self.engine._max_stages or self.engine.rvq.num_stages
-        bits = self._check_bits(bitrate)
-        self._nq = np.full(capacity, bits // config.BITS_PER_QUANTIZER, np.int32)
-        self._bits = np.full(capacity, bits, np.int32)
+        self._default_bits = self._check_bits(bitrate)
+        self._nq = np.full(
+            capacity, self._default_bits // config.BITS_PER_QUANTIZER, np.int32)
+        self._bits = np.full(capacity, self._default_bits, np.int32)
 
     def _check_bits(self, bitrate: int) -> int:
         bits = config.bitrate_to_num_quantized_bits(bitrate)
@@ -236,6 +237,10 @@ class EncoderServer:
     def add_stream(self, stream_id, bitrate: Optional[int] = None) -> int:
         if stream_id in self._by_id:
             raise KeyError(f"stream {stream_id!r} already active")
+        # Validate before mutating anything: a bad bitrate must not leave a
+        # half-admitted stream occupying a slot.
+        bits = (self._default_bits if bitrate is None
+                else self._check_bits(bitrate))
         for i, slot in enumerate(self._slots):
             if not slot.active:
                 break
@@ -246,8 +251,9 @@ class EncoderServer:
         self._state = self.engine.reset_rows(self._state, mask)
         self._slots[i] = _Slot(stream_id, True)
         self._by_id[stream_id] = i
-        if bitrate is not None:
-            self.set_bitrate(stream_id, bitrate)
+        # Reused slots must not inherit the evicted stream's bitrate.
+        self._nq[i] = bits // config.BITS_PER_QUANTIZER
+        self._bits[i] = bits
         return i
 
     def remove_stream(self, stream_id) -> None:

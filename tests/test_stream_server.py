@@ -60,6 +60,30 @@ def test_capacity_and_duplicate_errors(model_path):
         enc.set_bitrate("x", 1234)
 
 
+def test_bad_bitrate_admission_leaves_no_half_admitted_stream(model_path):
+    """add_stream with an invalid bitrate must fail atomically: the slot
+    stays free and the same id can be admitted again afterwards."""
+    enc = EncoderServer(1, model_path=model_path, bitrate=3200)
+    with pytest.raises(ValueError):
+        enc.add_stream("a", bitrate=1234)
+    assert "a" not in enc._by_id
+    assert enc.add_stream("a") == 0  # slot 0 was never consumed
+
+
+def test_reused_slot_does_not_inherit_evicted_bitrate(model_path):
+    """A stream admitted with the server default bitrate into a slot whose
+    previous occupant had a custom bitrate must get the default, not the
+    evicted stream's setting (reference: per-stream set_bitrate,
+    lyra_encoder.h:96-101)."""
+    enc = EncoderServer(1, model_path=model_path, bitrate=3200)
+    enc.add_stream("hi", bitrate=9200)
+    hop = [0] * 320
+    assert len(enc.tick({"hi": hop})["hi"]) == 23  # 9.2 kbps packet
+    enc.remove_stream("hi")
+    enc.add_stream("fresh")  # no explicit bitrate -> server default
+    assert len(enc.tick({"fresh": hop})["fresh"]) == 8  # 3.2 kbps packet
+
+
 def test_decoder_comfort_noise_after_sustained_loss(servers):
     _, dec = servers
     dec_ids = list(dec._by_id)
