@@ -100,10 +100,16 @@ class DecoderEngine:
                  mode: str = "float", backend: str = "xla",
                  feature_estimator: str = "zero",
                  max_bitrate: int | None = None,
-                 gate_idle_stages: bool = True):
+                 gate_idle_stages: bool = True,
+                 state_compression: str | None = None):
         config.check_params_supported(sample_rate_hz, config.NUM_CHANNELS, model_path)
         self.sample_rate_hz = sample_rate_hz
-        self.gan = LyraGanModel(model_path, mode=mode, backend=backend)
+        # state_compression="int8": store the GAN's streaming conv contexts
+        # int8-compressed between ticks (models/streaming.py
+        # `_quantize_leaf`) — halves per-stream checkpoint/drain bytes for
+        # serving migration; not a step-time win on TPU (PERF.md).
+        self.gan = LyraGanModel(model_path, mode=mode, backend=backend,
+                                state_dtype=state_compression)
         self.rvq = ResidualVectorQuantizer.from_model_path(model_path)
         # Static serving specialization: a fleet capped at one bitrate skips
         # RVQ stage work the wire format can never carry (the engine stays
@@ -282,11 +288,15 @@ class EncoderEngine:
     def __init__(self, sample_rate_hz: int = config.INTERNAL_SAMPLE_RATE,
                  model_path: str = config.DEFAULT_MODEL_PATH,
                  enable_dtx: bool = False, mode: str = "float",
-                 backend: str = "xla", max_bitrate: int | None = None):
+                 backend: str = "xla", max_bitrate: int | None = None,
+                 state_compression: str | None = None):
         config.check_params_supported(sample_rate_hz, config.NUM_CHANNELS, model_path)
         self.sample_rate_hz = sample_rate_hz
         self.enable_dtx = enable_dtx
-        self.soundstream = SoundStreamEncoder(model_path, mode=mode, backend=backend)
+        # See DecoderEngine: int8 storage of the streaming conv contexts.
+        self.soundstream = SoundStreamEncoder(model_path, mode=mode,
+                                              backend=backend,
+                                              state_dtype=state_compression)
         self.rvq = ResidualVectorQuantizer.from_model_path(model_path)
         # See DecoderEngine: static single-bitrate serving specialization.
         self._max_stages = (None if max_bitrate is None else

@@ -22,11 +22,49 @@ from lyra_tpu.tflite.executor import GraphFn, load_graph
 
 State = Dict[str, jnp.ndarray]
 
+# Streaming-state leaves below this element count are kept uncompressed when
+# state compression is on: the per-stream scale would cost more than it saves.
+_COMPRESS_MIN_SIZE = 256
+
+
+def _quantize_leaf(x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Symmetric per-stream int8 quantization of one [B, ...] state buffer.
+
+    The scale is dynamic (recomputed each tick from the buffer's amax), so
+    no calibration is needed and silence stays exactly zero.  Note this
+    does NOT speed up the serving step on TPU (XLA materializes conv
+    operands, so the dequantized state round-trips HBM anyway — measured
+    regression, PERF.md "Probed and rejected"); its use is halving
+    per-stream state bytes for checkpoint/drain-based serving migration
+    (utils/checkpoint.py).
+    """
+    flat = jnp.abs(x.astype(jnp.float32).reshape(x.shape[0], -1))
+    amax = jnp.max(flat, axis=1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.round(x.astype(jnp.float32)
+                  / scale.reshape((-1,) + (1,) * (x.ndim - 1)))
+    return {"q": jnp.clip(q, -127, 127).astype(jnp.int8),
+            "s": scale}
+
+
+def _dequantize_leaf(packed: Dict[str, jnp.ndarray], dtype) -> jnp.ndarray:
+    q = packed["q"]
+    s = packed["s"].reshape((-1,) + (1,) * (q.ndim - 1))
+    return (q.astype(jnp.float32) * s).astype(dtype)
+
 
 class BatchedStreamingModel:
-    """Wraps a stateful single-stream GraphFn as a batched pure function."""
+    """Wraps a stateful single-stream GraphFn as a batched pure function.
 
-    def __init__(self, graph: GraphFn, input_name: str, output_name: str):
+    state_dtype="int8" stores the large streaming-state buffers compressed
+    in HBM (int8 + per-stream dynamic scale, see `_quantize_leaf`); the
+    graph itself still computes in its own dtype — only the *storage* of
+    state between ticks changes.  Opt-in: it trades a small re-quantization
+    error on the conv contexts for ~half the state HBM traffic.
+    """
+
+    def __init__(self, graph: GraphFn, input_name: str, output_name: str,
+                 state_dtype: str | None = None):
         self._graph = graph
         self._input_name = input_name
         self._output_name = output_name
@@ -39,6 +77,23 @@ class BatchedStreamingModel:
         self._single = _single
         self._batched = jax.vmap(_single)
         self._single_state_template = single_state
+        if state_dtype not in (None, "int8"):
+            raise ValueError(f"unsupported state_dtype {state_dtype!r}")
+        self._compress_keys = frozenset(
+            k for k, v in single_state.items()
+            if np.asarray(v).size >= _COMPRESS_MIN_SIZE
+        ) if state_dtype == "int8" else frozenset()
+
+    def _compress(self, raw: State) -> State:
+        return {k: _quantize_leaf(v) if k in self._compress_keys else v
+                for k, v in raw.items()}
+
+    def _decompress(self, state: State) -> State:
+        return {
+            k: _dequantize_leaf(v, self._single_state_template[k].dtype)
+            if k in self._compress_keys else v
+            for k, v in state.items()
+        }
 
     def init_state(self, batch_size: int) -> State:
         """Zero/init streaming state replicated over `batch_size` streams.
@@ -46,22 +101,27 @@ class BatchedStreamingModel:
         Maps to the reference's ResetVariableTensors
         (reference: lyra/tflite_model_wrapper.cc:111-113).
         """
-        return {
+        raw = {
             k: jnp.broadcast_to(jnp.asarray(v), (batch_size,) + v.shape)
             for k, v in self._single_state_template.items()
         }
+        return self._compress(raw)
 
     def reset_rows(self, state: State, mask: jnp.ndarray) -> State:
         """Reset state to initial values where `mask` ([B] bool) is set."""
-        out = {}
-        for k, v in state.items():
-            init = jnp.asarray(self._single_state_template[k])
-            m = mask.reshape((-1,) + (1,) * init.ndim)
-            out[k] = jnp.where(m, init[None], v)
-        return out
+        fresh = self.init_state(int(mask.shape[0]))
+
+        def pick(new, old):
+            m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(m, new, old)
+
+        return jax.tree.map(pick, fresh, state)
 
     def __call__(self, state: State, x: jnp.ndarray) -> Tuple[jnp.ndarray, State]:
         """x: [B, *single_input_shape] → ([B, *single_output_shape], state)."""
+        if self._compress_keys:
+            out, new_raw = self._batched(self._decompress(state), x)
+            return out, self._compress(new_raw)
         return self._batched(state, x)
 
     def single(self, state: State, x: jnp.ndarray):
@@ -109,9 +169,13 @@ class SoundStreamEncoder(BatchedStreamingModel):
     """
 
     def __init__(self, model_path: str, mode: str = "float",
-                 backend: str = "xla", block_streams: int = 64):
+                 backend: str = "xla", block_streams: int = 64,
+                 state_dtype: str | None = None):
         path = os.path.join(model_path, "soundstream_encoder.tflite")
         if backend == "fused":
+            if state_dtype is not None:
+                raise ValueError("state_dtype requires backend='xla' "
+                                 "(the fused kernel manages its own state)")
             fused = _FusedModel(path, mode, block_streams)
             self._fused = fused
             self.init_state = fused.init_state
@@ -124,7 +188,8 @@ class SoundStreamEncoder(BatchedStreamingModel):
             self.extract = extract
             return
         graph = load_graph(path, mode=mode)
-        super().__init__(graph, "input_audio", "output_0")
+        super().__init__(graph, "input_audio", "output_0",
+                         state_dtype=state_dtype)
 
     def extract(self, state: State, frames: jnp.ndarray):
         feats, state = self(state, frames[:, None, :])  # [B, 1, 320]
@@ -140,9 +205,13 @@ class LyraGanModel(BatchedStreamingModel):
     """
 
     def __init__(self, model_path: str, mode: str = "float",
-                 backend: str = "xla", block_streams: int = 64):
+                 backend: str = "xla", block_streams: int = 64,
+                 state_dtype: str | None = None):
         path = os.path.join(model_path, "lyragan.tflite")
         if backend == "fused":
+            if state_dtype is not None:
+                raise ValueError("state_dtype requires backend='xla' "
+                                 "(the fused kernel manages its own state)")
             fused = _FusedModel(path, mode, block_streams)
             self._fused = fused
             self.init_state = fused.init_state
@@ -155,7 +224,8 @@ class LyraGanModel(BatchedStreamingModel):
             self.decode_hop = decode_hop
             return
         graph = load_graph(path, mode=mode)
-        super().__init__(graph, "input_audio", "output_0")
+        super().__init__(graph, "input_audio", "output_0",
+                         state_dtype=state_dtype)
 
     def decode_hop(self, state: State, features: jnp.ndarray):
         samples, state = self(state, features[:, None, None, :])  # [B, 1, 1, 64]

@@ -114,3 +114,41 @@ def test_legacy_unprefixed_snapshot_loads(tmp_path):
     np.testing.assert_array_equal(restored["gan"]["var_a"],
                                   np.arange(4, dtype=np.float32))
     np.testing.assert_array_equal(restored["fade"], [0, 640])
+
+
+def test_compressed_state_snapshot_halves_bytes_and_resumes(model_path,
+                                                            tmp_path):
+    """state_compression='int8' exists for serving migration: the drained
+    per-stream snapshot must be roughly half the uncompressed bytes and
+    resume into a bit-identical continuation."""
+    from lyra_tpu.codec.engine import DecoderEngine
+
+    rng = np.random.RandomState(7)
+
+    def run(eng, n, state=None):
+        st = eng.init_state(2) if state is None else state
+        out = None
+        for _ in range(n):
+            idx = rng.randint(0, 16, (2, eng.rvq.num_stages)).astype(np.int32)
+            out, _, st = eng.step(st, idx, np.array([True, False]))
+        return out, st
+
+    sizes = {}
+    for comp in (None, "int8"):
+        eng = DecoderEngine(16000, model_path, state_compression=comp)
+        _, st = run(eng, 3)
+        path = str(tmp_path / f"snap_{comp}.npz")
+        checkpoint.save_state(path, checkpoint.jax_to_numpy(st))
+        sizes[comp] = (tmp_path / f"snap_{comp}.npz").stat().st_size
+
+        restored, _ = checkpoint.load_state(path)
+        rng_save = rng.get_state()
+        out_resumed, _ = run(eng, 2, state=restored)
+        rng.set_state(rng_save)
+        out_direct, _ = run(eng, 2, state=st)
+        np.testing.assert_array_equal(np.asarray(out_resumed),
+                                      np.asarray(out_direct))
+    # GAN conv contexts dominate the decoder state; int8+scale vs f32 cuts
+    # the snapshot to ~47% (the remainder is CNG/noise/estimator state and
+    # sub-threshold leaves, which stay uncompressed; npz is uncompressed).
+    assert sizes["int8"] < 0.55 * sizes[None], sizes

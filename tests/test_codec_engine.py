@@ -139,6 +139,43 @@ def test_bf16_mode_meets_lsd_bar(model_path, speech):
     assert float(np.mean(lsds[3:])) < 2.0
 
 
+def test_int8_state_compression_meets_lsd_bar(model_path, speech):
+    """state_compression='int8' (conv contexts stored int8+scale in HBM,
+    models/streaming.py) must also hold the reference quality bar, through
+    a full PLC cycle so requantization error is exercised across every
+    state regime, and the compressed state must actually be int8."""
+    from lyra_tpu.dsp import melspec
+    from lyra_tpu.dsp import utils as dsp_utils
+
+    enc = EncoderEngine(16000, model_path, mode="bf16",
+                        state_compression="int8")
+    dec = DecoderEngine(16000, model_path, mode="bf16",
+                        state_compression="int8")
+    es, ds = enc.init_state(1), dec.init_state(1)
+    big = [k for k, v in ds["gan"].items() if isinstance(v, dict)]
+    assert big, "no compressed leaves in the GAN state"
+    assert all(ds["gan"][k]["q"].dtype == np.int8 for k in big)
+    n = speech.shape[0]
+    outs = []
+    for t in range(n):
+        idx, _, es = enc.step(es, speech[t][None].astype(np.float32), 46)
+        audio, _, ds = dec.step(ds, np.asarray(idx),
+                                np.array([LOSS_PATTERN[t]]))
+        outs.append(np.asarray(audio)[0])
+    cfg = melspec.MelConfig.for_rate(16000, config.NUM_FEATURES)
+    ein, edec = melspec.LogMelExtractorRef(cfg), melspec.LogMelExtractorRef(cfg)
+    lsds = [dsp_utils.log_spectral_distance(
+        ein.extract(speech[t]), edec.extract(outs[t]))
+        for t in range(n) if LOSS_PATTERN[t]]
+    assert float(np.mean(lsds[1:])) < 2.0
+
+    # Admission still works on the compressed representation.
+    fresh = dec.reset_rows(ds, np.array([True]))
+    for k in big:
+        assert fresh["gan"][k]["q"].dtype == np.int8
+        np.testing.assert_array_equal(np.asarray(fresh["gan"][k]["q"]), 0)
+
+
 def test_encoder_facade_packet_bytes(model_path, speech):
     enc = LyraEncoder(16000, bitrate=6000, model_path=model_path)
     pkt = enc.encode(speech[0])
