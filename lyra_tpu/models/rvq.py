@@ -152,6 +152,8 @@ class ResidualVectorQuantizer:
         s, k, f = self.codebooks.shape
         if max_stages is not None:
             s = int(max_stages)
+            if not 1 <= s <= self.num_stages:  # same guard as quantize()
+                raise ValueError(f"max_stages {max_stages} out of range")
             indices = indices[:, :s]
         cbs = self.codebooks[:s]
         if dtype is not None and dtype != jnp.float32:

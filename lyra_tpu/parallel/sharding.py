@@ -114,11 +114,21 @@ class ShardedEngine:
 
     def reset_rows(self, state, mask, **kw):
         """Stream admission/eviction on the mesh: re-initialize the masked
-        rows, keeping every leaf sharded over the stream axis."""
+        rows, keeping every leaf sharded over the stream axis.
+
+        The fresh init-state template is cached (one entry: servers admit
+        at a fixed capacity/seed) — without it every single-stream admission
+        would rebuild and reshard the full ~MB-per-stream state tree across
+        the mesh, at call-arrival rates."""
         mask = np.asarray(mask)
-        fresh = shard_batch_tree(
-            self.engine.init_state(int(mask.shape[0]), **kw),
-            self.mesh, self.axis_name)
+        key = (int(mask.shape[0]), tuple(sorted(kw.items())))
+        cached = getattr(self, "_fresh_cache", None)
+        if cached is None or cached[0] != key:
+            fresh = shard_batch_tree(
+                self.engine.init_state(int(mask.shape[0]), **kw),
+                self.mesh, self.axis_name)
+            self._fresh_cache = cached = (key, fresh)
+        fresh = cached[1]
         mask_dev = jax.device_put(mask, self._sh)
 
         def pick(new, old):

@@ -227,6 +227,17 @@ def _int8_dequantize(x: Array, t_in: tfl.TensorDef) -> Array:
     return (x.astype(jnp.float32) - zp) * scale
 
 
+def _int8_no_fused_activation(op) -> None:
+    """The int8 kernels implement activation=NONE only (all the shipped Lyra
+    graphs').  A fused RELU* would need the interpreter's quantized clamp
+    range; silently dropping it yields wrong audio, so refuse at trace time
+    (same convention as the hybrid-quantization guard in get_weight)."""
+    act = op.options.get("activation")
+    if act is not None:
+        raise NotImplementedError(
+            f"int8 {op.name} with fused activation {act!r} is not supported")
+
+
 def _int8_conv_out(acc: Array, bias, t_in, t_w, t_out, kind: str) -> Array:
     """Shared conv epilogue: +bias, per-channel requant, +zp_out, clamp."""
     if bias is not None:
@@ -594,6 +605,7 @@ class GraphLowering:
                 elif nm == "CONV_2D":
                     x = get(op.inputs[0])
                     if mode == "int8" and tensors_meta[o0].dtype == np.int8:
+                        _int8_no_fused_activation(op)
                         w = get(op.inputs[1])
                         b = get(op.inputs[2]) if len(op.inputs) > 2 else None
                         acc = _int8_conv_acc(
@@ -613,6 +625,7 @@ class GraphLowering:
                 elif nm == "DEPTHWISE_CONV_2D":
                     x = get(op.inputs[0])
                     if mode == "int8" and tensors_meta[o0].dtype == np.int8:
+                        _int8_no_fused_activation(op)
                         acc = _int8_depthwise_acc(
                             x, get(op.inputs[1]), op.options,
                             tensors_meta[op.inputs[0]])
@@ -634,10 +647,19 @@ class GraphLowering:
                     out_shape = [int(v) for v in static(op.inputs[0])]
                     x = get(op.inputs[2])
                     if mode == "int8" and tensors_meta[o0].dtype == np.int8:
+                        _int8_no_fused_activation(op)
                         w = get(op.inputs[1])
                         b = get(op.inputs[3]) if len(op.inputs) > 3 else None
                         acc = _int8_transpose_conv_acc(
                             x, w, op.options, tensors_meta[op.inputs[2]])
+                        if list(acc.shape) != out_shape:
+                            # The int8 lowering implements the full-
+                            # correlation (VALID) output the Lyra graphs
+                            # declare; anything else would silently
+                            # misalign, so refuse at trace time.
+                            raise NotImplementedError(
+                                f"int8 TRANSPOSE_CONV output {acc.shape} != "
+                                f"declared {out_shape} (unsupported padding)")
                         env[o0] = _int8_conv_out(
                             acc, b, tensors_meta[op.inputs[2]],
                             tensors_meta[op.inputs[1]], tensors_meta[o0],
@@ -664,6 +686,7 @@ class GraphLowering:
                     a, b = get(op.inputs[0]), get(op.inputs[1])
                     if (mode == "int8" and nm == "ADD"
                             and tensors_meta[o0].dtype == np.int8):
+                        _int8_no_fused_activation(op)
                         env[o0] = _int8_add(
                             a, b, tensors_meta[op.inputs[0]],
                             tensors_meta[op.inputs[1]], tensors_meta[o0])

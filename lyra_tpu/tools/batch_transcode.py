@@ -34,7 +34,7 @@ import numpy as np
 
 from lyra_tpu import config, packet
 from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
-from lyra_tpu.utils import wav
+from lyra_tpu.utils import native, wav
 
 log = logging.getLogger("lyra_tpu")
 
@@ -153,6 +153,34 @@ def _group_by_rate(paths: Sequence[str]) -> Dict[int, List[Tuple[str, np.ndarray
     return groups
 
 
+def _output_stems(paths: Sequence[str]) -> Dict[str, str]:
+    """Unique output stem per input path.
+
+    Basename stems alone would let data/spk1/utt.wav and data/spk2/utt.wav
+    silently clobber each other's outputs; colliding stems are
+    disambiguated by prefixing parent-directory components until unique.
+    """
+    stems = {p: os.path.splitext(os.path.basename(p))[0] for p in paths}
+    depth = 1
+    while True:
+        counts: Dict[str, int] = {}
+        for s in stems.values():
+            counts[s] = counts.get(s, 0) + 1
+        dupes = [p for p, s in stems.items() if counts[s] > 1]
+        if not dupes:
+            return stems
+        for p in dupes:
+            parts = os.path.normpath(os.path.abspath(p)).split(os.sep)
+            # basename + `depth` parent components, joined with "_".
+            take = parts[max(0, len(parts) - 1 - depth): -1]
+            stem = "_".join([c for c in take if c] +
+                            [os.path.splitext(parts[-1])[0]])
+            stems[p] = stem
+        depth += 1
+        if depth > 64:  # identical paths can't happen (glob is a set)
+            raise ValueError(f"cannot disambiguate output names: {dupes}")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--input_glob", required=True,
@@ -175,6 +203,8 @@ def main(argv=None) -> int:
         log.error("No inputs match %s", args.input_glob)
         return 1
     os.makedirs(args.output_dir, exist_ok=True)
+    native.build()  # compile the wire codec now, not mid-batch
+    stems = _output_stems(paths)
 
     if args.mode == "decode":
         streams = []
@@ -184,9 +214,8 @@ def main(argv=None) -> int:
         outs = decode_batch(streams, args.sample_rate, args.bitrate,
                             args.model_path, compute=args.compute)
         for p, samples in zip(paths, outs):
-            stem = os.path.splitext(os.path.basename(p))[0]
             wav.write_wav_int16(
-                os.path.join(args.output_dir, f"{stem}_decoded.wav"),
+                os.path.join(args.output_dir, f"{stems[p]}_decoded.wav"),
                 samples, args.sample_rate, 1)
         return 0
 
@@ -199,17 +228,15 @@ def main(argv=None) -> int:
                                compute=args.compute)
         if args.mode == "encode":
             for (p, _), enc_bytes in zip(items, encoded):
-                stem = os.path.splitext(os.path.basename(p))[0]
-                with open(os.path.join(args.output_dir, f"{stem}.lyra"),
+                with open(os.path.join(args.output_dir, f"{stems[p]}.lyra"),
                           "wb") as f:
                     f.write(enc_bytes)
         else:  # transcode
             outs = decode_batch(encoded, rate, args.bitrate, args.model_path,
                                 compute=args.compute)
             for (p, _), samples in zip(items, outs):
-                stem = os.path.splitext(os.path.basename(p))[0]
                 wav.write_wav_int16(
-                    os.path.join(args.output_dir, f"{stem}_decoded.wav"),
+                    os.path.join(args.output_dir, f"{stems[p]}_decoded.wav"),
                     samples, rate, 1)
     # Unreadable/unsupported inputs were logged and skipped; surface them in
     # the exit code so batch pipelines notice.

@@ -30,6 +30,18 @@ def probe(model_dir: str = config.DEFAULT_MODEL_PATH, frames: int = 8):
 
     totals = defaultdict(lambda: defaultdict(int))
 
+    # The probe mutates the module-global rounding table; restore the real
+    # defaults however the probe exits, so a mid-probe failure can't leave
+    # arbitrary probe values corrupting later int8 graph loads.
+    saved_rounding = dict(executor._INT8_ROUNDING)
+    try:
+        return _probe(model_dir, frames, totals, executor, tfl, tf, jnp, np)
+    finally:
+        executor._INT8_ROUNDING.clear()
+        executor._INT8_ROUNDING.update(saved_rounding)
+
+
+def _probe(model_dir, frames, totals, executor, tfl, tf, jnp, np):
     for model, sig, make_input in (
         ("soundstream_encoder", "serving_default",
          lambda r: {"input_audio": r.uniform(-0.5, 0.5, (1, 320)).astype(np.float32)}),
@@ -75,13 +87,11 @@ def probe(model_dir: str = config.DEFAULT_MODEL_PATH, frames: int = 8):
                     totals[key][rounding] += int(
                         (np.asarray(got) != ref).sum())
 
-    # Restore defaults (CONV_2D must fall back to the per-instance choice).
-    executor._INT8_ROUNDING.pop("CONV_2D", None)
-    executor._INT8_ROUNDING.update(DEPTHWISE_CONV_2D="ruy", TRANSPOSE_CONV="ruy",
-                                   LEAKY_RELU="single", ADD="single",
-                                   QUANTIZE="single")
     print(f"{'op kind':20s} {'single':>10s} {'double':>10s} {'ruy':>10s}   winner")
     for kind, counts in sorted(totals.items()):
+        if not counts:  # every attempt for this kind failed to run
+            print(f"{kind:20s} {'(no runs)':>34s}")
+            continue
         winner = min(counts, key=counts.get)
         print(f"{kind:20s} {counts.get('single', -1):10d} "
               f"{counts.get('double', -1):10d} {counts.get('ruy', -1):10d}"

@@ -55,6 +55,9 @@ class DecoderServer:
         self._last_comfort = np.zeros(capacity, bool)
         # Malformed wire packets per slot: treated as loss, never fatal.
         self.bad_packets = np.zeros(capacity, np.int64)
+        # Bumped on every admission: lets the async drain detect that a slot
+        # changed hands between submit and drain (see tick_packed_async).
+        self._gen = np.zeros(capacity, np.int64)
 
     @property
     def num_active(self) -> int:
@@ -76,6 +79,7 @@ class DecoderServer:
         self._slots[i] = _Slot(stream_id, True)
         self._by_id[stream_id] = i
         self.bad_packets[i] = 0  # the slot's counter belongs to its stream
+        self._gen[i] += 1
         return i
 
     def remove_stream(self, stream_id) -> None:
@@ -174,9 +178,10 @@ class DecoderServer:
         computes tick t while the host receives tick t−1's audio, whose
         transfer was started asynchronously at dispatch time.  Ordering and
         loss semantics are identical to `tick_packed` shifted by one tick
-        (pinned by tests/test_stream_server.py).  Corollary: the first hop
-        drained after add_stream() predates the admission — callers should
-        start playout for a new stream one tick after admitting it.
+        (pinned by tests/test_stream_server.py).  A slot that changed hands
+        between submit and drain (remove_stream + add_stream) drains
+        *silence*, never the evicted stream's audio — a newly admitted call
+        must not be handed 20 ms of someone else's voice.
         """
         indices, received = self._unpack_wire(packets, received, sizes)
         audio, is_cn, self._state = self.engine.step(
@@ -184,12 +189,19 @@ class DecoderServer:
         for dev_arr in (audio, is_cn):
             if hasattr(dev_arr, "copy_to_host_async"):
                 dev_arr.copy_to_host_async()
-        pending, self._pending = getattr(self, "_pending", None), (audio, is_cn)
+        pending = getattr(self, "_pending", None)
+        self._pending = (audio, is_cn, self._gen.copy())
         if pending is None:
             return None
-        audio_prev, is_cn_prev = pending
-        self._last_comfort = np.asarray(is_cn_prev)
-        return np.asarray(audio_prev).astype(np.int16)
+        return self._drain(pending)
+
+    def _drain(self, pending) -> np.ndarray:
+        audio_prev, is_cn_prev, gen_prev = pending
+        stale = gen_prev != self._gen  # slot re-admitted since submit
+        audio_prev = np.asarray(audio_prev).astype(np.int16)
+        audio_prev[stale] = 0
+        self._last_comfort = np.asarray(is_cn_prev) & ~stale
+        return audio_prev
 
     def flush_async(self) -> Optional[np.ndarray]:
         """Drain the last in-flight tick of the async pipeline."""
@@ -197,9 +209,7 @@ class DecoderServer:
         self._pending = None
         if pending is None:
             return None
-        audio_prev, is_cn_prev = pending
-        self._last_comfort = np.asarray(is_cn_prev)
-        return np.asarray(audio_prev).astype(np.int16)
+        return self._drain(pending)
 
 
 class EncoderServer:
@@ -219,6 +229,8 @@ class EncoderServer:
         self._nq = np.full(
             capacity, self._default_bits // config.BITS_PER_QUANTIZER, np.int32)
         self._bits = np.full(capacity, self._default_bits, np.int32)
+        # See DecoderServer._gen: detects slot reuse across an async drain.
+        self._gen = np.zeros(capacity, np.int64)
 
     def _check_bits(self, bitrate: int) -> int:
         bits = config.bitrate_to_num_quantized_bits(bitrate)
@@ -254,6 +266,7 @@ class EncoderServer:
         # Reused slots must not inherit the evicted stream's bitrate.
         self._nq[i] = bits // config.BITS_PER_QUANTIZER
         self._bits[i] = bits
+        self._gen[i] += 1
         return i
 
     def remove_stream(self, stream_id) -> None:
@@ -309,7 +322,9 @@ class EncoderServer:
     def tick_packed_async(self, audio: np.ndarray):
         """Pipelined encode tick: submit this tick's audio, return the
         *previous* tick's (packets, sizes) — None on the first call.  Same
-        overlap contract as DecoderServer.tick_packed_async."""
+        overlap contract as DecoderServer.tick_packed_async; a slot that
+        changed hands between submit and drain emits size 0, so the evicted
+        stream's packet can never be attributed to the new occupant."""
         indices, is_noise, self._state = self.engine.step(
             self._state, np.asarray(audio, np.float32), self._nq)
         for dev_arr in (indices, is_noise):
@@ -319,11 +334,15 @@ class EncoderServer:
         # Snapshot the wire config with the indices it belongs to (see
         # _pack_wire): self._bits/_by_id may legally change before drain.
         self._pending = (indices, is_noise, self._bits.copy(),
-                         self._active_mask())
+                         self._active_mask(), self._gen.copy())
         if pending is None:
             return None
-        return self._pack_wire(np.asarray(pending[0]), np.asarray(pending[1]),
-                               pending[2], pending[3])
+        return self._drain(pending)
+
+    def _drain(self, pending):
+        indices, is_noise, bits, active, gen_prev = pending
+        return self._pack_wire(np.asarray(indices), np.asarray(is_noise),
+                               bits, active & (gen_prev == self._gen))
 
     def flush_async(self):
         """Drain the last in-flight tick of the async pipeline."""
@@ -331,8 +350,7 @@ class EncoderServer:
         self._pending = None
         if pending is None:
             return None
-        return self._pack_wire(np.asarray(pending[0]), np.asarray(pending[1]),
-                               pending[2], pending[3])
+        return self._drain(pending)
 
     def tick(self, audio: Dict[object, np.ndarray]) -> Dict[object, bytes]:
         """One 20 ms step: stream_id -> hop of int16 samples in,

@@ -116,3 +116,24 @@ def test_cli_exit_code_on_unreadable_inputs(tmp_path):
         "--input_glob", str(tmp_path / "*.wav"),
         "--output_dir", str(tmp_path / "out"),
     ]) == 1
+
+
+def test_same_stem_inputs_do_not_clobber(tmp_path, testdata_path):
+    """data/a/utt.wav and data/b/utt.wav must produce distinct outputs, not
+    silently overwrite each other."""
+    import shutil
+
+    from lyra_tpu.tools import batch_transcode
+
+    src = f"{testdata_path}/sample1_16kHz.wav"
+    for d in ("a", "b"):
+        (tmp_path / d).mkdir()
+        shutil.copy(src, tmp_path / d / "utt.wav")
+    out = tmp_path / "out"
+    rc = batch_transcode.main([
+        "--input_glob", str(tmp_path / "*" / "utt.wav"),
+        "--output_dir", str(out), "--mode", "encode"])
+    assert rc == 0
+    produced = sorted(p.name for p in out.glob("*.lyra"))
+    assert len(produced) == 2 and len(set(produced)) == 2, produced
+    assert {"a_utt.lyra", "b_utt.lyra"} == set(produced)

@@ -227,3 +227,38 @@ def test_bad_packet_counter_resets_on_slot_reuse(model_path):
     dec.add_stream("b")  # reuses slot 0
     assert dec._by_id["b"] == slot
     assert dec.bad_packets[slot] == 0
+
+
+def test_async_drain_never_leaks_across_slot_reuse(model_path):
+    """A slot re-admitted between an async submit and its drain must drain
+    size-0 (encoder) / silence (decoder): the evicted stream's in-flight
+    packet or audio must never be attributed to the slot's new occupant."""
+    enc = EncoderServer(2, model_path=model_path, bitrate=3200)
+    dec = DecoderServer(2, model_path=model_path)
+    for s in (enc, dec):
+        s.add_stream("old0")
+        s.add_stream("keep")
+    hop = np.full((2, INTERNAL_HOP), 4000, np.int16)
+
+    assert enc.tick_packed_async(hop) is None
+    # Slot 0 changes hands while tick 0 is in flight.
+    enc.remove_stream("old0")
+    slot = enc.add_stream("new0")
+    assert slot == 0
+    pkts, sizes = enc.tick_packed_async(hop)
+    assert sizes[0] == 0          # old0's packet suppressed
+    assert sizes[1] > 0           # keep's packet unaffected
+    pkts, sizes = enc.flush_async()
+    assert sizes[0] > 0           # tick 1 was submitted after re-admission
+
+    valid = np.zeros((2, config.packet_size(64)), np.uint8)
+    rec = np.ones(2, bool)
+    szs = np.full(2, config.packet_size(64), np.int32)
+    assert dec.tick_packed_async(valid, rec, szs) is None
+    dec.remove_stream("old0")
+    dec.add_stream("new0")
+    audio = dec.tick_packed_async(valid, rec, szs)
+    assert np.all(audio[0] == 0)          # old0's audio suppressed
+    assert not dec.is_comfort_noise("new0")
+    audio = dec.flush_async()
+    assert audio is not None              # tick 1 drains normally
