@@ -16,6 +16,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, List, Optional, Tuple
 
+import struct
+
 import numpy as np
 
 from lyra_tpu.tflite import flatbuffer as fb
@@ -217,6 +219,19 @@ def load(path: str) -> ModelDef:
         data = f.read()
     if fb.file_identifier(data) != "TFL3":
         raise ValueError(f"{path}: not a TFLite v3 flatbuffer")
+    try:
+        return _parse(path, data)
+    except (struct.error, IndexError, OverflowError, MemoryError) as e:
+        # A truncated or bit-flipped flatbuffer fails deep inside offset
+        # arithmetic; surface it as a clean invalid-model error instead of
+        # leaking parser internals (the reference's analog is TFLite's
+        # flatbuffer verifier rejecting the model at load,
+        # lyra/tflite_model_wrapper.cc:41-49).
+        raise ValueError(f"{path}: corrupt or truncated TFLite model "
+                         f"({type(e).__name__}: {e})") from e
+
+
+def _parse(path: str, data: bytes) -> ModelDef:
     model = fb.root(data)
 
     # operator codes

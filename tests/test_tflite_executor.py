@@ -192,3 +192,26 @@ def test_rvq_decode_bit_exact(rng):
         ref = dec(encoding_indices=idx)["output_0"]
         out, _ = gd({}, encoding_indices=idx)
         np.testing.assert_array_equal(np.asarray(out["output_0"]), ref)
+
+
+def test_corrupt_model_files_raise_clean_valueerror(tmp_path, model_path):
+    """Truncated/bit-flipped flatbuffers must fail with ValueError at load
+    (the analog of TFLite's verifier rejecting a corrupt model), never leak
+    struct/index errors from the offset arithmetic."""
+    from lyra_tpu.tflite import model as tfl
+
+    raw = (f"{model_path}/quantizer.tflite")
+    raw = open(raw, "rb").read()
+    cases = {
+        "empty": b"",
+        "short": raw[:10],
+        "garbage": b"\x00" * 1000,
+        "truncated": raw[: len(raw) // 2],
+        "bad_magic": b"XXXX" + raw[4:],
+        "bitflip": raw[:100] + bytes([raw[100] ^ 0xFF]) + raw[101:],
+    }
+    for name, data in cases.items():
+        p = tmp_path / f"{name}.tflite"
+        p.write_bytes(data)
+        with pytest.raises(ValueError):
+            tfl.load(str(p))
