@@ -34,13 +34,14 @@ State = Dict[str, jnp.ndarray]
 
 
 class NoiseEstimator:
-    def __init__(self, sample_rate_hz: int, num_features: int = config.NUM_MEL_BINS):
+    def __init__(self, sample_rate_hz: int, num_features: int = config.NUM_MEL_BINS,
+                 mel_precision=None):
         hop = config.num_samples_per_hop(sample_rate_hz)
         self.num_features = num_features
         self.cfg = melspec.MelConfig(
             sample_rate_hz, hop, config.OVERLAP_FACTOR * hop, num_features
         )
-        self._mel = melspec.LogMelExtractor(self.cfg)
+        self._mel = melspec.LogMelExtractor(self.cfg, precision=mel_precision)
         secs_per_hop = hop / sample_rate_hz
         self.num_hops_per_update = int(round(_UPDATE_TIME_SECS / secs_per_hop))
         self.max_smoothing = 0.5 ** (secs_per_hop / _MAX_SMOOTHING_HALFLIFE_SECS)

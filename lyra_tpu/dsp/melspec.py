@@ -171,10 +171,18 @@ def idft_matrices(fft_size: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 class LogMelExtractor:
-    """Batched f32 JAX implementation over [num_streams, hop] frames."""
+    """Batched f32 JAX implementation over [num_streams, hop] frames.
 
-    def __init__(self, cfg: MelConfig):
+    `precision` sets the DFT/mel matmul passes: HIGH (3-pass bf16,
+    ~1e-6 rel — the default, matches the float64 host reference within
+    test tolerances) or DEFAULT (1-pass bf16, ~4e-3 rel) for consumers
+    whose downstream is insensitive (probe knob; see benchmarks/).
+    """
+
+    def __init__(self, cfg: MelConfig, precision=None):
         self.cfg = cfg
+        self._precision = (jax.lax.Precision.HIGH if precision is None
+                           else precision)
         self._win = jnp.asarray(hann_window(cfg.window), jnp.float32)
         self._mel = jnp.asarray(
             mel_weight_matrix(cfg.num_fft_bins, cfg.sample_rate, cfg.num_mel_bins),
@@ -199,7 +207,7 @@ class LogMelExtractor:
         full = jnp.concatenate([state, x], axis=1)  # [B, window]
         new_state = full[:, self.cfg.hop :]
         xw = full * self._win[None]
-        hp = jax.lax.Precision.HIGH  # 3-pass bf16: ~1e-6 rel, 2x HIGHEST
+        hp = self._precision
         re = jnp.matmul(xw, self._dft_cos, precision=hp)
         im = jnp.matmul(xw, self._dft_sin, precision=hp)
         mag = jnp.sqrt(re * re + im * im)
