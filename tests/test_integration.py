@@ -60,3 +60,60 @@ def test_encode_decode_lsd(model_path, testdata_path, num_bits):
         lsds.append(dsp_utils.log_spectral_distance(fi, fd))
     lsds = np.array(lsds)
     assert lsds.max() < 2.0, f"max LSD {lsds.max():.3f} at hop {lsds.argmax()}"
+
+
+def test_long_run_stability_under_random_loss(model_path, testdata_path):
+    """Soak: ~20 s of looped speech through the batched engines with 20%
+    random loss and a mid-run bitrate mix.  Pins that the recurrent state
+    never blows up (no NaN/inf anywhere in the state tree, audio stays in
+    int16 range, LSD on received frames stays under the bar) — drift over
+    hundreds of hops is exactly what short parity tests cannot see."""
+    import jax
+
+    from lyra_tpu import config
+    from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+    from lyra_tpu.dsp import melspec
+    from lyra_tpu.dsp import utils as dsp_utils
+    from lyra_tpu.utils import wav
+
+    data = wav.read_wav_int16(f"{testdata_path}/sample1_16kHz.wav")
+    hop = 320
+    n = len(data.samples) // hop
+    frames = data.samples[: n * hop].reshape(n, hop).astype(np.float32)
+    ticks = 6 * n  # ~20 s
+
+    enc = EncoderEngine(16000, model_path, mode="bf16")
+    dec = DecoderEngine(16000, model_path, mode="bf16")
+    b = 2  # stream 0: 3.2 kbps; stream 1: 9.2 kbps
+    nq = np.array([64 // config.BITS_PER_QUANTIZER,
+                   184 // config.BITS_PER_QUANTIZER], np.int32)
+    es, ds = enc.init_state(b), dec.init_state(b)
+    rng = np.random.default_rng(11)
+
+    cfg = melspec.MelConfig.for_rate(16000, config.NUM_FEATURES)
+    ein = [melspec.LogMelExtractorRef(cfg) for _ in range(b)]
+    eout = [melspec.LogMelExtractorRef(cfg) for _ in range(b)]
+    lsds = []
+    for t in range(ticks):
+        x = np.broadcast_to(frames[t % n], (b, hop)).copy()
+        idx, _, es = enc.step(es, x, nq)
+        received = rng.uniform(size=b) >= 0.2
+        audio, _, ds = dec.step(ds, np.asarray(idx), received)
+        audio = np.asarray(audio)
+        assert np.isfinite(audio).all(), f"non-finite audio at tick {t}"
+        assert np.abs(audio).max() <= 32767.5, f"clip overflow at tick {t}"
+        for i in range(b):
+            fin = ein[i].extract(x[i])
+            fdec = eout[i].extract(audio[i])
+            if received[i]:
+                lsds.append(dsp_utils.log_spectral_distance(fin, fdec))
+
+    # Received-frame quality holds over the whole soak (loss pollutes the
+    # hops right after a burst via the model's recurrent state, so the bar
+    # is the mean, reference: lyra_integration_test.cc:132-142).
+    assert float(np.mean(lsds[3:])) < 2.0
+    # The recurrent state itself stays finite everywhere.
+    for leaf in jax.tree.leaves(ds) + jax.tree.leaves(es):
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "f":
+            assert np.isfinite(arr.astype(np.float32)).all()
