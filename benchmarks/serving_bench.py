@@ -14,9 +14,12 @@ Production-shaped loop with a configurable software-pipeline depth:
             conversational budgets).
 
 Index transfers are compacted to int8 [B, nq] (12x smaller than the raw
-[B, 46] int32).  Run with `--sync` to see the naive blocking loop.
+[B, 46] int32).  `--wire=device` goes further: the device emits/consumes
+*actual wire bytes* via the nibble codec (packet.pack_wire_device), so the
+host moves 8 B/stream instead of 16 and does zero per-packet bit work.
+Run with `--sync` to see the naive blocking loop.
 
-Usage: python benchmarks/serving_bench.py [B] [--depth=2] [--sync]
+Usage: python benchmarks/serving_bench.py [B] [--depth=2] [--sync] [--wire=device]
 """
 import time
 from collections import deque
@@ -31,6 +34,7 @@ args = [a for a in sys.argv[1:] if not a.startswith("--")]
 B = int(args[0]) if args else 16384
 DEPTH = 2 if "--depth=2" in sys.argv else 1
 SYNC = "--sync" in sys.argv
+DEVICE_WIRE = "--wire=device" in sys.argv
 NQ = 16  # 3.2 kbps
 rng = np.random.RandomState(0)
 enc = EncoderEngine(16000, mode="bf16", max_bitrate=3200)
@@ -39,12 +43,18 @@ dec = DecoderEngine(16000, mode="bf16", max_bitrate=3200)
 @jax.jit
 def enc_step(es, audio):
     idx, isn, es = enc._step_impl(es, audio, jnp.int32(NQ))
+    if DEVICE_WIRE:  # emit actual wire bytes: 8 B/stream at 3.2 kbps
+        return packet.pack_wire_device(idx, NQ * 4), es
     return idx[:, :NQ].astype(jnp.int8), es  # compact transfer
 
 @jax.jit
-def dec_step(ds, idx8, received):
+def dec_step(ds, wire, received):
+    if DEVICE_WIRE:
+        idx = packet.unpack_wire_device(wire, NQ * 4)
+    else:
+        idx = wire.astype(jnp.int32)
     full = jnp.full((B, 46), -1, jnp.int32)
-    full = full.at[:, :NQ].set(idx8.astype(jnp.int32))
+    full = full.at[:, :NQ].set(idx)
     return dec._step_impl(ds, full, received)
 
 es, ds = enc.init_state(B), dec.init_state(B)
@@ -58,6 +68,11 @@ jax.block_until_ready(out)
 
 
 def host_codec(idx8_dev):
+    if DEVICE_WIRE:
+        # The device already emitted wire bytes: the host's whole job is
+        # moving them (here: D2H then H2D loopback, standing in for the
+        # network send/receive).
+        return jnp.asarray(np.asarray(idx8_dev))
     host_idx = np.asarray(idx8_dev, np.int32)
     pkts = packet.pack_indices_batch(host_idx, 64)
     back = packet.unpack_indices_batch(pkts, 64)
@@ -91,7 +106,7 @@ else:
     jax.block_until_ready(out)
     jax.block_until_ready(q[-1])
     dt = (time.perf_counter() - t0) / iters
-    label = f"pipelined depth={DEPTH}"
+    label = f"pipelined depth={DEPTH}" + (" wire=device" if DEVICE_WIRE else "")
 
 print(f"serving e2e ({label}): {dt*1e3:.2f} ms/tick at B={B} -> "
       f"{B*0.02/dt:.0f} realtime streams/chip", flush=True)

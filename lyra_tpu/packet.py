@@ -166,3 +166,42 @@ def unpack_indices_batch_np(packets: np.ndarray, num_bits: int) -> np.ndarray:
     bits = bits.reshape(-1, n_stages, bps)
     weights = (1 << np.arange(bps - 1, -1, -1)).astype(np.int32)
     return (bits.astype(np.int32) * weights[None, None, :]).sum(-1)
+
+
+# ---- device-side wire codec (jax) -------------------------------------------
+#
+# Every supported bitrate's packet is whole 4-bit stages with no header and
+# no padding (64/120/184 bits = 16/30/46 nibbles = 8/15/23 bytes exactly,
+# reference: lyra/lyra_config.h:119-168, lyra/packet.h:91-146), so the wire
+# format is a pure MSB-first nibble interleave: byte i = stage[2i]<<4 |
+# stage[2i+1].  That means the TPU can emit/consume *actual wire bytes*:
+# a serving host then moves half the bytes per stream over the
+# interconnect (vs int8-per-stage index transfers) and does zero
+# per-packet bit work — its job reduces to row slicing and network IO.
+
+
+def pack_wire_device(indices, num_bits: int):
+    """[B, >=n_stages] int32 stage indices → [B, packet_size] uint8 wire
+    bytes, on device (jax).  Bit-identical to pack_indices_batch."""
+    import jax.numpy as jnp
+
+    bps = config.BITS_PER_QUANTIZER
+    if bps != 4 or num_bits % 8:
+        raise ValueError("device wire codec requires whole-byte 4-bit stages")
+    n_stages = num_bits // bps
+    idx = indices[:, :n_stages].astype(jnp.uint8)
+    return (idx[:, 0::2] << 4) | (idx[:, 1::2] & 0xF)
+
+
+def unpack_wire_device(packets, num_bits: int):
+    """[B, packet_size] uint8 wire bytes → [B, n_stages] int32, on device.
+    Bit-identical to unpack_indices_batch."""
+    import jax.numpy as jnp
+
+    bps = config.BITS_PER_QUANTIZER
+    if bps != 4 or num_bits % 8:
+        raise ValueError("device wire codec requires whole-byte 4-bit stages")
+    b = packets.astype(jnp.uint8)
+    hi = (b >> 4).astype(jnp.int32)
+    lo = (b & 0xF).astype(jnp.int32)
+    return jnp.stack([hi, lo], axis=-1).reshape(b.shape[0], -1)

@@ -90,3 +90,24 @@ def test_unpack_wrong_length_raises():
         packet.unpack_bitstring(b"\x00" * 3, 64)
     with pytest.raises(ValueError):
         packet.unpack_indices(b"\x00" * 7)
+
+
+def test_device_wire_codec_matches_host_codec():
+    """The jax device-side nibble pack/unpack must be bit-identical to the
+    host batch codec at every bitrate (the wire format is whole 4-bit
+    stages, reference: lyra/lyra_config.h:119-168)."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    for bits in (64, 120, 184):
+        n = bits // config.BITS_PER_QUANTIZER
+        idx = rng.integers(0, 16, (9, 46)).astype(np.int32)
+        host = packet.pack_indices_batch(idx[:, :n], bits)
+        dev = np.asarray(
+            jax.jit(lambda i, b=bits: packet.pack_wire_device(i, b))(idx))
+        np.testing.assert_array_equal(host, dev)
+        back = np.asarray(
+            jax.jit(lambda p, b=bits: packet.unpack_wire_device(p, b))(dev))
+        np.testing.assert_array_equal(back, idx[:, :n])
+    with pytest.raises(ValueError):
+        packet.pack_wire_device(np.zeros((1, 46), np.int32), 60)
