@@ -147,10 +147,8 @@ class DecoderServer:
         """Wire bytes → (indices [capacity, stages], effective received)."""
         packets = np.ascontiguousarray(packets, np.uint8)
         sizes = np.asarray(sizes)
-        active = np.zeros(self.capacity, bool)
-        if self._by_id:
-            active[list(self._by_id.values())] = True
-        received = np.asarray(received, bool) & (sizes > 0) & active
+        received = (np.asarray(received, bool) & (sizes > 0)
+                    & self._active_mask())
         indices = np.full((self.capacity, self._num_stages), -1, np.int32)
         for size in np.unique(sizes[received]):
             bits = config.packet_size_to_num_quantized_bits(int(size))
@@ -167,6 +165,46 @@ class DecoderServer:
             idx = packet.unpack_indices_batch(packets[rows, :int(size)], bits)
             indices[rows, : idx.shape[1]] = idx
         return indices, received
+
+    def tick_wire(self, packets: np.ndarray, received: np.ndarray) -> np.ndarray:
+        """Uniform-bitrate fast path: the wire-format unpack runs on device
+        inside the same jitted call as the decode step
+        (packet.unpack_wire_device) — the counterpart of
+        EncoderServer.tick_wire.  packets must be [capacity, packet_size]
+        for one supported size; DTX/lost hops are signalled via `received`
+        (there are no per-row sizes on this path).  Bit-identical audio to
+        tick_packed with uniform sizes."""
+        packets = np.ascontiguousarray(packets, np.uint8)
+        bits = config.packet_size_to_num_quantized_bits(int(packets.shape[1]))
+        if bits < 0 or bits // config.BITS_PER_QUANTIZER > self._stage_cap:
+            raise ValueError(
+                f"packet size {packets.shape[1]} unsupported for this engine")
+        if not hasattr(self, "_wire_step") or self._wire_bits != bits:
+            import jax
+            import jax.numpy as jnp
+
+            nq = bits // config.BITS_PER_QUANTIZER
+
+            @jax.jit
+            def _wire_step(state, wire, received):
+                idx = packet.unpack_wire_device(wire, bits)
+                full = jnp.full(
+                    (wire.shape[0], self._num_stages), -1, jnp.int32)
+                full = full.at[:, :nq].set(idx)
+                return self.engine._step_impl(state, full, received)
+
+            self._wire_step, self._wire_bits = _wire_step, bits
+        received = np.asarray(received, bool) & self._active_mask()
+        audio, is_cn, self._state = self._wire_step(
+            self._state, packets, received)
+        self._last_comfort = np.asarray(is_cn)
+        return np.asarray(audio).astype(np.int16)
+
+    def _active_mask(self) -> np.ndarray:
+        active = np.zeros(self.capacity, bool)
+        if self._by_id:
+            active[list(self._by_id.values())] = True
+        return active
 
     def tick_packed_async(self, packets: np.ndarray, received: np.ndarray,
                           sizes: np.ndarray) -> Optional[np.ndarray]:
@@ -318,6 +356,47 @@ class EncoderServer:
             out[rows, : pkts.shape[1]] = pkts
             sizes[rows] = pkts.shape[1]
         return out, sizes
+
+    def tick_wire(self, audio: np.ndarray):
+        """Uniform-bitrate fast path: one jitted call runs the encode step
+        AND the wire-format pack on device (packet.pack_wire_device), so
+        the host receives actual packet bytes — half the interconnect
+        traffic of index transfers and zero host bit work (+24% measured
+        wire-path throughput, PERF.md "Device-side wire codec").
+
+        Requires every active slot at the same bitrate (mixed fleets use
+        tick_packed, which groups by bitrate through the native codec).
+        Returns (wire [capacity, packet_size] uint8, sizes [capacity])
+        bit-identical to tick_packed."""
+        bits = self._uniform_bits()
+        if not hasattr(self, "_wire_step") or self._wire_bits != bits:
+            import jax
+            import jax.numpy as jnp
+
+            nq = jnp.asarray(bits // config.BITS_PER_QUANTIZER, jnp.int32)
+
+            @jax.jit
+            def _wire_step(state, frames):
+                indices, is_noise, state = self.engine._step_impl(
+                    state, frames, nq)
+                return packet.pack_wire_device(indices, bits), is_noise, state
+
+            self._wire_step, self._wire_bits = _wire_step, bits
+        wire, is_noise, self._state = self._wire_step(
+            self._state, np.asarray(audio, np.float32))
+        wire = np.asarray(wire)
+        is_noise = np.asarray(is_noise)
+        active = self._active_mask()
+        sizes = np.where(active & ~is_noise, wire.shape[1], 0).astype(np.int32)
+        return wire, sizes
+
+    def _uniform_bits(self) -> int:
+        rows = list(self._by_id.values())
+        bits = np.unique(self._bits[rows]) if rows else [self._default_bits]
+        if len(bits) != 1:
+            raise ValueError(
+                f"tick_wire requires a uniform-bitrate fleet, got bits={list(bits)}")
+        return int(bits[0])
 
     def tick_packed_async(self, audio: np.ndarray):
         """Pipelined encode tick: submit this tick's audio, return the

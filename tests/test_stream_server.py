@@ -262,3 +262,43 @@ def test_async_drain_never_leaks_across_slot_reuse(model_path):
     assert not dec.is_comfort_noise("new0")
     audio = dec.flush_async()
     assert audio is not None              # tick 1 drains normally
+
+
+def test_tick_wire_matches_tick_packed(model_path):
+    """The device-side wire codec path must be bit-identical to the host
+    native-codec path: same packets out of the encoder, same audio out of
+    the decoder, for a uniform-bitrate fleet."""
+    cap = 3
+    enc_w = EncoderServer(cap, model_path=model_path, bitrate=6000)
+    enc_p = EncoderServer(cap, model_path=model_path, bitrate=6000)
+    dec_w = DecoderServer(cap, model_path=model_path)
+    dec_p = DecoderServer(cap, model_path=model_path)
+    for s in (enc_w, enc_p, dec_w, dec_p):
+        for sid in range(cap):
+            s.add_stream(sid)
+
+    rng = np.random.default_rng(9)
+    for t in range(4):
+        audio = rng.integers(-8000, 8000, (cap, INTERNAL_HOP)).astype(np.int16)
+        received = rng.uniform(size=cap) >= 0.3
+
+        wire_w, sizes_w = enc_w.tick_wire(audio)
+        wire_p, sizes_p = enc_p.tick_packed(audio)
+        np.testing.assert_array_equal(sizes_w, sizes_p)
+        np.testing.assert_array_equal(wire_w, wire_p[:, : wire_w.shape[1]])
+
+        out_w = dec_w.tick_wire(wire_w, received)
+        out_p = dec_p.tick_packed(wire_p, received, sizes_p)
+        np.testing.assert_array_equal(out_w, out_p, err_msg=f"tick {t}")
+
+
+def test_tick_wire_rejects_mixed_bitrates(model_path):
+    enc = EncoderServer(2, model_path=model_path, bitrate=3200)
+    enc.add_stream("a")
+    enc.add_stream("b", bitrate=9200)
+    with pytest.raises(ValueError, match="uniform"):
+        enc.tick_wire(np.zeros((2, INTERNAL_HOP), np.int16))
+    dec = DecoderServer(2, model_path=model_path)
+    dec.add_stream("a")
+    with pytest.raises(ValueError, match="unsupported"):
+        dec.tick_wire(np.zeros((2, 9), np.uint8), np.ones(2, bool))
