@@ -13,7 +13,10 @@ import numpy as np
 
 
 def ab_probe(variants, B=16384, iters=20):
-    """variants: iterable of (label, extra_engine_kwargs).
+    """variants: iterable of (label, extra_engine_kwargs) or
+    (label, extra_engine_kwargs, mutate) where mutate(enc, dec) patches the
+    freshly built engines before jit (for sweeps over knobs that are not
+    constructor kwargs, e.g. swapping a component).
 
     Prints one line per variant: ms/step and implied streams/chip.
     Returns {label: ms_per_step}.
@@ -32,10 +35,13 @@ def ab_probe(variants, B=16384, iters=20):
     nq = jnp.full((B,), 4, jnp.int32)
 
     results = {}
-    for label, kwargs in variants:
+    for variant in variants:
+        label, kwargs, *rest = variant
         enc_kw = {k: v for k, v in kwargs.items() if k != "gate_idle_stages"}
         enc = EncoderEngine(16000, mode="bf16", max_bitrate=3200, **enc_kw)
         dec = DecoderEngine(16000, mode="bf16", max_bitrate=3200, **kwargs)
+        if rest:
+            rest[0](enc, dec)
         es, ds = enc.init_state(B), dec.init_state(B)
 
         @jax.jit

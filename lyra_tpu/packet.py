@@ -182,7 +182,14 @@ def unpack_indices_batch_np(packets: np.ndarray, num_bits: int) -> np.ndarray:
 
 def pack_wire_device(indices, num_bits: int):
     """[B, >=n_stages] int32 stage indices → [B, packet_size] uint8 wire
-    bytes, on device (jax).  Bit-identical to pack_indices_batch."""
+    bytes, on device (jax).  Bit-identical to pack_indices_batch for valid
+    inputs.
+
+    Caveat (unlike the host codecs, which raise): values outside [0, 15)
+    in the packed region cannot be detected inside a jitted program — they
+    wrap to their low nibble (−1 packs as 0xF).  The packed region must be
+    real quantizer output, i.e. num_bits must match the nq the indices
+    were quantized with (the servers' tick_wire guarantees this)."""
     import jax.numpy as jnp
 
     bps = config.BITS_PER_QUANTIZER

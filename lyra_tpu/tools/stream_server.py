@@ -171,9 +171,11 @@ class DecoderServer:
         inside the same jitted call as the decode step
         (packet.unpack_wire_device) — the counterpart of
         EncoderServer.tick_wire.  packets must be [capacity, packet_size]
-        for one supported size; DTX/lost hops are signalled via `received`
-        (there are no per-row sizes on this path).  Bit-identical audio to
-        tick_packed with uniform sizes."""
+        for one supported size; DTX empties and losses are both signalled
+        via `received` — there are no per-row sizes on this path, so when
+        the packets come from EncoderServer.tick_wire the caller must fold
+        its sizes in: `received & (sizes > 0)`.  Bit-identical audio to
+        tick_packed given that mask."""
         packets = np.ascontiguousarray(packets, np.uint8)
         bits = config.packet_size_to_num_quantized_bits(int(packets.shape[1]))
         if bits < 0 or bits // config.BITS_PER_QUANTIZER > self._stage_cap:
@@ -367,7 +369,10 @@ class EncoderServer:
         Requires every active slot at the same bitrate (mixed fleets use
         tick_packed, which groups by bitrate through the native codec).
         Returns (wire [capacity, packet_size] uint8, sizes [capacity])
-        bit-identical to tick_packed."""
+        bit-identical to tick_packed: rows with size 0 (inactive slots,
+        DTX noise hops) are zeroed, never stale payload.  When feeding
+        DecoderServer.tick_wire (which takes no per-row sizes), derive its
+        `received` mask as `received & (sizes > 0)`."""
         bits = self._uniform_bits()
         if not hasattr(self, "_wire_step") or self._wire_bits != bits:
             import jax
@@ -384,10 +389,14 @@ class EncoderServer:
             self._wire_step, self._wire_bits = _wire_step, bits
         wire, is_noise, self._state = self._wire_step(
             self._state, np.asarray(audio, np.float32))
-        wire = np.asarray(wire)
+        wire = np.array(wire)  # writable host copy
         is_noise = np.asarray(is_noise)
-        active = self._active_mask()
-        sizes = np.where(active & ~is_noise, wire.shape[1], 0).astype(np.int32)
+        emit = self._active_mask() & ~is_noise
+        # Match tick_packed exactly: non-emitting rows carry zeros, not the
+        # slot's stale encoder output (an inactive row's bytes would be a
+        # removed stream's encoded audio).
+        wire[~emit] = 0
+        sizes = np.where(emit, wire.shape[1], 0).astype(np.int32)
         return wire, sizes
 
     def _uniform_bits(self) -> int:

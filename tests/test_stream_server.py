@@ -273,8 +273,10 @@ def test_tick_wire_matches_tick_packed(model_path):
     enc_p = EncoderServer(cap, model_path=model_path, bitrate=6000)
     dec_w = DecoderServer(cap, model_path=model_path)
     dec_p = DecoderServer(cap, model_path=model_path)
+    # Slot 2 stays inactive: its rows must be zero on BOTH paths (a stale
+    # tick_wire row would leak the slot's encoder state as payload bytes).
     for s in (enc_w, enc_p, dec_w, dec_p):
-        for sid in range(cap):
+        for sid in range(cap - 1):
             s.add_stream(sid)
 
     rng = np.random.default_rng(9)
@@ -286,6 +288,7 @@ def test_tick_wire_matches_tick_packed(model_path):
         wire_p, sizes_p = enc_p.tick_packed(audio)
         np.testing.assert_array_equal(sizes_w, sizes_p)
         np.testing.assert_array_equal(wire_w, wire_p[:, : wire_w.shape[1]])
+        assert sizes_w[cap - 1] == 0 and not wire_w[cap - 1].any()
 
         out_w = dec_w.tick_wire(wire_w, received)
         out_p = dec_p.tick_packed(wire_p, received, sizes_p)

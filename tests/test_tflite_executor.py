@@ -208,10 +208,22 @@ def test_corrupt_model_files_raise_clean_valueerror(tmp_path, model_path):
         "garbage": b"\x00" * 1000,
         "truncated": raw[: len(raw) // 2],
         "bad_magic": b"XXXX" + raw[4:],
-        "bitflip": raw[:100] + bytes([raw[100] ^ 0xFF]) + raw[101:],
     }
     for name, data in cases.items():
         p = tmp_path / f"{name}.tflite"
         p.write_bytes(data)
         with pytest.raises(ValueError):
             tfl.load(str(p))
+    # Random single-byte flips: many land in weight buffers and load fine
+    # (the reference's verifier accepts those too) — the contract is only
+    # that structural damage surfaces as ValueError, never as a leaked
+    # struct/index error.
+    rng = np.random.default_rng(0)
+    for k, off in enumerate(rng.integers(0, len(raw), 64)):
+        data = raw[:off] + bytes([raw[off] ^ 0xFF]) + raw[off + 1:]
+        p = tmp_path / f"flip{k}.tflite"
+        p.write_bytes(data)
+        try:
+            tfl.load(str(p))
+        except ValueError:
+            pass  # clean rejection is the only acceptable failure mode
