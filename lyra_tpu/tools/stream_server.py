@@ -80,11 +80,45 @@ class DecoderServer:
         self._by_id[stream_id] = i
         self.bad_packets[i] = 0  # the slot's counter belongs to its stream
         self._gen[i] += 1
+        self._active_cache = None
         return i
+
+    def add_streams(self, stream_ids) -> Dict[object, int]:
+        """Bulk admission: one masked state reset for the whole group.
+
+        Admission is O(capacity) device work per reset_rows call, so
+        admitting k streams one at a time costs k full passes; a call-setup
+        burst (or bench warmup) should use this instead.  All-or-nothing:
+        raises before any mutation if a stream is duplicate or capacity is
+        short."""
+        ids = list(stream_ids)
+        if len(set(ids)) != len(ids):
+            raise KeyError("duplicate stream ids in bulk admission")
+        for sid in ids:
+            if sid in self._by_id:
+                raise KeyError(f"stream {sid!r} already active")
+        free = [i for i, s in enumerate(self._slots) if not s.active]
+        if len(free) < len(ids):
+            raise RuntimeError("server at capacity")
+        mask = np.zeros(self.capacity, bool)
+        slots: Dict[object, int] = {}
+        for sid, i in zip(ids, free):
+            mask[i] = True
+            slots[sid] = i
+        self._state = self.engine.reset_rows(self._state, mask,
+                                             seed=self._seed)
+        for sid, i in slots.items():
+            self._slots[i] = _Slot(sid, True)
+            self._by_id[sid] = i
+            self.bad_packets[i] = 0
+            self._gen[i] += 1
+        self._active_cache = None
+        return slots
 
     def remove_stream(self, stream_id) -> None:
         i = self._by_id.pop(stream_id)
         self._slots[i] = _Slot(None, False)
+        self._active_cache = None
 
     def tick(self, packets: Dict[object, Optional[bytes]]) -> Dict[object, np.ndarray]:
         """One 20 ms step for every active stream.
@@ -176,7 +210,16 @@ class DecoderServer:
         the packets come from EncoderServer.tick_wire the caller must fold
         its sizes in: `received & (sizes > 0)`.  Bit-identical audio to
         tick_packed given that mask."""
-        packets = np.ascontiguousarray(packets, np.uint8)
+        self._wire_prep(packets)
+        received = np.asarray(received, bool) & self._active_mask()
+        audio, is_cn, self._state = self._wire_step(
+            self._state, np.ascontiguousarray(packets, np.uint8), received)
+        self._last_comfort = np.asarray(is_cn)
+        return np.asarray(audio).astype(np.int16)
+
+    def _wire_prep(self, packets: np.ndarray) -> None:
+        """Validate the uniform packet size and (re)build the jitted
+        unpack+step program for it."""
         bits = config.packet_size_to_num_quantized_bits(int(packets.shape[1]))
         if bits < 0 or bits // config.BITS_PER_QUANTIZER > self._stage_cap:
             raise ValueError(
@@ -196,17 +239,43 @@ class DecoderServer:
                 return self.engine._step_impl(state, full, received)
 
             self._wire_step, self._wire_bits = _wire_step, bits
-        received = np.asarray(received, bool) & self._active_mask()
-        audio, is_cn, self._state = self._wire_step(
-            self._state, packets, received)
-        self._last_comfort = np.asarray(is_cn)
-        return np.asarray(audio).astype(np.int16)
 
     def _active_mask(self) -> np.ndarray:
-        active = np.zeros(self.capacity, bool)
-        if self._by_id:
-            active[list(self._by_id.values())] = True
-        return active
+        # Rebuilding this is O(capacity) python — cache it per admission
+        # epoch so array ticks at B=16k don't pay it every 20 ms.
+        cached = getattr(self, "_active_cache", None)
+        if cached is None:
+            cached = np.zeros(self.capacity, bool)
+            if self._by_id:
+                cached[list(self._by_id.values())] = True
+            self._active_cache = cached
+        return cached
+
+    def tick_wire_async(self, packets: np.ndarray,
+                        received: np.ndarray) -> Optional[np.ndarray]:
+        """Pipelined tick_wire: submit this tick's wire bytes, return the
+        *previous* tick's audio (None on the first call).  Same overlap and
+        slot-reuse-suppression contract as tick_packed_async; same
+        uniform-size input contract as tick_wire."""
+        self._wire_prep(packets)
+        received = np.asarray(received, bool) & self._active_mask()
+        audio, is_cn, self._state = self._wire_step(
+            self._state, np.ascontiguousarray(packets, np.uint8), received)
+        for dev_arr in (audio, is_cn):
+            if hasattr(dev_arr, "copy_to_host_async"):
+                dev_arr.copy_to_host_async()
+        pending = getattr(self, "_wire_pending", None)
+        self._wire_pending = (audio, is_cn, self._gen.copy())
+        if pending is None:
+            return None
+        return self._drain(pending)
+
+    def flush_wire_async(self) -> Optional[np.ndarray]:
+        pending = getattr(self, "_wire_pending", None)
+        self._wire_pending = None
+        if pending is None:
+            return None
+        return self._drain(pending)
 
     def tick_packed_async(self, packets: np.ndarray, received: np.ndarray,
                           sizes: np.ndarray) -> Optional[np.ndarray]:
@@ -307,11 +376,42 @@ class EncoderServer:
         self._nq[i] = bits // config.BITS_PER_QUANTIZER
         self._bits[i] = bits
         self._gen[i] += 1
+        self._active_cache = None
         return i
+
+    def add_streams(self, stream_ids, bitrate: Optional[int] = None
+                    ) -> Dict[object, int]:
+        """Bulk admission at one bitrate — see DecoderServer.add_streams."""
+        ids = list(stream_ids)
+        bits = (self._default_bits if bitrate is None
+                else self._check_bits(bitrate))
+        if len(set(ids)) != len(ids):
+            raise KeyError("duplicate stream ids in bulk admission")
+        for sid in ids:
+            if sid in self._by_id:
+                raise KeyError(f"stream {sid!r} already active")
+        free = [i for i, s in enumerate(self._slots) if not s.active]
+        if len(free) < len(ids):
+            raise RuntimeError("server at capacity")
+        mask = np.zeros(self.capacity, bool)
+        slots: Dict[object, int] = {}
+        for sid, i in zip(ids, free):
+            mask[i] = True
+            slots[sid] = i
+        self._state = self.engine.reset_rows(self._state, mask)
+        for sid, i in slots.items():
+            self._slots[i] = _Slot(sid, True)
+            self._by_id[sid] = i
+            self._nq[i] = bits // config.BITS_PER_QUANTIZER
+            self._bits[i] = bits
+            self._gen[i] += 1
+        self._active_cache = None
+        return slots
 
     def remove_stream(self, stream_id) -> None:
         i = self._by_id.pop(stream_id)
         self._slots[i] = _Slot(None, False)
+        self._active_cache = None
 
     def set_bitrate(self, stream_id, bitrate: int) -> None:
         """Per-stream dynamic bitrate (reference: LyraEncoder::set_bitrate) —
@@ -333,10 +433,14 @@ class EncoderServer:
                                self._bits, self._active_mask())
 
     def _active_mask(self) -> np.ndarray:
-        active = np.zeros(self.capacity, bool)
-        if self._by_id:
-            active[list(self._by_id.values())] = True
-        return active
+        # Cached per admission epoch (see DecoderServer._active_mask).
+        cached = getattr(self, "_active_cache", None)
+        if cached is None:
+            cached = np.zeros(self.capacity, bool)
+            if self._by_id:
+                cached[list(self._by_id.values())] = True
+            self._active_cache = cached
+        return cached
 
     def _pack_wire(self, indices: np.ndarray, is_noise: np.ndarray,
                    bits_arr: np.ndarray, active: np.ndarray):
@@ -373,6 +477,12 @@ class EncoderServer:
         DTX noise hops) are zeroed, never stale payload.  When feeding
         DecoderServer.tick_wire (which takes no per-row sizes), derive its
         `received` mask as `received & (sizes > 0)`."""
+        wire, is_noise = self._wire_submit(audio)
+        return self._drain_wire((wire, is_noise, self._active_mask(),
+                                 self._gen.copy()))
+
+    def _wire_submit(self, audio: np.ndarray):
+        """Run the jitted encode+device-pack step; returns device arrays."""
         bits = self._uniform_bits()
         if not hasattr(self, "_wire_step") or self._wire_bits != bits:
             import jax
@@ -389,15 +499,41 @@ class EncoderServer:
             self._wire_step, self._wire_bits = _wire_step, bits
         wire, is_noise, self._state = self._wire_step(
             self._state, np.asarray(audio, np.float32))
+        return wire, is_noise
+
+    def _drain_wire(self, pending):
+        wire, is_noise, active, gen_prev = pending
         wire = np.array(wire)  # writable host copy
-        is_noise = np.asarray(is_noise)
-        emit = self._active_mask() & ~is_noise
         # Match tick_packed exactly: non-emitting rows carry zeros, not the
         # slot's stale encoder output (an inactive row's bytes would be a
-        # removed stream's encoded audio).
+        # removed stream's encoded audio); a slot re-admitted since submit
+        # emits size 0, like tick_packed_async.
+        emit = (active & ~np.asarray(is_noise)) & (gen_prev == self._gen)
         wire[~emit] = 0
         sizes = np.where(emit, wire.shape[1], 0).astype(np.int32)
         return wire, sizes
+
+    def tick_wire_async(self, audio: np.ndarray):
+        """Pipelined tick_wire: submit this tick's audio, return the
+        *previous* tick's (wire, sizes) — None on the first call.  Same
+        overlap and slot-reuse-suppression contract as tick_packed_async."""
+        wire, is_noise = self._wire_submit(audio)
+        for dev_arr in (wire, is_noise):
+            if hasattr(dev_arr, "copy_to_host_async"):
+                dev_arr.copy_to_host_async()
+        pending = getattr(self, "_wire_pending", None)
+        self._wire_pending = (wire, is_noise, self._active_mask(),
+                              self._gen.copy())
+        if pending is None:
+            return None
+        return self._drain_wire(pending)
+
+    def flush_wire_async(self):
+        pending = getattr(self, "_wire_pending", None)
+        self._wire_pending = None
+        if pending is None:
+            return None
+        return self._drain_wire(pending)
 
     def _uniform_bits(self) -> int:
         rows = list(self._by_id.values())

@@ -305,3 +305,80 @@ def test_tick_wire_rejects_mixed_bitrates(model_path):
     dec.add_stream("a")
     with pytest.raises(ValueError, match="unsupported"):
         dec.tick_wire(np.zeros((2, 9), np.uint8), np.ones(2, bool))
+
+
+def test_tick_wire_async_matches_sync(model_path):
+    """tick_wire_async == tick_wire shifted by one tick, including the
+    slot-reuse suppression and DTX/inactive zeroing semantics."""
+    cap = 3
+    enc_a = EncoderServer(cap, model_path=model_path, bitrate=3200)
+    enc_s = EncoderServer(cap, model_path=model_path, bitrate=3200)
+    dec_a = DecoderServer(cap, model_path=model_path)
+    dec_s = DecoderServer(cap, model_path=model_path)
+    for s in (enc_a, enc_s, dec_a, dec_s):
+        for sid in range(cap - 1):  # slot 2 inactive
+            s.add_stream(sid)
+
+    rng = np.random.default_rng(4)
+    ticks = 4
+    audio = rng.integers(-8000, 8000, (ticks, cap, INTERNAL_HOP)).astype(np.int16)
+    loss = rng.uniform(size=(ticks, cap)) < 0.3
+
+    sync_out, async_out = [], []
+    for t in range(ticks):
+        wire_s, sizes_s = enc_s.tick_wire(audio[t])
+        rec = ~loss[t] & (sizes_s > 0)
+        sync_out.append(dec_s.tick_wire(wire_s, rec))
+
+        got = enc_a.tick_wire_async(audio[t])
+        if t == 0:
+            assert got is None
+        else:
+            wire_a, sizes_a = got
+            out_a = dec_a.tick_wire_async(wire_a, ~loss[t - 1] & (sizes_a > 0))
+            if t == 1:
+                assert out_a is None
+            else:
+                async_out.append(out_a)
+    wire_a, sizes_a = enc_a.flush_wire_async()
+    async_out.append(dec_a.tick_wire_async(
+        wire_a, ~loss[ticks - 1] & (sizes_a > 0)))
+    async_out.append(dec_a.flush_wire_async())
+
+    assert len(async_out) == len(sync_out)
+    for t, (a, s) in enumerate(zip(async_out, sync_out)):
+        # (Inactive decoder slots emit PLC/CNG audio on both paths — callers
+        # ignore rows outside their slot table, exactly as with tick_packed.)
+        np.testing.assert_array_equal(a, s, err_msg=f"tick {t}")
+
+
+def test_bulk_admission_matches_sequential(model_path):
+    """add_streams == the same add_stream sequence: same slot map, same
+    subsequent packets/audio; and it is all-or-nothing on duplicates."""
+    enc_b = EncoderServer(4, model_path=model_path, bitrate=3200)
+    enc_s = EncoderServer(4, model_path=model_path, bitrate=3200)
+    dec_b = DecoderServer(4, model_path=model_path)
+    dec_s = DecoderServer(4, model_path=model_path)
+    slots = enc_b.add_streams(["a", "b", "c"])
+    dec_b.add_streams(["a", "b", "c"])
+    assert slots == {"a": 0, "b": 1, "c": 2}
+    for sid in ("a", "b", "c"):
+        enc_s.add_stream(sid)
+        dec_s.add_stream(sid)
+
+    rng = np.random.default_rng(6)
+    hop = rng.integers(-8000, 8000, (320,)).astype(np.int16)
+    pkts_b = enc_b.tick({sid: hop for sid in "abc"})
+    pkts_s = enc_s.tick({sid: hop for sid in "abc"})
+    assert pkts_b == pkts_s
+    out_b = dec_b.tick(pkts_b)
+    out_s = dec_s.tick(pkts_s)
+    for sid in "abc":
+        np.testing.assert_array_equal(out_b[sid], out_s[sid])
+
+    with pytest.raises(KeyError):
+        enc_b.add_streams(["d", "a"])  # "a" already active
+    assert "d" not in enc_b._by_id    # all-or-nothing
+    with pytest.raises(RuntimeError):
+        enc_b.add_streams(["d", "e"])  # only one slot left
+    assert enc_b.add_streams(["d"]) == {"d": 3}
