@@ -239,3 +239,36 @@ def test_compressed_state_decoder_sharded_matches_local(model_path):
         d = np.abs(np.asarray(audio_s) - np.asarray(audio_l))
         assert d.max() <= 16 and np.sqrt((d ** 2).mean()) < 1.0
         np.testing.assert_array_equal(np.asarray(cn_s), np.asarray(cn_l))
+
+
+def test_tick_wire_over_sharded_engines(model_path):
+    """The device-side wire codec path composes with mesh-sharded engines:
+    the jitted unpack/pack+step programs inherit the state's shardings, and
+    the wire bytes equal the single-device servers' byte for byte."""
+    from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+    from lyra_tpu.tools.stream_server import DecoderServer, EncoderServer
+
+    mesh = make_mesh()
+    cap = 8
+    enc_s = EncoderServer(cap, engine=ShardedEngine(
+        EncoderEngine(16000, model_path), mesh), bitrate=6000)
+    dec_s = DecoderServer(cap, engine=ShardedEngine(
+        DecoderEngine(16000, model_path), mesh))
+    enc_l = EncoderServer(cap, engine=EncoderEngine(16000, model_path),
+                          bitrate=6000)
+    dec_l = DecoderServer(cap, engine=DecoderEngine(16000, model_path))
+    for s in (enc_s, dec_s, enc_l, dec_l):
+        s.add_streams(range(cap - 1))  # one slot stays empty
+
+    rng = np.random.default_rng(12)
+    for t in range(2):
+        audio = rng.integers(-8000, 8000, (cap, 320)).astype(np.int16)
+        wire_s, sizes_s = enc_s.tick_wire(audio)
+        wire_l, sizes_l = enc_l.tick_wire(audio)
+        np.testing.assert_array_equal(wire_s, wire_l)
+        np.testing.assert_array_equal(sizes_s, sizes_l)
+        received = (sizes_s > 0)
+        received[t] = False
+        out_s = dec_s.tick_wire(wire_s, received)
+        out_l = dec_l.tick_wire(wire_l, received)
+        np.testing.assert_allclose(out_s, out_l, atol=1)
