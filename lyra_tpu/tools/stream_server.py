@@ -35,6 +35,27 @@ class _Slot:
     active: bool = False
 
 
+def _assign_slots(by_id: Dict[object, int], slot_table: List[_Slot],
+                  capacity: int, ids: List[object]):
+    """Validate a bulk admission and assign free slots (all-or-nothing:
+    raises before any state is touched).  Returns (mask [capacity] bool,
+    {stream_id: slot})."""
+    if len(set(ids)) != len(ids):
+        raise KeyError("duplicate stream ids in bulk admission")
+    for sid in ids:
+        if sid in by_id:
+            raise KeyError(f"stream {sid!r} already active")
+    free = [i for i, s in enumerate(slot_table) if not s.active]
+    if len(free) < len(ids):
+        raise RuntimeError("server at capacity")
+    mask = np.zeros(capacity, bool)
+    slots: Dict[object, int] = {}
+    for sid, i in zip(ids, free):
+        mask[i] = True
+        slots[sid] = i
+    return mask, slots
+
+
 class DecoderServer:
     """Fixed-capacity batched decoder with per-stream admission."""
 
@@ -92,19 +113,10 @@ class DecoderServer:
         raises before any mutation if a stream is duplicate or capacity is
         short."""
         ids = list(stream_ids)
-        if len(set(ids)) != len(ids):
-            raise KeyError("duplicate stream ids in bulk admission")
-        for sid in ids:
-            if sid in self._by_id:
-                raise KeyError(f"stream {sid!r} already active")
-        free = [i for i, s in enumerate(self._slots) if not s.active]
-        if len(free) < len(ids):
-            raise RuntimeError("server at capacity")
-        mask = np.zeros(self.capacity, bool)
-        slots: Dict[object, int] = {}
-        for sid, i in zip(ids, free):
-            mask[i] = True
-            slots[sid] = i
+        if not ids:
+            return {}
+        mask, slots = _assign_slots(self._by_id, self._slots, self.capacity,
+                                    ids)
         self._state = self.engine.reset_rows(self._state, mask,
                                              seed=self._seed)
         for sid, i in slots.items():
@@ -210,16 +222,18 @@ class DecoderServer:
         the packets come from EncoderServer.tick_wire the caller must fold
         its sizes in: `received & (sizes > 0)`.  Bit-identical audio to
         tick_packed given that mask."""
+        packets = np.ascontiguousarray(packets, np.uint8)
         self._wire_prep(packets)
         received = np.asarray(received, bool) & self._active_mask()
         audio, is_cn, self._state = self._wire_step(
-            self._state, np.ascontiguousarray(packets, np.uint8), received)
+            self._state, packets, received)
         self._last_comfort = np.asarray(is_cn)
         return np.asarray(audio).astype(np.int16)
 
     def _wire_prep(self, packets: np.ndarray) -> None:
         """Validate the uniform packet size and (re)build the jitted
-        unpack+step program for it."""
+        unpack+step program for it.  `packets` must already be an ndarray
+        (callers normalize with ascontiguousarray first)."""
         bits = config.packet_size_to_num_quantized_bits(int(packets.shape[1]))
         if bits < 0 or bits // config.BITS_PER_QUANTIZER > self._stage_cap:
             raise ValueError(
@@ -257,10 +271,14 @@ class DecoderServer:
         *previous* tick's audio (None on the first call).  Same overlap and
         slot-reuse-suppression contract as tick_packed_async; same
         uniform-size input contract as tick_wire."""
+        if getattr(self, "_pending", None) is not None:
+            raise RuntimeError(
+                "tick_packed_async pipeline in flight; flush_async() first")
+        packets = np.ascontiguousarray(packets, np.uint8)
         self._wire_prep(packets)
         received = np.asarray(received, bool) & self._active_mask()
         audio, is_cn, self._state = self._wire_step(
-            self._state, np.ascontiguousarray(packets, np.uint8), received)
+            self._state, packets, received)
         for dev_arr in (audio, is_cn):
             if hasattr(dev_arr, "copy_to_host_async"):
                 dev_arr.copy_to_host_async()
@@ -292,6 +310,9 @@ class DecoderServer:
         *silence*, never the evicted stream's audio — a newly admitted call
         must not be handed 20 ms of someone else's voice.
         """
+        if getattr(self, "_wire_pending", None) is not None:
+            raise RuntimeError(
+                "tick_wire_async pipeline in flight; flush_wire_async() first")
         indices, received = self._unpack_wire(packets, received, sizes)
         audio, is_cn, self._state = self.engine.step(
             self._state, indices, received)
@@ -313,11 +334,12 @@ class DecoderServer:
         return audio_prev
 
     def flush_async(self) -> Optional[np.ndarray]:
-        """Drain the last in-flight tick of the async pipeline."""
+        """Drain the last in-flight tick of whichever async pipeline is
+        live (tick_packed_async or tick_wire_async)."""
         pending = getattr(self, "_pending", None)
         self._pending = None
         if pending is None:
-            return None
+            return self.flush_wire_async()
         return self._drain(pending)
 
 
@@ -385,19 +407,10 @@ class EncoderServer:
         ids = list(stream_ids)
         bits = (self._default_bits if bitrate is None
                 else self._check_bits(bitrate))
-        if len(set(ids)) != len(ids):
-            raise KeyError("duplicate stream ids in bulk admission")
-        for sid in ids:
-            if sid in self._by_id:
-                raise KeyError(f"stream {sid!r} already active")
-        free = [i for i, s in enumerate(self._slots) if not s.active]
-        if len(free) < len(ids):
-            raise RuntimeError("server at capacity")
-        mask = np.zeros(self.capacity, bool)
-        slots: Dict[object, int] = {}
-        for sid, i in zip(ids, free):
-            mask[i] = True
-            slots[sid] = i
+        if not ids:
+            return {}
+        mask, slots = _assign_slots(self._by_id, self._slots, self.capacity,
+                                    ids)
         self._state = self.engine.reset_rows(self._state, mask)
         for sid, i in slots.items():
             self._slots[i] = _Slot(sid, True)
@@ -517,6 +530,9 @@ class EncoderServer:
         """Pipelined tick_wire: submit this tick's audio, return the
         *previous* tick's (wire, sizes) — None on the first call.  Same
         overlap and slot-reuse-suppression contract as tick_packed_async."""
+        if getattr(self, "_pending", None) is not None:
+            raise RuntimeError(
+                "tick_packed_async pipeline in flight; flush_async() first")
         wire, is_noise = self._wire_submit(audio)
         for dev_arr in (wire, is_noise):
             if hasattr(dev_arr, "copy_to_host_async"):
@@ -549,6 +565,9 @@ class EncoderServer:
         overlap contract as DecoderServer.tick_packed_async; a slot that
         changed hands between submit and drain emits size 0, so the evicted
         stream's packet can never be attributed to the new occupant."""
+        if getattr(self, "_wire_pending", None) is not None:
+            raise RuntimeError(
+                "tick_wire_async pipeline in flight; flush_wire_async() first")
         indices, is_noise, self._state = self.engine.step(
             self._state, np.asarray(audio, np.float32), self._nq)
         for dev_arr in (indices, is_noise):
@@ -569,11 +588,12 @@ class EncoderServer:
                                bits, active & (gen_prev == self._gen))
 
     def flush_async(self):
-        """Drain the last in-flight tick of the async pipeline."""
+        """Drain the last in-flight tick of whichever async pipeline is
+        live (tick_packed_async or tick_wire_async)."""
         pending = getattr(self, "_pending", None)
         self._pending = None
         if pending is None:
-            return None
+            return self.flush_wire_async()
         return self._drain(pending)
 
     def tick(self, audio: Dict[object, np.ndarray]) -> Dict[object, bytes]:

@@ -382,3 +382,31 @@ def test_bulk_admission_matches_sequential(model_path):
     with pytest.raises(RuntimeError):
         enc_b.add_streams(["d", "e"])  # only one slot left
     assert enc_b.add_streams(["d"]) == {"d": 3}
+
+
+def test_async_pipelines_are_mutually_exclusive(model_path):
+    """Interleaving the packed and wire async pipelines would advance the
+    engine state out of order; submits must refuse while the other pipeline
+    is in flight, and the generic flush_async drains whichever is live."""
+    enc = EncoderServer(2, model_path=model_path, bitrate=3200)
+    enc.add_stream("a")
+    hop = np.zeros((2, INTERNAL_HOP), np.int16)
+    assert enc.tick_wire_async(hop) is None
+    with pytest.raises(RuntimeError, match="in flight"):
+        enc.tick_packed_async(hop)
+    out = enc.flush_async()  # generic flush covers the wire pipeline
+    assert out is not None and out[1][0] > 0
+    assert enc.tick_packed_async(hop) is None  # now the other way round
+    with pytest.raises(RuntimeError, match="in flight"):
+        enc.tick_wire_async(hop)
+    assert enc.flush_async() is not None
+
+    dec = DecoderServer(2, model_path=model_path)
+    dec.add_stream("a")
+    pkts = np.zeros((2, config.packet_size(64)), np.uint8)
+    rec = np.ones(2, bool)
+    assert dec.tick_wire_async(pkts, rec) is None
+    with pytest.raises(RuntimeError, match="in flight"):
+        dec.tick_packed_async(pkts, rec, np.full(2, 8, np.int32))
+    assert dec.flush_async() is not None
+    assert dec.add_streams([]) == {}  # empty bulk admission is a no-op
