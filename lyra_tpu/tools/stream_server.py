@@ -26,13 +26,43 @@ import numpy as np
 
 from lyra_tpu import config, packet
 from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
-from lyra_tpu.utils import native
+from lyra_tpu.utils import checkpoint, native
 
 
 @dataclasses.dataclass
 class _Slot:
     stream_id: object
     active: bool = False
+
+
+def _server_save(server, path: str, extra: Dict[str, object]) -> None:
+    """Snapshot engine state AND the host slot bookkeeping, so a drained
+    server restores mid-call on another host (the deployment story behind
+    utils/checkpoint.py).  In-flight async pipelines must be flushed first
+    (enforced — an unflushed tick would be silently lost)."""
+    if (getattr(server, "_pending", None) is not None
+            or getattr(server, "_wire_pending", None) is not None):
+        raise RuntimeError("flush_async() before save: a tick is in flight")
+    slots = [(s.stream_id, bool(s.active)) for s in server._slots]
+    checkpoint.save_state(
+        path, checkpoint.jax_to_numpy(server._state),
+        extra={"slots": slots, "gen": server._gen.tolist(), **extra})
+
+
+def _server_restore(server, path: str) -> Dict[str, object]:
+    state, extra = checkpoint.load_state(path)
+    slots = extra["slots"]
+    if len(slots) != server.capacity:
+        raise ValueError(
+            f"snapshot capacity {len(slots)} != server capacity "
+            f"{server.capacity}")
+    server._state = state
+    server._slots = [_Slot(sid, active) for sid, active in slots]
+    server._by_id = {s.stream_id: i for i, s in enumerate(server._slots)
+                     if s.active}
+    server._gen = np.asarray(extra["gen"], np.int64)
+    server._active_cache = None
+    return extra
 
 
 def _assign_slots(by_id: Dict[object, int], slot_table: List[_Slot],
@@ -131,6 +161,23 @@ class DecoderServer:
         i = self._by_id.pop(stream_id)
         self._slots[i] = _Slot(None, False)
         self._active_cache = None
+
+    def save(self, path: str) -> None:
+        """Drain-for-maintenance snapshot: engine state + slot table +
+        per-slot counters.  Restore with DecoderServer.restore on a server
+        of the same capacity; streams continue bit-exactly mid-call."""
+        _server_save(self, path, {
+            "kind": "decoder",
+            "bad_packets": self.bad_packets.tolist(),
+            "last_comfort": self._last_comfort.tolist(),
+        })
+
+    def restore(self, path: str) -> None:
+        extra = _server_restore(self, path)
+        if extra.get("kind") != "decoder":
+            raise ValueError("snapshot is not a decoder-server snapshot")
+        self.bad_packets = np.asarray(extra["bad_packets"], np.int64)
+        self._last_comfort = np.asarray(extra["last_comfort"], bool)
 
     def tick(self, packets: Dict[object, Optional[bytes]]) -> Dict[object, np.ndarray]:
         """One 20 ms step for every active stream.
@@ -433,6 +480,20 @@ class EncoderServer:
         i = self._by_id[stream_id]
         self._nq[i] = bits // config.BITS_PER_QUANTIZER
         self._bits[i] = bits
+
+    def save(self, path: str) -> None:
+        """Drain-for-maintenance snapshot — see DecoderServer.save."""
+        _server_save(self, path, {
+            "kind": "encoder",
+            "bits": self._bits.tolist(),
+        })
+
+    def restore(self, path: str) -> None:
+        extra = _server_restore(self, path)
+        if extra.get("kind") != "encoder":
+            raise ValueError("snapshot is not an encoder-server snapshot")
+        self._bits = np.asarray(extra["bits"], np.int32)
+        self._nq = (self._bits // config.BITS_PER_QUANTIZER).astype(np.int32)
 
     def tick_packed(self, audio: np.ndarray):
         """Array-based encode tick: audio [capacity, hop] int16-scale →
