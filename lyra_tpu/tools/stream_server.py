@@ -56,6 +56,11 @@ def _server_restore(server, path: str) -> Dict[str, object]:
         raise ValueError(
             f"snapshot capacity {len(slots)} != server capacity "
             f"{server.capacity}")
+    mesh = getattr(server.engine, "mesh", None)
+    if mesh is not None:  # mesh-sharded engine: land the restored state
+        from lyra_tpu.parallel.sharding import shard_batch_tree  # sharded
+
+        state = shard_batch_tree(state, mesh, server.engine.axis_name)
     server._state = state
     server._slots = [_Slot(sid, active) for sid, active in slots]
     server._by_id = {s.stream_id: i for i, s in enumerate(server._slots)

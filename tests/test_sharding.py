@@ -272,3 +272,31 @@ def test_tick_wire_over_sharded_engines(model_path):
         out_s = dec_s.tick_wire(wire_s, received)
         out_l = dec_l.tick_wire(wire_l, received)
         np.testing.assert_allclose(out_s, out_l, atol=1)
+
+
+def test_server_restore_lands_sharded(model_path, tmp_path):
+    """Restoring a snapshot into a server backed by a mesh-sharded engine
+    must place the state sharded over the stream axis (and a single-device
+    snapshot migrates onto the mesh, continuing the same calls)."""
+    from lyra_tpu.codec.engine import DecoderEngine
+    from lyra_tpu.tools.stream_server import DecoderServer
+
+    cap = 8
+    dec = DecoderServer(cap, model_path=model_path)
+    dec.add_streams(range(cap))
+    pkts = np.zeros((cap, 8), np.uint8)
+    rec = np.ones(cap, bool)
+    for _ in range(2):
+        out_local = dec.tick_wire(pkts, rec)
+    dec.save(str(tmp_path / "snap"))
+
+    mesh = make_mesh()
+    dec_s = DecoderServer(cap, engine=ShardedEngine(
+        DecoderEngine(16000, model_path), mesh))
+    dec_s.restore(str(tmp_path / "snap"))
+    sh = batch_sharding(mesh)
+    for leaf in jax.tree.leaves(dec_s._state):
+        assert leaf.sharding.is_equivalent_to(sh, leaf.ndim)
+    out_s = dec_s.tick_wire(pkts, rec)
+    out_l = dec.tick_wire(pkts, rec)
+    np.testing.assert_allclose(out_s, out_l, atol=1)
