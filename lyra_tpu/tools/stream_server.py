@@ -39,7 +39,9 @@ def _server_save(server, path: str, extra: Dict[str, object]) -> None:
     """Snapshot engine state AND the host slot bookkeeping, so a drained
     server restores mid-call on another host (the deployment story behind
     utils/checkpoint.py).  In-flight async pipelines must be flushed first
-    (enforced — an unflushed tick would be silently lost)."""
+    (enforced — an unflushed tick would be silently lost).  Stream ids ride
+    in the snapshot's JSON header, so they must be JSON-scalar (str/int) to
+    round-trip; richer id objects won't."""
     if (getattr(server, "_pending", None) is not None
             or getattr(server, "_wire_pending", None) is not None):
         raise RuntimeError("flush_async() before save: a tick is in flight")
