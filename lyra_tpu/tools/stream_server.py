@@ -35,24 +35,46 @@ class _Slot:
     active: bool = False
 
 
-def _server_save(server, path: str, extra: Dict[str, object]) -> None:
+def _no_inflight_tick(server, verb: str) -> None:
+    if (getattr(server, "_pending", None) is not None
+            or getattr(server, "_wire_pending", None) is not None):
+        raise RuntimeError(
+            f"flush_async() before {verb}: a tick is in flight")
+
+
+def _server_save(server, path: str, kind: str,
+                 extra: Dict[str, object]) -> None:
     """Snapshot engine state AND the host slot bookkeeping, so a drained
     server restores mid-call on another host (the deployment story behind
     utils/checkpoint.py).  In-flight async pipelines must be flushed first
     (enforced — an unflushed tick would be silently lost).  Stream ids ride
-    in the snapshot's JSON header, so they must be JSON-scalar (str/int) to
-    round-trip; richer id objects won't."""
-    if (getattr(server, "_pending", None) is not None
-            or getattr(server, "_wire_pending", None) is not None):
-        raise RuntimeError("flush_async() before save: a tick is in flight")
-    slots = [(s.stream_id, bool(s.active)) for s in server._slots]
-    checkpoint.save_state(
-        path, checkpoint.jax_to_numpy(server._state),
-        extra={"slots": slots, "gen": server._gen.tolist(), **extra})
+    in the snapshot's JSON header: numpy scalars are coerced, richer id
+    objects are rejected here rather than deep inside json.dumps."""
+    _no_inflight_tick(server, "save")
+
+    def scalar(sid):
+        if isinstance(sid, np.generic):
+            sid = sid.item()
+        if sid is not None and not isinstance(sid, (str, int, float, bool)):
+            raise TypeError(
+                f"stream id {sid!r} is not JSON-scalar; snapshots require "
+                "str/int stream ids")
+        return sid
+
+    slots = [(scalar(s.stream_id), bool(s.active)) for s in server._slots]
+    checkpoint.save_state(  # save_state host-copies the tree itself
+        path, server._state,
+        extra={"kind": kind, "slots": slots, "gen": server._gen.tolist(),
+               **extra})
 
 
-def _server_restore(server, path: str) -> Dict[str, object]:
-    state, extra = checkpoint.load_state(path)
+def _server_restore(server, path: str, kind: str) -> Dict[str, object]:
+    """Validates everything BEFORE mutating the server: a failed restore
+    must leave it exactly as it was."""
+    _no_inflight_tick(server, "restore")  # a stale tick would drain against
+    state, extra = checkpoint.load_state(path)  # the restored slot/gen table
+    if extra.get("kind") != kind:
+        raise ValueError(f"snapshot is not a {kind}-server snapshot")
     slots = extra["slots"]
     if len(slots) != server.capacity:
         raise ValueError(
@@ -173,16 +195,17 @@ class DecoderServer:
         """Drain-for-maintenance snapshot: engine state + slot table +
         per-slot counters.  Restore with DecoderServer.restore on a server
         of the same capacity; streams continue bit-exactly mid-call."""
-        _server_save(self, path, {
-            "kind": "decoder",
+        _server_save(self, path, "decoder", {
+            "seed": self._seed,
             "bad_packets": self.bad_packets.tolist(),
             "last_comfort": self._last_comfort.tolist(),
         })
 
     def restore(self, path: str) -> None:
-        extra = _server_restore(self, path)
-        if extra.get("kind") != "decoder":
-            raise ValueError("snapshot is not a decoder-server snapshot")
+        extra = _server_restore(self, path, "decoder")
+        # Post-restore admissions must keep the ORIGINAL server's per-stream
+        # RNG lineage, not this instance's constructor seed.
+        self._seed = extra["seed"]
         self.bad_packets = np.asarray(extra["bad_packets"], np.int64)
         self._last_comfort = np.asarray(extra["last_comfort"], bool)
 
@@ -490,15 +513,25 @@ class EncoderServer:
 
     def save(self, path: str) -> None:
         """Drain-for-maintenance snapshot — see DecoderServer.save."""
-        _server_save(self, path, {
-            "kind": "encoder",
+        _server_save(self, path, "encoder", {
             "bits": self._bits.tolist(),
         })
 
     def restore(self, path: str) -> None:
-        extra = _server_restore(self, path)
-        if extra.get("kind") != "encoder":
-            raise ValueError("snapshot is not an encoder-server snapshot")
+        # Validate the snapshot's bitrates against THIS engine's stage cap
+        # before mutating anything: restoring 9.2 kbps streams onto a
+        # max_bitrate=3200 engine would pack packets from RVQ stages the
+        # engine statically skips — the silently-degraded condition
+        # add_stream/set_bitrate refuse.
+        _, extra = checkpoint.load_state(path)
+        if extra.get("kind") == "encoder":
+            for bits in set(extra["bits"]):
+                if bits // config.BITS_PER_QUANTIZER > self._stage_cap:
+                    raise ValueError(
+                        f"snapshot stream at {bits} quantized bits exceeds "
+                        f"this engine's max_bitrate stage cap "
+                        f"({self._stage_cap})")
+        extra = _server_restore(self, path, "encoder")
         self._bits = np.asarray(extra["bits"], np.int32)
         self._nq = (self._bits // config.BITS_PER_QUANTIZER).astype(np.int32)
 

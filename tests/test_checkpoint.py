@@ -203,3 +203,47 @@ def test_server_drain_and_restore_continues_calls(model_path, tmp_path):
         enc2.save(str(tmp_path / "enc3"))
     enc2.flush_async()
     enc2.save(str(tmp_path / "enc3"))
+
+
+def test_restore_validates_before_mutating(model_path, tmp_path):
+    """Wrong-kind, over-cap-bitrate, or mid-pipeline restores must leave the
+    target server untouched; numpy-scalar stream ids must save cleanly."""
+    from lyra_tpu.codec.engine import EncoderEngine
+    from lyra_tpu.tools.stream_server import DecoderServer, EncoderServer
+
+    enc = EncoderServer(2, model_path=model_path, bitrate=9200)
+    enc.add_streams(np.arange(2))  # np.int64 ids: coerced, not a crash
+    enc.save(str(tmp_path / "enc"))
+
+    # Wrong kind: decoder refuses an encoder snapshot and is unchanged.
+    dec = DecoderServer(2, model_path=model_path)
+    dec.add_stream("x")
+    with pytest.raises(ValueError, match="decoder-server"):
+        dec.restore(str(tmp_path / "enc"))
+    assert dec.num_active == 1 and "x" in dec._by_id
+
+    # Bitrate over the target engine's cap: refused before any mutation.
+    capped = EncoderServer(2, engine=EncoderEngine(
+        16000, model_path, max_bitrate=3200), bitrate=3200)
+    capped.add_stream("y")
+    with pytest.raises(ValueError, match="stage cap"):
+        capped.restore(str(tmp_path / "enc"))
+    assert capped.num_active == 1 and capped._bits[0] == 64
+
+    # Restore with a tick in flight: refused (a stale drain would run
+    # against the restored slot/gen tables).
+    enc2 = EncoderServer(2, model_path=model_path, bitrate=9200)
+    enc2.tick_packed_async(np.zeros((2, 320), np.int16))
+    with pytest.raises(RuntimeError, match="in flight"):
+        enc2.restore(str(tmp_path / "enc"))
+    enc2.flush_async()
+    enc2.restore(str(tmp_path / "enc"))
+    assert enc2.num_active == 2
+
+    # Decoder seed survives migration for post-restore admissions.
+    d7 = DecoderServer(2, model_path=model_path, seed=7)
+    d7.add_stream("a")
+    d7.save(str(tmp_path / "dec7"))
+    d0 = DecoderServer(2, model_path=model_path)  # default seed 0
+    d0.restore(str(tmp_path / "dec7"))
+    assert d0._seed == 7
