@@ -32,10 +32,7 @@ State = Dict[str, jnp.ndarray]
 
 class ComfortNoiseGenerator:
     def __init__(self, sample_rate_hz: int, num_mel_bins: int = config.NUM_MEL_BINS):
-        hop = config.num_samples_per_hop(sample_rate_hz)
-        self.cfg = melspec.MelConfig(
-            sample_rate_hz, hop, config.OVERLAP_FACTOR * hop, num_mel_bins
-        )
+        self.cfg = melspec.MelConfig.for_rate(sample_rate_hz, num_mel_bins)
         a = melspec.mel_weight_matrix(
             self.cfg.num_fft_bins, sample_rate_hz, num_mel_bins
         )  # [bins, mels], magnitude-domain triangles
@@ -43,9 +40,9 @@ class ComfortNoiseGenerator:
         inv_mass = np.where(mass > 0, 1.0 / np.maximum(mass, 1e-12), 0.0)
         inv = a * inv_mass[None, :]  # [bins, mels]
         # Bins with zero mel mass (e.g. Nyquist) synthesize zero magnitude;
-        # dropping them is exact and lane-aligns the matmuls (512 vs 513).
-        nz = np.flatnonzero(np.abs(inv).sum(axis=1) > 0)
-        self._num_used_bins = int(nz[-1]) + 1 if nz.size else self.cfg.num_fft_bins
+        # same truncation as the analysis side (melspec.num_used_fft_bins).
+        self._num_used_bins = melspec.num_used_fft_bins(
+            inv, self.cfg.num_fft_bins)
         self._inverse = jnp.asarray(inv[: self._num_used_bins], jnp.float32)
         ci, si = melspec.idft_matrices(self.cfg.fft_size)
         self._idft_cos = jnp.asarray(ci[: self._num_used_bins])  # [bins, fft]

@@ -75,11 +75,15 @@ class HopGenerator:
             return np.zeros(0, np.int16)
         if self.num_samples_available() == 0:
             return None
-        if self._next_sample == 0:
-            self._current_hop = self._hop_fn(self._queue[0])
+        # Reject before running the hop: _hop_fn advances the jitted
+        # streaming conv state, so a rejected oversized request must not
+        # leave that state one hop ahead of the feature queue (reference
+        # validates first too, generative_model_interface.h:84-89).
         remaining = self._hop_samples - self._next_sample
         if num_samples > remaining:
             return None
+        if self._next_sample == 0:
+            self._current_hop = self._hop_fn(self._queue[0])
         out = self._current_hop[self._next_sample:self._next_sample + num_samples]
         self._next_sample += num_samples
         if self._next_sample == self._hop_samples:
@@ -142,11 +146,8 @@ class LyraDecoder:
     def set_encoded_packet(self, encoded: bytes) -> bool:
         """Unpack a wire packet, dequantize, and queue its features
         (reference: lyra/lyra_decoder.cc:172-209)."""
-        num_bits = config.packet_size_to_num_quantized_bits(len(encoded))
-        if num_bits < 0:
-            return False
         try:
-            indices = packet.unpack_indices(encoded)
+            indices = packet.unpack_indices(encoded)  # rejects bad sizes
         except ValueError:
             return False
 

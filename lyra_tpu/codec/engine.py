@@ -64,6 +64,15 @@ FADE_TO_CNG = 1
 FADE_FROM_CNG = -1
 
 
+def _checked_bits(bitrate: int) -> int:
+    bits = config.bitrate_to_num_quantized_bits(bitrate)
+    if bits < 0:  # the -1 sentinel would surface as a cryptic stage error
+        raise ValueError(
+            f"bitrate {bitrate} is not supported "
+            f"(choose from {config.SUPPORTED_BITRATES})")
+    return bits
+
+
 def _mask_tree(mask_b: jnp.ndarray, new_tree, old_tree):
     """Per-leaf `where` with a [B] mask broadcast over trailing dims."""
 
@@ -116,7 +125,7 @@ class DecoderEngine:
         # fully general when max_bitrate is None).
         self._max_stages = (None if max_bitrate is None else
                             self.rvq.num_bits_to_stages(
-                                config.bitrate_to_num_quantized_bits(max_bitrate)))
+                                _checked_bits(max_bitrate)))
         self.cng = ComfortNoiseGenerator(config.INTERNAL_SAMPLE_RATE)
         self.noise = NoiseEstimator(config.INTERNAL_SAMPLE_RATE)
         self._decode_dtype = jnp.bfloat16 if mode == "bf16" else None
@@ -124,10 +133,16 @@ class DecoderEngine:
         # shipped estimator; "last_frame" repeats the last received features;
         # "decaying" fades them out geometrically (the upgrades the
         # reference's factory seam anticipates, lyra/lyra_components.cc:62-65).
-        self.estimator = {
+        estimators = {
+            "zero": ZeroFeatureEstimator,
             "last_frame": LastFrameFeatureEstimator,
             "decaying": DecayingFeatureEstimator,
-        }.get(feature_estimator, ZeroFeatureEstimator)()
+        }
+        if feature_estimator not in estimators:
+            raise ValueError(
+                f"unknown feature_estimator {feature_estimator!r}; "
+                f"choose from {sorted(estimators)}")
+        self.estimator = estimators[feature_estimator]()
         self.resampler = (
             None if sample_rate_hz == config.INTERNAL_SAMPLE_RATE
             else Resampler(config.INTERNAL_SAMPLE_RATE, sample_rate_hz)
@@ -301,7 +316,7 @@ class EncoderEngine:
         # See DecoderEngine: static single-bitrate serving specialization.
         self._max_stages = (None if max_bitrate is None else
                             self.rvq.num_bits_to_stages(
-                                config.bitrate_to_num_quantized_bits(max_bitrate)))
+                                _checked_bits(max_bitrate)))
         self.noise = NoiseEstimator(config.INTERNAL_SAMPLE_RATE) if enable_dtx else None
         self.resampler = (
             None if sample_rate_hz == config.INTERNAL_SAMPLE_RATE

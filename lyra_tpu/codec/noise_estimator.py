@@ -38,9 +38,7 @@ class NoiseEstimator:
                  mel_precision=None):
         hop = config.num_samples_per_hop(sample_rate_hz)
         self.num_features = num_features
-        self.cfg = melspec.MelConfig(
-            sample_rate_hz, hop, config.OVERLAP_FACTOR * hop, num_features
-        )
+        self.cfg = melspec.MelConfig.for_rate(sample_rate_hz, num_features)
         self._mel = melspec.LogMelExtractor(self.cfg, precision=mel_precision)
         secs_per_hop = hop / sample_rate_hz
         self.num_hops_per_update = int(round(_UPDATE_TIME_SECS / secs_per_hop))

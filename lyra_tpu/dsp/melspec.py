@@ -170,6 +170,18 @@ def idft_matrices(fft_size: int) -> tuple[np.ndarray, np.ndarray]:
             (-np.sin(ang) * w).astype(np.float32))
 
 
+def num_used_fft_bins(weights: np.ndarray, num_fft_bins: int) -> int:
+    """Last FFT bin carrying nonzero mel mass, as a bin count.
+
+    Tail bins with zero weight (e.g. Nyquist) contribute nothing to
+    analysis or synthesis; truncating to this count is exact and
+    lane-aligns the DFT matmuls on TPU (512 tiles where 513 pads to 640).
+    Shared by the extractor and the CNG inverse so the analysis and
+    synthesis bin ranges can never drift apart."""
+    nz = np.flatnonzero(np.abs(np.asarray(weights)).sum(axis=1) > 0)
+    return int(nz[-1]) + 1 if nz.size else num_fft_bins
+
+
 class LogMelExtractor:
     """Batched f32 JAX implementation over [num_streams, hop] frames.
 
@@ -188,11 +200,8 @@ class LogMelExtractor:
             mel_weight_matrix(cfg.num_fft_bins, cfg.sample_rate, cfg.num_mel_bins),
             jnp.float32,
         )
-        # Truncate to the last FFT bin with nonzero mel weight: the tail
-        # bins (e.g. the Nyquist bin 512) carry zero mel mass, and 512 lanes
-        # tile the TPU perfectly where 513 pads to 640.
-        nz = np.flatnonzero(np.abs(np.asarray(self._mel)).sum(axis=1) > 0)
-        self._num_used_bins = int(nz[-1]) + 1 if nz.size else cfg.num_fft_bins
+        self._num_used_bins = num_used_fft_bins(
+            np.asarray(self._mel), cfg.num_fft_bins)
         self._mel = self._mel[: self._num_used_bins]
         c, s = dft_matrices(cfg.window, cfg.fft_size)
         self._dft_cos = jnp.asarray(c[:, : self._num_used_bins])

@@ -377,3 +377,32 @@ def test_idle_stage_gating_is_bit_identical(model_path, speech):
     for lg, lp in zip(jax.tree.leaves(sg), jax.tree.leaves(sp)):
         np.testing.assert_allclose(np.asarray(lg), np.asarray(lp),
                                    atol=0, rtol=0)
+
+
+def test_engine_config_errors_are_clear(model_path):
+    """Misconfiguration must fail loudly with the real cause, not fall back
+    silently or surface an internal-arithmetic error."""
+    with pytest.raises(ValueError, match="feature_estimator"):
+        DecoderEngine(16000, model_path, feature_estimator="decay")  # typo
+    with pytest.raises(ValueError, match="bitrate 3000 is not supported"):
+        DecoderEngine(16000, model_path, max_bitrate=3000)
+    with pytest.raises(ValueError, match="bitrate 3000 is not supported"):
+        EncoderEngine(16000, model_path, max_bitrate=3000)
+
+
+def test_hop_generator_rejects_before_advancing_state(model_path):
+    """An oversized generate_samples request must not advance the streaming
+    model state: a retry with a valid size must produce the same audio an
+    un-poked generator would (reference validates before generating,
+    generative_model_interface.h:84-89)."""
+    from lyra_tpu.codec.decoder import LyraDecoder
+
+    d1 = LyraDecoder(16000, model_path=model_path, seed=0)
+    d2 = LyraDecoder(16000, model_path=model_path, seed=0)
+    pkt = bytes(config.packet_size(64))
+    assert d1.set_encoded_packet(pkt) and d2.set_encoded_packet(pkt)
+    gen1, gen2 = d1._model, d2._model
+    assert gen1.generate_samples(400) is None  # oversized: must be a no-op
+    a1 = gen1.generate_samples(320)
+    a2 = gen2.generate_samples(320)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
