@@ -15,10 +15,11 @@ shapes, so its resampling runs inside the jitted step.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional
 
 import numpy as np
+
+from lyra_tpu.dsp import utils as dsp_utils
 
 from lyra_tpu.dsp.resampler import StreamingResampler
 
@@ -40,12 +41,14 @@ class BufferedResampler:
 
     def get_internal_num_samples_to_generate(self, num_external: int) -> int:
         """Internal samples needed to serve `num_external` after leftovers
-        (reference: lyra/buffered_resampler.cc:92-105, same f32 ceil math)."""
+        (reference: lyra/buffered_resampler.cc:92-105, same f32 ceil math —
+        the single multiply-then-divide of dsp_utils.convert_num_samples,
+        not a two-step rounding)."""
         if num_external <= self._leftover.size:
             return 0
         needed = num_external - self._leftover.size
-        ratio = np.float32(self._external_rate) / np.float32(self._internal_rate)
-        return int(math.ceil(np.float32(needed) / ratio))
+        return dsp_utils.convert_num_samples(
+            needed, self._external_rate, self._internal_rate)
 
     def filter_and_buffer(
         self,
@@ -54,11 +57,10 @@ class BufferedResampler:
     ) -> Optional[np.ndarray]:
         internal_n = self.get_internal_num_samples_to_generate(num_external_samples)
 
-        out = np.empty(num_external_samples, np.int16)
-        used = min(self._leftover.size, num_external_samples)
-        out[:used] = self._leftover[:used]
-        self._leftover = self._leftover[used:]
-
+        # Run the fallible generator BEFORE touching any buffered state: on
+        # failure the leftovers (and FIR state) must survive intact so the
+        # caller can retry without losing playout samples (reference:
+        # lyra/buffered_resampler.cc:63-90 generates first, banks after).
         internal = sample_generator(internal_n)
         if internal is None:
             return None
@@ -69,7 +71,11 @@ class BufferedResampler:
 
         external = (internal if self._resampler is None
                     else self._resampler.resample(internal))
+        out = np.empty(num_external_samples, np.int16)
+        used = min(self._leftover.size, num_external_samples)
+        out[:used] = self._leftover[:used]
         to_copy = num_external_samples - used
         out[used:] = external[:to_copy]
-        self._leftover = np.concatenate([self._leftover, external[to_copy:]])
+        self._leftover = np.concatenate(
+            [self._leftover[used:], external[to_copy:]])
         return out

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lyra_tpu.dsp import utils
+
 KERNEL_RADIUS_INPUT_SAMPLES = 17
 CUTOFF_PROPORTION = 0.9
 KAISER_BETA = 5.658
@@ -75,8 +77,13 @@ class Resampler:
         return self.up == 1 and self.down == 1
 
     def samples_until_steady_state(self) -> int:
-        """2·radius input samples expressed at the output rate
-        (reference: lyra/resampler.cc:75-81)."""
+        """2·radius input samples expressed at the output rate — the exact
+        value the reference API reports (reference: lyra/resampler.cc:75-81,
+        QResampler's fully-primed reset delay).  Note the filter's physical
+        group delay is `radius` input samples (taps are center-designed);
+        callers aligning waveforms sample-accurately should offset by
+        radius, while this API mirrors the reference's conservative bound
+        for discarding converter warmup."""
         return int(2.0 * self.radius * self.target_rate / self.input_rate)
 
     def init_state(self, batch_size: int) -> jnp.ndarray:
@@ -160,4 +167,4 @@ class StreamingResampler:
             return np.asarray(audio, np.int16)
         y, self._state = self._r.resample_stream_np(
             self._state, np.asarray(audio, np.float32))
-        return np.trunc(np.clip(y, -32768.0, 32767.0)).astype(np.int16)
+        return utils.clip_to_int16_np(y)

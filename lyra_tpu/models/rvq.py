@@ -76,7 +76,9 @@ class ResidualVectorQuantizer:
         search, so only float near-ties can pick a different (equally
         near) codeword.
 
-        `max_stages` (static) caps the residual recursion itself: a fleet
+        `max_stages` (static) caps the residual recursion itself (for the
+        exact/fast paths; the pallas kernel always computes all stages and
+        only the output is capped): a fleet
         pinned at one bitrate (e.g. 3.2 kbps → 16 stages) skips the ~65% of
         stage work the wire format can never carry.  Stages ≥ max_stages
         come back −1; per-stream num_quantizers may be anything ≤ max_stages.
@@ -87,6 +89,8 @@ class ResidualVectorQuantizer:
         run_stages = self.num_stages if max_stages is None else int(max_stages)
         if not 1 <= run_stages <= self.num_stages:
             raise ValueError(f"max_stages {max_stages} out of range")
+        if method not in ("exact", "fast", "pallas"):
+            raise ValueError(f"unknown quantize method {method!r}")
 
         if method == "pallas":
             # Whole 46-stage search in VMEM (lyra_tpu/ops/rvq_kernel.py).

@@ -139,9 +139,11 @@ class _FusedModel:
     def __init__(self, path: str, mode: str, block_streams: int):
         from lyra_tpu.ops.fused_stack import FusedStackKernel
 
-        self._kernel = FusedStackKernel(
-            path, mode=mode if mode in ("float", "bf16") else "float",
-            block_streams=block_streams)
+        if mode not in ("float", "bf16"):  # same loudness as load_graph's
+            raise ValueError(  # unknown-mode error on the xla path
+                f"backend='fused' supports mode 'float'/'bf16', not {mode!r}")
+        self._kernel = FusedStackKernel(path, mode=mode,
+                                        block_streams=block_streams)
 
     def init_state(self, batch_size: int) -> State:
         return self._kernel.init_state(batch_size)
@@ -157,6 +159,24 @@ class _FusedModel:
 
     def __call__(self, state: State, x: jnp.ndarray):
         return self._kernel(state, x)
+
+
+def _wire_fused(model: "BatchedStreamingModel", fused: _FusedModel) -> None:
+    """Point a fused-backend instance's base-class surface at the kernel:
+    init_state/reset_rows delegate, __call__ (looked up on the class, so it
+    runs BatchedStreamingModel.__call__) routes through _batched, and
+    single() fails loudly instead of with a bare AttributeError."""
+    model._fused = fused
+    model.init_state = fused.init_state
+    model.reset_rows = fused.reset_rows
+    model._compress_keys = frozenset()
+    model._batched = fused.__call__
+
+    def _no_single(state, x):
+        raise NotImplementedError(
+            "backend='fused' has no single-stream path; use the batched call")
+
+    model._single = _no_single
 
 
 class SoundStreamEncoder(BatchedStreamingModel):
@@ -177,9 +197,7 @@ class SoundStreamEncoder(BatchedStreamingModel):
                 raise ValueError("state_dtype requires backend='xla' "
                                  "(the fused kernel manages its own state)")
             fused = _FusedModel(path, mode, block_streams)
-            self._fused = fused
-            self.init_state = fused.init_state
-            self.reset_rows = fused.reset_rows
+            _wire_fused(self, fused)
 
             def extract(state, frames):
                 feats, state = fused(state, frames)  # [B, 320] -> [B, 1, 64]
@@ -213,9 +231,7 @@ class LyraGanModel(BatchedStreamingModel):
                 raise ValueError("state_dtype requires backend='xla' "
                                  "(the fused kernel manages its own state)")
             fused = _FusedModel(path, mode, block_streams)
-            self._fused = fused
-            self.init_state = fused.init_state
-            self.reset_rows = fused.reset_rows
+            _wire_fused(self, fused)
 
             def decode_hop(state, features):
                 samples, state = fused(state, features[:, None, :])

@@ -80,3 +80,41 @@ def test_steady_state_latency_value():
     assert Resampler(16000, 16000).samples_until_steady_state() == 34
     assert Resampler(48000, 16000).samples_until_steady_state() == 11
     assert Resampler(8000, 16000).samples_until_steady_state() == 68
+
+
+def test_filter_and_buffer_failure_preserves_leftovers():
+    """A generator failure must not consume banked leftover samples: the
+    reference generates first and banks after (buffered_resampler.cc:63-90),
+    so a transient decode failure retried later loses no playout samples."""
+    from lyra_tpu.dsp.buffered_resampler import BufferedResampler
+
+    br = BufferedResampler(16000, 48000)
+    feed = np.arange(320, dtype=np.int16)
+    out1 = br.filter_and_buffer(lambda n: feed[:n], 950)  # 317 in -> 951 out
+    assert out1 is not None and br._leftover.size == 1
+
+    leftovers_before = br._leftover.copy()
+    assert br.filter_and_buffer(lambda n: None, 500) is None
+    np.testing.assert_array_equal(br._leftover, leftovers_before)
+
+    # Retry succeeds and the stream continues where it left off.
+    out2 = br.filter_and_buffer(lambda n: feed[:n], 500)
+    assert out2 is not None
+    np.testing.assert_array_equal(out2[:1], leftovers_before)
+
+
+def test_fused_backend_call_contract(model_path):
+    """The fused backend must honor the BatchedStreamingModel call surface
+    (model(state, x)) and reject modes its kernel cannot honor."""
+    from lyra_tpu.models.streaming import SoundStreamEncoder
+
+    enc = SoundStreamEncoder(model_path, backend="fused", block_streams=8)
+    enc._fused._kernel.interpret = True  # pallas on the CPU test backend
+    st = enc.init_state(8)
+    x = np.zeros((8, 1, 320), np.float32)
+    feats, st = enc(st, x)  # class-level __call__ routed through the kernel
+    assert np.asarray(feats).shape[0] == 8
+    with pytest.raises(NotImplementedError):
+        enc.single(None, None)
+    with pytest.raises(ValueError, match="fused"):
+        SoundStreamEncoder(model_path, backend="fused", mode="int8")
