@@ -73,7 +73,7 @@ class ShardedEngine:
     (no HBM churn in steady state)."""
 
     def __init__(self, engine, mesh: Optional[Mesh] = None,
-                 axis_name: str = STREAM_AXIS, donate: Optional[bool] = None):
+                 axis_name: str = STREAM_AXIS, donate: bool = False):
         self.engine = engine
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis_name = axis_name
@@ -81,9 +81,8 @@ class ShardedEngine:
         # Donating the state buffers lets steady-state serving rewrite state
         # in place (no HBM churn).  Default off: some PJRT plugins (e.g.
         # tunneled dev backends) reject donation on large fused programs with
-        # INVALID_ARGUMENT even though small-kernel donation probes pass.
-        if donate is None:
-            donate = False
+        # INVALID_ARGUMENT even though small-kernel donation probes pass
+        # (probe with donation_supported() before enabling).
         self._step = jax.jit(
             engine._step_impl, donate_argnums=(0,) if donate else ())
 
@@ -139,6 +138,11 @@ class ShardedEngine:
 
     def step(self, state, *args):
         def put(a):
+            if isinstance(a, jax.Array):
+                # Already on device (e.g. another engine's output): don't
+                # bounce it through the host every tick — leave placement
+                # to GSPMD propagation from the sharded state.
+                return a
             a = np.asarray(a)
             if a.ndim >= 1 and a.shape[0] % self.num_devices == 0:
                 return jax.device_put(a, self._sh)

@@ -587,12 +587,24 @@ class GraphLowering:
                 elif nm == "ASSIGN_VARIABLE":
                     new_state[var_names[op.inputs[0]]] = get(op.inputs[1])
                 elif nm == "RESHAPE":
-                    shape = (
-                        op.options.get("new_shape")
-                        or [int(v) for v in static(op.inputs[1])]
-                    )
+                    # `or` would misread a legitimate empty new_shape
+                    # ([] = reshape to scalar) as absent.
+                    shape = op.options.get("new_shape")
+                    if shape is None:
+                        shape = [int(v) for v in static(op.inputs[1])]
                     env[o0] = jnp.reshape(get(op.inputs[0]), shape)
                 elif nm == "CONCATENATION":
+                    if mode == "int8" and tensors_meta[o0].dtype == np.int8:
+                        # The interpreter requantizes concat inputs whose
+                        # qparams differ from the output's; we implement the
+                        # (Lyra-graph) equal-qparams case only — refuse the
+                        # rest rather than concatenate silently wrong bytes.
+                        qp = [_tensor_qparams(tensors_meta[i])
+                              for i in (*op.inputs, o0)]
+                        if any(q != qp[0] for q in qp[1:]):
+                            raise NotImplementedError(
+                                "int8 CONCATENATION with differing "
+                                "quantization params is not supported")
                     parts = [get(i) for i in op.inputs]
                     out = jnp.concatenate(parts, axis=op.options["axis"])
                     env[o0] = _ACT_FNS[op.options.get("activation")](out)
@@ -684,6 +696,14 @@ class GraphLowering:
                     env[o0] = out
                 elif nm in ("ADD", "SUB", "MUL", "DIV"):
                     a, b = get(op.inputs[0]), get(op.inputs[1])
+                    if (mode == "int8" and nm != "ADD"
+                            and tensors_meta[o0].dtype == np.int8):
+                        # Raw integer a-b / a*b would ignore scales and
+                        # zero-points — refuse at trace time (only the ADD
+                        # kernel's requantization is implemented; the Lyra
+                        # graphs use nothing else in their int8 islands).
+                        raise NotImplementedError(
+                            f"int8 {nm} is not supported")
                     if (mode == "int8" and nm == "ADD"
                             and tensors_meta[o0].dtype == np.int8):
                         _int8_no_fused_activation(op)
@@ -728,6 +748,9 @@ class GraphLowering:
                     else:
                         env[o0] = get(op.inputs[0])
                 elif nm == "GATHER":
+                    if op.options.get("batch_dims", 0):
+                        raise NotImplementedError(
+                            "GATHER with batch_dims > 0 is not supported")
                     env[o0] = jnp.take(
                         get(op.inputs[0]), get(op.inputs[1]),
                         axis=op.options.get("axis", 0),
@@ -768,7 +791,8 @@ class GraphLowering:
                     idx = get(op.inputs[0])
                     axis = op.options.get("axis", -1)
                     oh = jax.nn.one_hot(idx, depth, axis=axis, dtype=jnp.float32)
-                    env[o0] = oh * on_v + (1.0 - oh) * off_v
+                    out = oh * on_v + (1.0 - oh) * off_v
+                    env[o0] = out.astype(_np_dtype(tensors_meta[o0]))
                 elif nm == "PACK":
                     env[o0] = jnp.stack(
                         [get(i) for i in op.inputs], axis=op.options.get("axis", 0)

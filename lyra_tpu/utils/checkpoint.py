@@ -22,6 +22,8 @@ from lyra_tpu import config
 
 _HEADER_KEY = "__lyra_tpu_header__"
 _SEP = "\x1f"
+_EMPTY_DIR = "\x1e.empty"  # marker leaf name preserving empty-dict subtrees
+# (\x1e can't occur in real state keys; NUL would be truncated by zip names)
 # Data keys are namespaced so no state-dict key can collide with np.savez's
 # positional `file` parameter or with the header entry.
 _DATA_PREFIX = "d" + _SEP
@@ -30,6 +32,11 @@ _DATA_PREFIX = "d" + _SEP
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
+        if not tree and prefix:
+            # Preserve empty-dict subtrees: dropping them would restore a
+            # different pytree structure than was saved, failing later deep
+            # inside engine.step instead of here.
+            out[prefix + _EMPTY_DIR] = np.zeros(0, np.uint8)
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
     else:
@@ -42,6 +49,10 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
     for key, value in flat.items():
         parts = key.split(_SEP)
         node = tree
+        if parts[-1] == _EMPTY_DIR:
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            continue
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = value
@@ -56,6 +67,8 @@ def _canonical(path: str) -> str:
 def save_state(path: str, state: Any, extra: Dict[str, Any] | None = None) -> None:
     """Snapshot an engine state pytree (host transfer + .npz)."""
     path = _canonical(path)
+    if not isinstance(state, dict):
+        raise TypeError("save_state expects a dict state pytree at the root")
     flat = _flatten(jax_to_numpy(state))
     header = json.dumps({
         "version": config.version_string(),

@@ -247,3 +247,19 @@ def test_restore_validates_before_mutating(model_path, tmp_path):
     d0 = DecoderServer(2, model_path=model_path)  # default seed 0
     d0.restore(str(tmp_path / "dec7"))
     assert d0._seed == 7
+
+
+def test_empty_dict_subtree_roundtrips(tmp_path):
+    """Empty-dict subtrees are part of the pytree structure and must
+    survive a save/load cycle (a dropped key surfaces as a KeyError deep
+    inside engine.step on resume, far from the cause)."""
+    state = {"a": {}, "b": np.ones(3, np.float32),
+             "nested": {"empty": {}, "leaf": np.zeros(2, np.int32)}}
+    path = str(tmp_path / "empty.npz")
+    checkpoint.save_state(path, state)
+    restored, _ = checkpoint.load_state(path)
+    assert restored["a"] == {}
+    assert restored["nested"]["empty"] == {}
+    np.testing.assert_array_equal(restored["b"], state["b"])
+    with pytest.raises(TypeError, match="dict"):
+        checkpoint.save_state(str(tmp_path / "x.npz"), np.ones(4))
