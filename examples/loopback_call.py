@@ -43,13 +43,20 @@ def main(argv=None) -> int:
 
     rng = np.random.RandomState(args.seed)
     data = wav.read_wav_int16(args.input)
-    hop = config.num_samples_per_hop(data.sample_rate_hz)
+    rate = data.sample_rate_hz
+    if not config.is_sample_rate_supported(rate):
+        print(f"unsupported sample rate {rate}", file=sys.stderr)
+        return 1
+    hop = config.num_samples_per_hop(rate)
     ticks = min(int(args.seconds * config.FRAME_RATE),
                 data.samples.size // hop)
 
     cap = args.callers
-    enc = EncoderServer(cap, bitrate=args.bitrate)
-    dec = DecoderServer(cap)
+    # Engines at the wav's own rate (8/16/32/48 kHz all work): the servers'
+    # hop size and the output wavs follow the input.
+    from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+    enc = EncoderServer(cap, engine=EncoderEngine(rate), bitrate=args.bitrate)
+    dec = DecoderServer(cap, engine=DecoderEngine(rate))
     jb = JitterBuffer(cap, config.packet_size(184),
                       depth=args.max_delay_ticks + 6)
     for c in range(cap):
@@ -87,8 +94,7 @@ def main(argv=None) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     for c in range(cap):
         path = os.path.join(args.out_dir, f"caller{c}.wav")
-        wav.write_wav_int16(path, np.concatenate(decoded[c]),
-                            config.INTERNAL_SAMPLE_RATE)
+        wav.write_wav_int16(path, np.concatenate(decoded[c]), rate)
     stats = jb.stats()
     print(f"{ticks} ticks, {cap} callers, {lost} packets dropped by the "
           f"network, jitter buffer stats: {stats}")

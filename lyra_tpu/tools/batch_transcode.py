@@ -207,17 +207,24 @@ def main(argv=None) -> int:
     stems = _output_stems(paths)
 
     if args.mode == "decode":
-        streams = []
+        streams, ok_paths = [], []
         for p in paths:
-            with open(p, "rb") as f:
-                streams.append(f.read())
+            try:
+                with open(p, "rb") as f:
+                    streams.append(f.read())
+                ok_paths.append(p)
+            except OSError as e:
+                # Same skip-and-report contract as the encode modes.
+                log.error("Could not read %s: %s", p, e)
+        if not streams:
+            return 1
         outs = decode_batch(streams, args.sample_rate, args.bitrate,
                             args.model_path, compute=args.compute)
-        for p, samples in zip(paths, outs):
+        for p, samples in zip(ok_paths, outs):
             wav.write_wav_int16(
                 os.path.join(args.output_dir, f"{stems[p]}_decoded.wav"),
                 samples, args.sample_rate, 1)
-        return 0
+        return 0 if len(ok_paths) == len(paths) else 1
 
     groups = _group_by_rate(paths)
     processed = sum(len(items) for items in groups.values())

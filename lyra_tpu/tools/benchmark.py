@@ -56,6 +56,17 @@ def _time_stage(fn: Callable, iters: int) -> np.ndarray:
     return durations
 
 
+class _RotatingPool:
+    """frames[i] over a small device-resident pool (timing-equivalent to
+    distinct random frames; avoids materializing them all)."""
+
+    def __init__(self, pool):
+        self._pool = pool
+
+    def __getitem__(self, i):
+        return self._pool[i % self._pool.shape[0]]
+
+
 def run_benchmark(num_cond_vectors: int = 2000, batch: int = 1,
                   num_bits: int = 120,
                   model_path: str = config.DEFAULT_MODEL_PATH,
@@ -89,8 +100,12 @@ def run_benchmark(num_cond_vectors: int = 2000, batch: int = 1,
     dequantize = jax.jit(rvq.decode)
     decode = jax.jit(gan.decode_hop)
 
-    frames = jnp.asarray(
-        rng.uniform(-1.0, 1.0, (num_cond_vectors, batch, hop)), jnp.float32)
+    # A small rotating pool instead of [num_cond_vectors, batch, hop]: the
+    # full tensor would be ~84 GB of host float64 at the headline B=16384.
+    pool = jnp.asarray(
+        rng.uniform(-1.0, 1.0, (min(num_cond_vectors, 8), batch, hop))
+        .astype(np.float32))
+    frames = _RotatingPool(pool)
 
     # Warmup each stage once (compile), then measure.
     feats, ss_state = extract(ss_state, frames[0])
@@ -153,7 +168,8 @@ def run_benchmark(num_cond_vectors: int = 2000, batch: int = 1,
     print(report)
 
     if csv_path:
-        os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+        if os.path.dirname(csv_path):
+            os.makedirs(os.path.dirname(csv_path), exist_ok=True)
         with open(csv_path, "w") as f:
             f.write("stage,max_us,min_us,mean_us,stdev_us,num_calls\n")
             for name, r in rows.items():

@@ -136,6 +136,9 @@ def decode_file(encoded_path: str, output_path: str, sample_rate_hz: int,
 
     with open(encoded_path, "rb") as f:
         stream = f.read()
+    if config.bitrate_to_num_quantized_bits(bitrate) < 0:
+        log.error("Bitrate %d is not supported by codec.", bitrate)
+        return False
     packet_size = config.bitrate_to_packet_size(bitrate)
     remainder = len(stream) % packet_size
     if remainder:

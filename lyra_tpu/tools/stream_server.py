@@ -68,18 +68,27 @@ def _server_save(server, path: str, kind: str,
                **extra})
 
 
-def _server_restore(server, path: str, kind: str) -> Dict[str, object]:
-    """Validates everything BEFORE mutating the server: a failed restore
-    must leave it exactly as it was."""
+def _server_restore(server, path: str, kind: str,
+                    required: tuple = (),
+                    validate=None) -> Dict[str, object]:
+    """Validates everything BEFORE mutating the server — a failed restore
+    must leave it exactly as it was.  `required` names extra-header keys
+    that must be present; `validate(extra)` runs any server-specific checks
+    (still pre-mutation).  The snapshot is loaded exactly once."""
     _no_inflight_tick(server, "restore")  # a stale tick would drain against
     state, extra = checkpoint.load_state(path)  # the restored slot/gen table
     if extra.get("kind") != kind:
         raise ValueError(f"snapshot is not a {kind}-server snapshot")
+    for k in ("slots", "gen", *required):
+        if k not in extra:
+            raise ValueError(f"snapshot is missing the {k!r} header field")
     slots = extra["slots"]
     if len(slots) != server.capacity:
         raise ValueError(
             f"snapshot capacity {len(slots)} != server capacity "
             f"{server.capacity}")
+    if validate is not None:
+        validate(extra)
     mesh = getattr(server.engine, "mesh", None)
     if mesh is not None:  # mesh-sharded engine: land the restored state
         from lyra_tpu.parallel.sharding import shard_batch_tree  # sharded
@@ -202,7 +211,9 @@ class DecoderServer:
         })
 
     def restore(self, path: str) -> None:
-        extra = _server_restore(self, path, "decoder")
+        extra = _server_restore(
+            self, path, "decoder",
+            required=("seed", "bad_packets", "last_comfort"))
         # Post-restore admissions must keep the ORIGINAL server's per-stream
         # RNG lineage, not this instance's constructor seed.
         self._seed = extra["seed"]
@@ -215,12 +226,16 @@ class DecoderServer:
         packets: stream_id -> wire bytes, or None/missing for packet loss.
         Returns stream_id -> hop of int16 audio at the engine's sample rate.
         """
+        _no_inflight_tick(self, "a synchronous tick")
+        # Validate every id up front: a KeyError mid-loop would abort the
+        # tick after some slots' bad_packets counters already moved.
+        for sid in packets:
+            if sid not in self._by_id:
+                raise KeyError(f"unknown stream {sid!r}")
         indices = np.full((self.capacity, self._num_stages), -1, np.int32)
         received = np.zeros(self.capacity, bool)
         for sid, pkt in packets.items():
-            i = self._by_id.get(sid)
-            if i is None:
-                raise KeyError(f"unknown stream {sid!r}")
+            i = self._by_id[sid]
             if pkt:
                 try:
                     idx = packet.unpack_indices(pkt)
@@ -260,6 +275,7 @@ class DecoderServer:
         Returns audio [capacity, hop] int16.  Wire bytes → indices runs
         through the native batch codec, grouped by packet size (bitrate).
         """
+        _no_inflight_tick(self, "a synchronous tick")
         indices, received = self._unpack_wire(packets, received, sizes)
         audio, is_cn, self._state = self.engine.step(
             self._state, indices, received)
@@ -299,6 +315,7 @@ class DecoderServer:
         the packets come from EncoderServer.tick_wire the caller must fold
         its sizes in: `received & (sizes > 0)`.  Bit-identical audio to
         tick_packed given that mask."""
+        _no_inflight_tick(self, "a synchronous tick")
         packets = np.ascontiguousarray(packets, np.uint8)
         self._wire_prep(packets)
         received = np.asarray(received, bool) & self._active_mask()
@@ -518,20 +535,22 @@ class EncoderServer:
         })
 
     def restore(self, path: str) -> None:
-        # Validate the snapshot's bitrates against THIS engine's stage cap
-        # before mutating anything: restoring 9.2 kbps streams onto a
-        # max_bitrate=3200 engine would pack packets from RVQ stages the
-        # engine statically skips — the silently-degraded condition
-        # add_stream/set_bitrate refuse.
-        _, extra = checkpoint.load_state(path)
-        if extra.get("kind") == "encoder":
-            for bits in set(extra["bits"]):
-                if bits // config.BITS_PER_QUANTIZER > self._stage_cap:
+        def validate(extra):
+            # The snapshot's *active* streams' bitrates must fit THIS
+            # engine's stage cap: restoring 9.2 kbps streams onto a
+            # max_bitrate=3200 engine would pack packets from RVQ stages
+            # the engine statically skips — the silently-degraded condition
+            # add_stream/set_bitrate refuse.  Inactive slots' stale bits
+            # are overwritten on re-admission, so they don't gate restore.
+            for (sid, active), bits in zip(extra["slots"], extra["bits"]):
+                if active and bits // config.BITS_PER_QUANTIZER > self._stage_cap:
                     raise ValueError(
-                        f"snapshot stream at {bits} quantized bits exceeds "
-                        f"this engine's max_bitrate stage cap "
+                        f"snapshot stream {sid!r} at {bits} quantized bits "
+                        f"exceeds this engine's max_bitrate stage cap "
                         f"({self._stage_cap})")
-        extra = _server_restore(self, path, "encoder")
+
+        extra = _server_restore(self, path, "encoder",
+                                required=("bits",), validate=validate)
         self._bits = np.asarray(extra["bits"], np.int32)
         self._nq = (self._bits // config.BITS_PER_QUANTIZER).astype(np.int32)
 
@@ -541,6 +560,7 @@ class EncoderServer:
 
         sizes is 0 for DTX noise hops; mixed per-stream bitrates pack in one
         native batch call per size group."""
+        _no_inflight_tick(self, "a synchronous tick")
         indices, is_noise, self._state = self.engine.step(
             self._state, np.asarray(audio, np.float32), self._nq)
         return self._pack_wire(np.asarray(indices), np.asarray(is_noise),
@@ -591,6 +611,7 @@ class EncoderServer:
         DTX noise hops) are zeroed, never stale payload.  When feeding
         DecoderServer.tick_wire (which takes no per-row sizes), derive its
         `received` mask as `received & (sizes > 0)`."""
+        _no_inflight_tick(self, "a synchronous tick")
         wire, is_noise = self._wire_submit(audio)
         return self._drain_wire((wire, is_noise, self._active_mask(),
                                  self._gen.copy()))
@@ -700,6 +721,7 @@ class EncoderServer:
     def tick(self, audio: Dict[object, np.ndarray]) -> Dict[object, bytes]:
         """One 20 ms step: stream_id -> hop of int16 samples in,
         stream_id -> wire packet bytes out (b"" for DTX noise hops)."""
+        _no_inflight_tick(self, "a synchronous tick")
         frames = np.zeros((self.capacity, self.engine.hop_samples), np.float32)
         for sid, hop in audio.items():
             i = self._by_id.get(sid)
