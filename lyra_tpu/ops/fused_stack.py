@@ -110,8 +110,40 @@ class FusedStackKernel:
                 self._var_of_handle[op.outputs[0]] = op.options["shared_name"]
         self._state_shapes = self._find_state_shapes()
         self._partition(gl.init_state_vals)
+        self._validate_core()
         self._collect_weights()
         self._call = functools.lru_cache(maxsize=8)(self._build_call)
+
+    def _validate_core(self) -> None:
+        """Refuse at build time what the kernel body would get silently
+        wrong: fused activations (the per-op lowerings return the raw
+        accumulation), read-after-assign of a state var inside one tick
+        (READ always reads the *input* state ref), and core vars that are
+        read but never assigned (their output ref would be returned
+        uninitialized and carried into the next tick)."""
+        assigned = set()
+        for i in self._core:
+            op = self.sg.ops[i]
+            if (op.name in ("CONV_2D", "DEPTHWISE_CONV_2D", "TRANSPOSE_CONV",
+                            "ADD", "SUB", "MUL", "DIV", "CONCATENATION")
+                    and op.options.get("activation") is not None):
+                raise NotImplementedError(
+                    f"fused kernel: core {op.name} with fused activation "
+                    f"{op.options['activation']!r} is not supported")
+            if op.name == "READ_VARIABLE":
+                name = self._var_of_handle[op.inputs[0]]
+                if name in assigned:
+                    raise NotImplementedError(
+                        f"fused kernel: state var {name!r} read after "
+                        f"assign within one tick is not supported")
+            elif op.name == "ASSIGN_VARIABLE":
+                assigned.add(self._var_of_handle[op.inputs[0]])
+        read_only = set(self._core_state_names) - assigned
+        if read_only:
+            raise NotImplementedError(
+                f"fused kernel: core state vars {sorted(read_only)} are "
+                f"read but never assigned — their carried state would be "
+                f"uninitialized")
 
     # -- graph analysis --------------------------------------------------------
     def _find_state_shapes(self) -> Dict[str, Tuple[int, ...]]:
@@ -236,13 +268,25 @@ class FusedStackKernel:
                     _mapped_shape(v.shape))
 
     # -- weights ---------------------------------------------------------------
-    def _weight(self, tensor_idx: int, transform) -> int:
-        if tensor_idx not in self._weight_slot:
-            w = np.asarray(self._consts[tensor_idx], np.float32)
-            self._weight_slot[tensor_idx] = len(self._weights)
-            t = np.ascontiguousarray(transform(w))
-            self._weights.append(t.astype(self._np_dt))
-        return self._weight_slot[tensor_idx]
+    def _weight(self, tensor_idx: int, transform, kind: str = "") -> int:
+        # One slot per const tensor, but the layout transform is consumer-
+        # specific: a tensor consumed by two different op types would get
+        # the first consumer's layout for both — refuse instead of reading
+        # a mis-laid-out weight (no shipped graph shares consts that way).
+        if tensor_idx in self._weight_slot:
+            slot, prev_kind = self._weight_slot[tensor_idx]
+            if prev_kind != kind:
+                raise NotImplementedError(
+                    f"const tensor {tensor_idx} shared across op kinds "
+                    f"({prev_kind!r} vs {kind!r}) — unsupported in the "
+                    f"fused kernel")
+            return slot
+        w = np.asarray(self._consts[tensor_idx], np.float32)
+        slot = len(self._weights)
+        self._weight_slot[tensor_idx] = (slot, kind)
+        t = np.ascontiguousarray(transform(w))
+        self._weights.append(t.astype(self._np_dt))
+        return slot
 
     def _collect_weights(self):
         self._weights: List[np.ndarray] = []
@@ -253,29 +297,35 @@ class FusedStackKernel:
             if nm == "CONV_2D":
                 # [O, K, 1, I_f] -> [K, I_f, O]
                 self._weight(op.inputs[1], lambda w: np.transpose(
-                    w[:, :, 0, :], (1, 2, 0)))
+                    w[:, :, 0, :], (1, 2, 0)), kind="conv_w")
                 if len(op.inputs) > 2 and op.inputs[2] >= 0:
-                    self._weight(op.inputs[2], lambda b: b.reshape(1, -1))
+                    self._weight(op.inputs[2], lambda b: b.reshape(1, -1),
+                                 kind="row")
             elif nm == "DEPTHWISE_CONV_2D":
-                self._weight(op.inputs[1], lambda w: w[0, :, 0, :])
+                self._weight(op.inputs[1], lambda w: w[0, :, 0, :],
+                             kind="dw_w")
                 if len(op.inputs) > 2 and op.inputs[2] >= 0:
-                    self._weight(op.inputs[2], lambda b: b.reshape(1, -1))
+                    self._weight(op.inputs[2], lambda b: b.reshape(1, -1),
+                                 kind="row")
             elif nm == "TRANSPOSE_CONV":
                 # [O, K, 1, I] -> [I, K*O]
                 self._weight(op.inputs[1], lambda w: np.transpose(
-                    w[:, :, 0, :], (2, 1, 0)).reshape(w.shape[3], -1))
+                    w[:, :, 0, :], (2, 1, 0)).reshape(w.shape[3], -1),
+                    kind="tc_w")
                 if len(op.inputs) > 3 and op.inputs[3] >= 0:
-                    self._weight(op.inputs[3], lambda b: b.reshape(1, -1))
+                    self._weight(op.inputs[3], lambda b: b.reshape(1, -1),
+                                 kind="row")
             elif nm in ("ADD", "SUB", "MUL", "DIV"):
                 for t in op.inputs:
                     if t in self._consts:
-                        self._weight(t, lambda b: np.asarray(b).reshape(1, -1))
+                        self._weight(t, lambda b: np.asarray(b).reshape(1, -1),
+                                     kind="row")
             elif nm == "CONCATENATION":
                 for t in op.inputs:
                     if t in self._consts:
                         shape = _mapped_shape(self.sg.tensors[t].shape)
                         self._weight(t, lambda b, s=shape: np.asarray(
-                            b).reshape(s))
+                            b).reshape(s), kind=f"shape{shape}")
 
     # -- public API ------------------------------------------------------------
     def init_state(self, batch_size: int) -> Dict[str, jnp.ndarray]:
@@ -517,7 +567,7 @@ class FusedStackKernel:
             }
 
             def wv(tensor_idx: int) -> Array:
-                return w_refs[weight_slot[tensor_idx]][:]
+                return w_refs[weight_slot[tensor_idx][0]][:]
 
             def get(i: int) -> Array:
                 if i in env:

@@ -47,7 +47,9 @@ class JitterBuffer:
             raise ValueError(f"bad stream slot {stream}")
 
     def insert(self, stream: int, seq: int, packet: bytes) -> int:
-        """Returns 0 ok, 2 late-drop, 3 duplicate, 4 too-far-ahead."""
+        """Returns 0 ok, 2 late-drop, 3 duplicate, 4 too-far-ahead,
+        5 inactive stream (packet for a torn-down call — a routine
+        transport event, dropped and counted, never an exception)."""
         buf = (ctypes.c_uint8 * max(len(packet), 1)).from_buffer_copy(
             packet or b"\x00")
         rc = self._lib.lyra_jb_insert(self._h, stream, seq, buf, len(packet))
@@ -72,7 +74,10 @@ class JitterBuffer:
         late = ctypes.c_int64()
         dup = ctypes.c_int64()
         over = ctypes.c_int64()
-        self._lib.lyra_jb_stats(self._h, ctypes.byref(late),
-                                ctypes.byref(dup), ctypes.byref(over))
+        inactive = ctypes.c_int64()
+        self._lib.lyra_jb_stats2(self._h, ctypes.byref(late),
+                                 ctypes.byref(dup), ctypes.byref(over),
+                                 ctypes.byref(inactive))
         return {"late_drops": late.value, "dup_drops": dup.value,
-                "overflow_drops": over.value}
+                "overflow_drops": over.value,
+                "inactive_drops": inactive.value}

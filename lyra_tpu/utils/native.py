@@ -43,6 +43,8 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_jb_collect.argtypes = [vp, u8p, u8p, u8p]
     lib.lyra_jb_collect.restype = i64
     lib.lyra_jb_stats.argtypes = [vp, i64p, i64p, i64p]
+    lib.lyra_jb_stats.restype = None
+    lib.lyra_jb_stats2.argtypes = [vp, i64p, i64p, i64p, i64p]
     return lib
 
 

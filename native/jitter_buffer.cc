@@ -38,6 +38,7 @@ struct JitterBuffer {
   std::vector<uint8_t> active;   // stream slot in use
   // stats
   int64_t late_drops = 0, dup_drops = 0, overflow_drops = 0;
+  int64_t inactive_drops = 0;
 };
 
 }  // namespace
@@ -71,8 +72,11 @@ void lyra_jb_destroy(void* h) { delete static_cast<JitterBuffer*>(h); }
 int lyra_jb_add_stream(void* h, int64_t stream, int64_t start_seq,
                        int64_t playout_delay) {
   auto* jb = static_cast<JitterBuffer*>(h);
-  if (stream < 0 || stream >= jb->capacity || playout_delay < 0 ||
-      playout_delay >= jb->depth) {
+  // start_seq must be non-negative: with head >= 0 every accepted seq is
+  // >= head >= 0, so (seq % depth) can never be a negative (out-of-bounds)
+  // ring index under C++ truncating modulo.
+  if (stream < 0 || stream >= jb->capacity || start_seq < 0 ||
+      playout_delay < 0 || playout_delay >= jb->depth) {
     return 1;
   }
   jb->active[stream] = 1;
@@ -93,13 +97,19 @@ int lyra_jb_remove_stream(void* h, int64_t stream) {
 
 // File a packet. size may be 0 (DTX empty packet: "received, no payload").
 // Returns 0 ok, 1 bad args, 2 late (already played), 3 duplicate,
-// 4 overflow (further than `depth` ahead of head: dropped).
+// 4 overflow (further than `depth` ahead of head: dropped),
+// 5 inactive stream (packet for a torn-down call: dropped, not an error —
+// late arrivals after remove_stream are routine in real-time transport).
 int lyra_jb_insert(void* h, int64_t stream, int64_t seq,
                    const uint8_t* data, int64_t size) {
   auto* jb = static_cast<JitterBuffer*>(h);
-  if (stream < 0 || stream >= jb->capacity || !jb->active[stream] ||
+  if (stream < 0 || stream >= jb->capacity || seq < 0 ||
       size < 0 || size > jb->packet_size) {
     return 1;
+  }
+  if (!jb->active[stream]) {
+    ++jb->inactive_drops;
+    return 5;
   }
   const int64_t head = jb->head_seq[stream];
   if (seq < head) {
@@ -165,6 +175,12 @@ void lyra_jb_stats(void* h, int64_t* late, int64_t* dup, int64_t* overflow) {
   *late = jb->late_drops;
   *dup = jb->dup_drops;
   *overflow = jb->overflow_drops;
+}
+
+void lyra_jb_stats2(void* h, int64_t* late, int64_t* dup, int64_t* overflow,
+                    int64_t* inactive) {
+  lyra_jb_stats(h, late, dup, overflow);
+  *inactive = static_cast<JitterBuffer*>(h)->inactive_drops;
 }
 
 }  // extern "C"

@@ -131,3 +131,25 @@ def test_create_rejects_oversized_packet_size():
         JitterBuffer(capacity=2, packet_size=256, depth=4)
     with pytest.raises(RuntimeError):
         JitterBuffer(capacity=0, packet_size=8, depth=4)
+
+
+def test_negative_sequence_numbers_rejected():
+    """Negative start_seq/seq would index the ring with C++ truncating
+    modulo (negative index = out-of-bounds heap write): hard-rejected."""
+    jb = JitterBuffer(capacity=2, packet_size=8, depth=4)
+    with pytest.raises(ValueError):
+        jb.add_stream(0, start_seq=-10)
+    jb.add_stream(0, start_seq=0)
+    with pytest.raises(ValueError):
+        jb.insert(0, -1, b"x" * 8)
+
+
+def test_insert_after_remove_is_a_counted_drop():
+    """Late arrivals for a torn-down call are routine transport events:
+    dropped and counted, never an exception that kills the ingest loop."""
+    jb = JitterBuffer(capacity=2, packet_size=8, depth=4)
+    jb.add_stream(0, start_seq=0)
+    jb.remove_stream(0)
+    rc = jb.insert(0, 1, b"y" * 8)
+    assert rc == 5
+    assert jb.stats()["inactive_drops"] == 1
