@@ -406,3 +406,44 @@ def test_hop_generator_rejects_before_advancing_state(model_path):
     a1 = gen1.generate_samples(320)
     a2 = gen2.generate_samples(320)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_engine_dtx_freezes_conv_state_per_stream(model_path, speech):
+    """Engine-level DTX: a noise-classified hop emits is_noise and leaves
+    that stream's SoundStream conv state untouched (the reference's early
+    return, lyra/lyra_encoder.cc:131-141) while other streams in the same
+    batch advance normally."""
+    nq = 64 // config.BITS_PER_QUANTIZER
+    enc = EncoderEngine(16000, model_path, enable_dtx=True)
+    es = enc.init_state(2)
+    x0 = np.stack([speech[0], speech[0]]).astype(np.float32)
+
+    # Huge forced bound => everything classifies as noise this step.
+    forced = enc._state_with_bound(es, 1e9)
+    idx, is_noise, es_after = enc.step(forced, x0, nq)
+    assert bool(np.asarray(is_noise)[0]) and bool(np.asarray(is_noise)[1])
+    for k, v in es_after["soundstream"].items():
+        np.testing.assert_array_equal(  # conv state frozen on noise hops
+            np.asarray(v), np.asarray(forced["soundstream"][k]), err_msg=k)
+
+    # Negative bound => everything is speech: state advances, no DTX.
+    forced = enc._state_with_bound(es, -1.0)
+    idx, is_noise, es_after = enc.step(forced, x0, nq)
+    assert not np.asarray(is_noise).any()
+    moved = any(
+        not np.array_equal(np.asarray(v),
+                           np.asarray(forced["soundstream"][k]))
+        for k, v in es_after["soundstream"].items())
+    assert moved
+
+    # Per-stream independence: a stream whose hop was DTX-suppressed then
+    # encodes the next speech hop exactly like a stream that never saw the
+    # suppressed hop's state advance.
+    idx_ref, _, _ = enc.step(
+        enc._state_with_bound(es, -1.0), x0, nq)  # fresh state, speech hop
+    noise_first = enc._state_with_bound(es, 1e9)
+    _, _, st = enc.step(noise_first, x0, nq)      # suppressed hop
+    idx_after, _, _ = enc.step(
+        enc._state_with_bound(st, -1.0), x0, nq)  # same speech hop
+    np.testing.assert_array_equal(np.asarray(idx_after),
+                                  np.asarray(idx_ref))
