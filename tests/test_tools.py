@@ -199,3 +199,25 @@ def test_decoder_main_rejects_empty_file(tmp_path, model_path):
         "--model_path", model_path,
     ])
     assert rc == 1
+
+
+def test_examples_run_end_to_end(tmp_path, monkeypatch):
+    """Both examples complete on tiny configurations: the loopback call
+    (network sim + jitter buffer + PLC) and the drain/migrate demo (whose
+    own exit code asserts bit-exact post-migration audio)."""
+    import importlib
+    import sys as _sys
+
+    examples = os.path.join(os.path.dirname(__file__), "..", "examples")
+    monkeypatch.syspath_prepend(examples)
+    loopback = importlib.import_module("loopback_call")
+    migrate = importlib.import_module("drain_migrate")
+
+    assert loopback.main(["--seconds", "0.2", "--callers", "1",
+                          "--out_dir", str(tmp_path / "call")]) == 0
+    assert (tmp_path / "call" / "caller0.wav").exists()
+
+    assert migrate.main(["--callers", "1", "--ticks_before_drain", "4",
+                         "--ticks_after", "4",
+                         "--out_dir", str(tmp_path / "mig")]) == 0
+    assert (tmp_path / "mig" / "caller0.wav").exists()
