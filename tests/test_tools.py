@@ -206,7 +206,6 @@ def test_examples_run_end_to_end(tmp_path, monkeypatch):
     (network sim + jitter buffer + PLC) and the drain/migrate demo (whose
     own exit code asserts bit-exact post-migration audio)."""
     import importlib
-    import sys as _sys
 
     examples = os.path.join(os.path.dirname(__file__), "..", "examples")
     monkeypatch.syspath_prepend(examples)
