@@ -40,10 +40,19 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     data = wav.read_wav_int16(args.input)
+    if data.sample_rate_hz != config.INTERNAL_SAMPLE_RATE:
+        print(f"this demo expects a {config.INTERNAL_SAMPLE_RATE} Hz wav "
+              f"(got {data.sample_rate_hz}); see loopback_call.py for the "
+              f"multi-rate serving setup", file=sys.stderr)
+        return 1
     hop = config.num_samples_per_hop(data.sample_rate_hz)
     cap = args.callers
     total_ticks = args.ticks_before_drain + args.ticks_after
-    frames = data.samples[: total_ticks * hop].reshape(-1, hop)
+    usable = (min(len(data.samples), total_ticks * hop) // hop) * hop
+    if usable == 0:
+        print("input shorter than one 20 ms hop", file=sys.stderr)
+        return 1
+    frames = data.samples[:usable].reshape(-1, hop)
 
     def tick(enc, dec, t):
         audio = np.broadcast_to(frames[t % len(frames)], (cap, hop))

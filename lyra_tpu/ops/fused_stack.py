@@ -121,15 +121,19 @@ class FusedStackKernel:
         (READ always reads the *input* state ref), and core vars that are
         read but never assigned (their output ref would be returned
         uninitialized and carried into the next tick)."""
-        assigned = set()
-        for i in self._core:
-            op = self.sg.ops[i]
+        # Fused activations are dropped by BOTH the pallas core lowerings
+        # and the XLA edge interpreter (_edge_fn), so sweep every op in the
+        # subgraph, not just the core.
+        for op in self.sg.ops:
             if (op.name in ("CONV_2D", "DEPTHWISE_CONV_2D", "TRANSPOSE_CONV",
                             "ADD", "SUB", "MUL", "DIV", "CONCATENATION")
                     and op.options.get("activation") is not None):
                 raise NotImplementedError(
-                    f"fused kernel: core {op.name} with fused activation "
+                    f"fused kernel: {op.name} with fused activation "
                     f"{op.options['activation']!r} is not supported")
+        assigned = set()
+        for i in self._core:
+            op = self.sg.ops[i]
             if op.name == "READ_VARIABLE":
                 name = self._var_of_handle[op.inputs[0]]
                 if name in assigned:
@@ -290,7 +294,7 @@ class FusedStackKernel:
 
     def _collect_weights(self):
         self._weights: List[np.ndarray] = []
-        self._weight_slot: Dict[int, int] = {}
+        self._weight_slot: Dict[int, Tuple[int, str]] = {}
         for i in self._core:
             op = self.sg.ops[i]
             nm = op.name

@@ -45,6 +45,7 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_jb_stats.argtypes = [vp, i64p, i64p, i64p]
     lib.lyra_jb_stats.restype = None
     lib.lyra_jb_stats2.argtypes = [vp, i64p, i64p, i64p, i64p]
+    lib.lyra_jb_stats2.restype = None
     return lib
 
 
@@ -86,6 +87,17 @@ def load() -> Optional[ctypes.CDLL]:
         build()
     try:
         _lib = _configure(ctypes.CDLL(_LIB_PATH))
+    except AttributeError:
+        # A .so built from an older checkout lacks a newly added symbol:
+        # rebuild once (build() sees the newer sources) and retry.
+        _log.warning("native library is missing symbols; rebuilding")
+        build()
+        try:
+            _lib = _configure(ctypes.CDLL(_LIB_PATH))
+        except (OSError, AttributeError):
+            _lib = None
+            _log.warning("native rebuild did not yield a loadable library; "
+                         "using numpy pack/unpack fallback")
     except OSError:
         _lib = None
         _log.warning("native library unavailable at %s; "

@@ -103,10 +103,14 @@ int lyra_jb_remove_stream(void* h, int64_t stream) {
 int lyra_jb_insert(void* h, int64_t stream, int64_t seq,
                    const uint8_t* data, int64_t size) {
   auto* jb = static_cast<JitterBuffer*>(h);
-  if (stream < 0 || stream >= jb->capacity || seq < 0 ||
+  if (stream < 0 || stream >= jb->capacity ||
       size < 0 || size > jb->packet_size) {
     return 1;
   }
+  // A negative seq (corrupt wire header) falls through to the seq < head
+  // late-drop below — head_seq is guaranteed >= 0 by lyra_jb_add_stream, so
+  // it can never reach the ring indexing, and a hostile packet is a counted
+  // drop, not an ingest-loop exception.
   if (!jb->active[stream]) {
     ++jb->inactive_drops;
     return 5;

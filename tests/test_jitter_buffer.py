@@ -140,8 +140,11 @@ def test_negative_sequence_numbers_rejected():
     with pytest.raises(ValueError):
         jb.add_stream(0, start_seq=-10)
     jb.add_stream(0, start_seq=0)
-    with pytest.raises(ValueError):
-        jb.insert(0, -1, b"x" * 8)
+    # A negative seq from a corrupt wire header is a counted late drop
+    # (head >= 0 always, so it never reaches the ring indexing) — a
+    # routine transport event, not an ingest-loop exception.
+    assert jb.insert(0, -1, b"x" * 8) == 2
+    assert jb.stats()["late_drops"] == 1
 
 
 def test_insert_after_remove_is_a_counted_drop():

@@ -201,7 +201,9 @@ def test_decoder_main_rejects_empty_file(tmp_path, model_path):
     assert rc == 1
 
 
-def test_examples_run_end_to_end(tmp_path, monkeypatch):
+def test_examples_run_end_to_end(tmp_path, monkeypatch, model_path,
+                                 testdata_path):
+    del model_path, testdata_path  # gate: skip when assets are absent
     """Both examples complete on tiny configurations: the loopback call
     (network sim + jitter buffer + PLC) and the drain/migrate demo (whose
     own exit code asserts bit-exact post-migration audio)."""
