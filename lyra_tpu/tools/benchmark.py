@@ -72,7 +72,10 @@ def run_benchmark(num_cond_vectors: int = 2000, batch: int = 1,
                   model_path: str = config.DEFAULT_MODEL_PATH,
                   csv_path: Optional[str] = None,
                   profile_dir: Optional[str] = None,
-                  mode: str = "float") -> dict:
+                  mode: str = "float",
+                  benchmark_feature_extraction: bool = True,
+                  benchmark_quantizer: bool = True,
+                  benchmark_generative_model: bool = True) -> dict:
     import contextlib
 
     import jax
@@ -85,20 +88,41 @@ def run_benchmark(num_cond_vectors: int = 2000, batch: int = 1,
     nq = num_bits // config.BITS_PER_QUANTIZER
     rng = np.random.RandomState(0)
 
-    soundstream = SoundStreamEncoder(model_path, mode=mode)
-    gan = LyraGanModel(model_path, mode=mode)
-    rvq = ResidualVectorQuantizer.from_model_path(model_path)
+    # Per-stage disable flags match the reference exactly: a disabled stage's
+    # component is never constructed and its bracket times a zeros substitute
+    # (reference: lyra_benchmark.cc:34-41, lyra_benchmark_lib.cc:85-162 —
+    # null component → std::vector<float>(kNumFeatures, 0) etc., timing row
+    # still recorded).
+    soundstream = (SoundStreamEncoder(model_path, mode=mode)
+                   if benchmark_feature_extraction else None)
+    gan = (LyraGanModel(model_path, mode=mode)
+           if benchmark_generative_model else None)
+    rvq = (ResidualVectorQuantizer.from_model_path(model_path)
+           if benchmark_quantizer else None)
 
     # Stage kernels, jitted standalone so each stage is timed in isolation
     # exactly like the reference's MaybeRun* brackets
     # (reference: lyra_benchmark_lib.cc:85-162).
-    ss_state = soundstream.init_state(batch)
-    gan_state = gan.init_state(batch)
+    ss_state = soundstream.init_state(batch) if soundstream else None
+    gan_state = gan.init_state(batch) if gan else None
 
-    extract = jax.jit(soundstream.extract)
-    quantize = jax.jit(lambda f: rvq.quantize(f, nq))
-    dequantize = jax.jit(rvq.decode)
-    decode = jax.jit(gan.decode_hop)
+    zero_feats = jnp.zeros((batch, config.NUM_FEATURES), jnp.float32)
+    zero_idx = jnp.zeros((batch, nq), jnp.int32)
+    zero_audio = jnp.zeros((batch, hop), jnp.float32)
+    if soundstream:
+        extract = jax.jit(soundstream.extract)
+    else:
+        extract = lambda st, frame: (zero_feats, st)
+    if rvq:
+        quantize = jax.jit(lambda f: rvq.quantize(f, nq))
+        dequantize = jax.jit(rvq.decode)
+    else:
+        quantize = lambda f: zero_idx
+        dequantize = lambda i: zero_feats
+    if gan:
+        decode = jax.jit(gan.decode_hop)
+    else:
+        decode = lambda st, feats: (zero_audio, st)
 
     # A small rotating pool instead of [num_cond_vectors, batch, hop]: the
     # full tensor would be ~84 GB of host float64 at the headline B=16384.
@@ -195,10 +219,32 @@ def main(argv=None) -> int:
                    help="Write a jax.profiler device trace to DIR.")
     p.add_argument("--mode", default="float", choices=["float", "fakequant", "bf16"],
                    help="Conv compute mode (bf16 = TPU throughput mode).")
+    # Per-stage toggles (reference: lyra_benchmark.cc:34-41). absl-style
+    # bools: --benchmark_quantizer=false / true / 1 / 0.
+    for flag, doc in (
+        ("benchmark_feature_extraction", "feature extraction"),
+        ("benchmark_quantizer", "quantizer"),
+        ("benchmark_generative_model", "generative model"),
+    ):
+        p.add_argument(f"--{flag}", type=_parse_bool, default=True,
+                       metavar="BOOL",
+                       help=f"Whether to benchmark the {doc}.")
     args = p.parse_args(argv)
     run_benchmark(args.num_cond_vectors, args.batch, args.num_bits,
-                  args.model_path, args.csv, args.profile, args.mode)
+                  args.model_path, args.csv, args.profile, args.mode,
+                  args.benchmark_feature_extraction,
+                  args.benchmark_quantizer,
+                  args.benchmark_generative_model)
     return 0
+
+
+def _parse_bool(s: str) -> bool:
+    v = s.strip().lower()
+    if v in ("true", "1", "yes"):
+        return True
+    if v in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
 
 
 if __name__ == "__main__":

@@ -38,6 +38,31 @@ def test_run_benchmark_stages_and_csv(tmp_path, model_path):
         assert float(vals[2]) == pytest.approx(r.mean_us, rel=1e-6)
 
 
+def test_stage_toggles_disable_components(model_path, capsys):
+    """Disabled stages time a zeros substitute but still report a row
+    (reference: lyra_benchmark.cc:34-41, lyra_benchmark_lib.cc:85-162)."""
+    from lyra_tpu.tools import benchmark
+
+    rc = benchmark.main([
+        "--num_cond_vectors=2", "--batch=1", f"--model_path={model_path}",
+        "--benchmark_quantizer=false", "--benchmark_generative_model=false",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # All four rows still print; the disabled ones are near-instant
+    # zero-substitutes, the enabled extractor dominates.
+    for row in ("feature_extractor", "quantizer_quantize",
+                "quantizer_decode", "model_decode"):
+        assert row in out
+
+
+def test_stage_toggle_flag_rejects_garbage():
+    from lyra_tpu.tools import benchmark
+
+    with pytest.raises(SystemExit):
+        benchmark.main(["--benchmark_quantizer=maybe"])
+
+
 def test_melspec_benchmark_runs(capsys):
     from lyra_tpu.tools import melspec_benchmark
 
