@@ -6,8 +6,14 @@ scaling model is "one phone core per stream".  The TPU-native scaling model
 is stream-batch data parallelism (SURVEY.md §2 "Parallelism"): the lockstep
 engines already treat streams as a leading `[B]` axis with zero cross-stream
 communication, so sharding that axis over a 1-D `jax.sharding.Mesh` scales
-to a full ICI pod with **no collectives in the frame path** — XLA partitions
-every conv/matmul row-wise and never inserts an all-gather.
+to a full ICI pod with **no tensor collectives in the frame path** — XLA
+partitions every conv/matmul row-wise and never inserts an all-gather.  The
+single collective GSPMD emits is a scalar `pred[]` all-reduce (one bit over
+ICI per tick) implementing the fleet-wide CNG idle gate's `any(run_cng)`;
+this is machine-checked against the optimized HLO, along with constant
+per-device compiled FLOPs/bytes for 1→2→4→8 devices at fixed per-device
+batch (tests/test_sharding.py::test_sharded_roundtrip_hlo_has_no_tensor_collectives
+and ::test_weak_scaling_constant_per_device_cost).
 
 DCN enters only for scale-out of independent batches; model weights are
 replicated (a few MB) and per-stream state (~110 KB) lives sharded in HBM.

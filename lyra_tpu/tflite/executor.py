@@ -313,15 +313,32 @@ def _strided_slice(x, begin, end, strides, opts, x_shape):
 def _conv2d(x, w, b, opts, groups_from: Tuple[int, int]):
     in_c, filt_in_c = groups_from
     groups = in_c // filt_in_c
-    out = jax.lax.conv_general_dilated(
-        x,
-        jnp.transpose(w, (1, 2, 3, 0)),  # [O,KH,KW,I] -> HWIO
-        window_strides=(opts["stride_h"], opts["stride_w"]),
-        padding=opts["padding"],
-        rhs_dilation=(opts.get("dilation_h", 1), opts.get("dilation_w", 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-    )
+
+    def conv(xg, wg, fgc=1):
+        return jax.lax.conv_general_dilated(
+            xg,
+            jnp.transpose(wg, (1, 2, 3, 0)),  # [O,KH,KW,I] -> HWIO
+            window_strides=(opts["stride_h"], opts["stride_w"]),
+            padding=opts["padding"],
+            rhs_dilation=(opts.get("dilation_h", 1), opts.get("dilation_w", 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=fgc,
+        )
+
+    if 1 < groups < in_c:
+        # Grouped conv lowered as per-group dense convs.  XLA's SPMD
+        # partitioner cannot batch-partition a feature_group_count>1
+        # convolution: under a sharded stream axis it all-gathers the batch
+        # dim and runs everything downstream replicated (verified against
+        # the optimized HLO, tests/test_sharding.py).  Per-group dense convs
+        # are mathematically identical (same taps, same accumulation order
+        # per output channel) and partition row-wise like every other conv.
+        xs = jnp.split(x, groups, axis=-1)
+        ws = jnp.split(w, groups, axis=0)  # output channels are group-major
+        out = jnp.concatenate(
+            [conv(xg, wg) for xg, wg in zip(xs, ws)], axis=-1)
+    else:
+        out = conv(x, w, groups)
     if b is not None:
         out = out + b
     return _ACT_FNS[opts.get("activation")](out)
