@@ -212,3 +212,46 @@ def unpack_wire_device(packets, num_bits: int):
     hi = (b >> 4).astype(jnp.int32)
     lo = (b & 0xF).astype(jnp.int32)
     return jnp.stack([hi, lo], axis=-1).reshape(b.shape[0], -1)
+
+
+# ---- mixed-bitrate device wire codec ----------------------------------------
+#
+# Every supported rate's wire bytes are a *prefix* of the next rate's layout
+# (16/30/46 four-bit stages = 8/15/23 whole bytes, stages nibble-paired
+# byte-aligned at every rate), so a mixed-bitrate fleet packs into rows of
+# the fleet's widest packet with per-row stage masks — each row's first
+# `sizes[i]` bytes are bit-identical to its own-rate packet and the tail is
+# zero, exactly the tick_packed contract (reference: lyra/lyra_config.h:
+# 119-168 packet sizes; lyra/lyra_encoder.h:44-101 per-stream set_bitrate).
+
+
+def pack_wire_device_mixed(indices, nq_row, max_num_bits: int):
+    """[B, >=n_stages] int32 indices + [B] int32 per-row stage counts →
+    [B, packet_size(max_num_bits)] uint8 wire bytes, on device (jax).
+
+    Row i's first packet_size(nq_row[i]*4) bytes are bit-identical to
+    pack_indices_batch(indices[i], nq_row[i]*4); bytes beyond are zero
+    (stages >= nq_row[i] are masked before the nibble interleave, which
+    also neutralizes the engine's -1 padding for un-run stages)."""
+    import jax.numpy as jnp
+
+    bps = config.BITS_PER_QUANTIZER
+    if bps != 4 or max_num_bits % 8:
+        raise ValueError("device wire codec requires whole-byte 4-bit stages")
+    n_stages = max_num_bits // bps
+    stage = jnp.arange(n_stages)
+    idx = jnp.where(stage[None, :] < nq_row[:, None],
+                    indices[:, :n_stages], 0).astype(jnp.uint8)
+    return (idx[:, 0::2] << 4) | (idx[:, 1::2] & 0xF)
+
+
+def unpack_wire_device_mixed(packets, nq_row):
+    """[B, max_size] uint8 wire bytes + [B] per-row stage counts →
+    [B, 2*max_size] int32 indices, -1 beyond each row's own stages (the
+    engine's not-received stage marker).  Row-wise bit-identical to
+    unpack_indices_batch on each row's own-size packet."""
+    import jax.numpy as jnp
+
+    idx = unpack_wire_device(packets, packets.shape[1] * 8)
+    stage = jnp.arange(idx.shape[1])
+    return jnp.where(stage[None, :] < nq_row[:, None], idx, -1)

@@ -305,24 +305,82 @@ class DecoderServer:
             indices[rows, : idx.shape[1]] = idx
         return indices, received
 
-    def tick_wire(self, packets: np.ndarray, received: np.ndarray) -> np.ndarray:
-        """Uniform-bitrate fast path: the wire-format unpack runs on device
+    def tick_wire(self, packets: np.ndarray, received: np.ndarray,
+                  sizes: Optional[np.ndarray] = None) -> np.ndarray:
+        """Device-wire fast path: the wire-format unpack runs on device
         inside the same jitted call as the decode step
-        (packet.unpack_wire_device) — the counterpart of
-        EncoderServer.tick_wire.  packets must be [capacity, packet_size]
-        for one supported size; DTX empties and losses are both signalled
-        via `received` — there are no per-row sizes on this path, so when
-        the packets come from EncoderServer.tick_wire the caller must fold
-        its sizes in: `received & (sizes > 0)`.  Bit-identical audio to
-        tick_packed given that mask."""
+        (packet.unpack_wire_device{,_mixed}) — the counterpart of
+        EncoderServer.tick_wire.
+
+        Without `sizes`, packets must be [capacity, packet_size] for one
+        supported size (uniform-bitrate fleet); DTX empties and losses are
+        both signalled via `received`, so when the packets come from
+        EncoderServer.tick_wire the caller must fold its sizes in:
+        `received & (sizes > 0)`.  With `sizes` ([capacity] byte counts,
+        exactly EncoderServer.tick_wire's second output), mixed-bitrate
+        fleets decode on the device path too: each row's own packet size
+        selects its RVQ stage count on device, size 0 is loss/DTX, and an
+        unrecognized or over-cap size is a counted drop (bad_packets),
+        never an exception out of the tick.  Bit-identical audio to
+        tick_packed in both forms."""
         _no_inflight_tick(self, "a synchronous tick")
         packets = np.ascontiguousarray(packets, np.uint8)
-        self._wire_prep(packets)
-        received = np.asarray(received, bool) & self._active_mask()
-        audio, is_cn, self._state = self._wire_step(
-            self._state, packets, received)
+        if sizes is None:
+            self._wire_prep(packets)
+            received = np.asarray(received, bool) & self._active_mask()
+            audio, is_cn, self._state = self._wire_step(
+                self._state, packets, received)
+        else:
+            nq_row, received = self._sizes_to_nq(sizes, received)
+            self._wire_prep_mixed(packets.shape[1])
+            audio, is_cn, self._state = self._wire_step_mixed(
+                self._state, packets, received, nq_row)
         self._last_comfort = np.asarray(is_cn)
         return np.asarray(audio).astype(np.int16)
+
+    def _sizes_to_nq(self, sizes: np.ndarray, received: np.ndarray):
+        """Per-row packet sizes → per-row RVQ stage counts + effective
+        received mask.  Unknown sizes and bitrates above the engine's
+        static max_bitrate cap are counted drops (same policy as
+        _unpack_wire); size 0 (DTX empty / nothing arrived) is plain loss,
+        not an error."""
+        sizes = np.asarray(sizes)
+        received = (np.asarray(received, bool) & (sizes > 0)
+                    & self._active_mask())
+        nq_row = np.zeros(self.capacity, np.int32)
+        bad = np.zeros(self.capacity, bool)
+        for size in np.unique(sizes[received]):
+            bits = config.packet_size_to_num_quantized_bits(int(size))
+            sel = received & (sizes == size)
+            if (bits < 0
+                    or bits // config.BITS_PER_QUANTIZER > self._stage_cap):
+                bad |= sel
+            else:
+                nq_row[sel] = bits // config.BITS_PER_QUANTIZER
+        self.bad_packets[bad] += 1
+        return nq_row, received & ~bad
+
+    def _wire_prep_mixed(self, width: int) -> None:
+        """(Re)build the jitted mixed-bitrate unpack+step program for a
+        given wire row width (recompiles only when the fleet's widest
+        packet size changes)."""
+        if (not hasattr(self, "_wire_step_mixed")
+                or self._wire_mixed_width != width):
+            import jax
+            import jax.numpy as jnp
+
+            n_keep = min(2 * width, self._num_stages)
+
+            @jax.jit
+            def _wire_step_mixed(state, wire, received, nq_row):
+                idx = packet.unpack_wire_device_mixed(wire, nq_row)
+                full = jnp.full(
+                    (wire.shape[0], self._num_stages), -1, jnp.int32)
+                full = full.at[:, :n_keep].set(idx[:, :n_keep])
+                return self.engine._step_impl(state, full, received)
+
+            self._wire_step_mixed = _wire_step_mixed
+            self._wire_mixed_width = width
 
     def _wire_prep(self, packets: np.ndarray) -> None:
         """Validate the uniform packet size and (re)build the jitted
@@ -359,20 +417,27 @@ class DecoderServer:
             self._active_cache = cached
         return cached
 
-    def tick_wire_async(self, packets: np.ndarray,
-                        received: np.ndarray) -> Optional[np.ndarray]:
+    def tick_wire_async(self, packets: np.ndarray, received: np.ndarray,
+                        sizes: Optional[np.ndarray] = None
+                        ) -> Optional[np.ndarray]:
         """Pipelined tick_wire: submit this tick's wire bytes, return the
         *previous* tick's audio (None on the first call).  Same overlap and
-        slot-reuse-suppression contract as tick_packed_async; same
-        uniform-size input contract as tick_wire."""
+        slot-reuse-suppression contract as tick_packed_async; same input
+        contract as tick_wire (pass `sizes` for a mixed-bitrate fleet)."""
         if getattr(self, "_pending", None) is not None:
             raise RuntimeError(
                 "tick_packed_async pipeline in flight; flush_async() first")
         packets = np.ascontiguousarray(packets, np.uint8)
-        self._wire_prep(packets)
-        received = np.asarray(received, bool) & self._active_mask()
-        audio, is_cn, self._state = self._wire_step(
-            self._state, packets, received)
+        if sizes is None:
+            self._wire_prep(packets)
+            received = np.asarray(received, bool) & self._active_mask()
+            audio, is_cn, self._state = self._wire_step(
+                self._state, packets, received)
+        else:
+            nq_row, received = self._sizes_to_nq(sizes, received)
+            self._wire_prep_mixed(packets.shape[1])
+            audio, is_cn, self._state = self._wire_step_mixed(
+                self._state, packets, received, nq_row)
         for dev_arr in (audio, is_cn):
             if hasattr(dev_arr, "copy_to_host_async"):
                 dev_arr.copy_to_host_async()
@@ -598,54 +663,60 @@ class EncoderServer:
         return out, sizes
 
     def tick_wire(self, audio: np.ndarray):
-        """Uniform-bitrate fast path: one jitted call runs the encode step
-        AND the wire-format pack on device (packet.pack_wire_device), so
+        """Device-wire fast path: one jitted call runs the encode step AND
+        the wire-format pack on device (packet.pack_wire_device_mixed), so
         the host receives actual packet bytes — half the interconnect
         traffic of index transfers and zero host bit work (+24% measured
         wire-path throughput, PERF.md "Device-side wire codec").
 
-        Requires every active slot at the same bitrate (mixed fleets use
-        tick_packed, which groups by bitrate through the native codec).
-        Returns (wire [capacity, packet_size] uint8, sizes [capacity])
-        bit-identical to tick_packed: rows with size 0 (inactive slots,
-        DTX noise hops) are zeroed, never stale payload.  When feeding
-        DecoderServer.tick_wire (which takes no per-row sizes), derive its
-        `received` mask as `received & (sizes > 0)`."""
+        Mixed per-stream bitrates are supported (reference:
+        lyra/lyra_encoder.h:44-101 set_bitrate): rows pack at their own
+        bitrate into the fleet's widest packet size, stages beyond a row's
+        own masked to zero on device.  Returns (wire [capacity, max_size]
+        uint8, sizes [capacity]) bit-identical to tick_packed: each row's
+        first sizes[i] bytes are its own-rate packet, the tail and all
+        non-emitting rows (inactive slots, DTX noise hops) are zeroed,
+        never stale payload.  When feeding DecoderServer.tick_wire, pass
+        these sizes and derive its mask as `received & (sizes > 0)`."""
         _no_inflight_tick(self, "a synchronous tick")
         wire, is_noise = self._wire_submit(audio)
         return self._drain_wire((wire, is_noise, self._active_mask(),
-                                 self._gen.copy()))
+                                 self._bits.copy(), self._gen.copy()))
 
     def _wire_submit(self, audio: np.ndarray):
-        """Run the jitted encode+device-pack step; returns device arrays."""
-        bits = self._uniform_bits()
-        if not hasattr(self, "_wire_step") or self._wire_bits != bits:
+        """Run the jitted encode+device-pack step; returns device arrays.
+        One program serves uniform and mixed fleets (per-row nq is already
+        a runtime engine input on the packed path); it recompiles only when
+        the fleet's widest bitrate changes."""
+        max_bits = int(self._bits.max())
+        if not hasattr(self, "_wire_step") or self._wire_bits != max_bits:
             import jax
-            import jax.numpy as jnp
-
-            nq = jnp.asarray(bits // config.BITS_PER_QUANTIZER, jnp.int32)
 
             @jax.jit
-            def _wire_step(state, frames):
+            def _wire_step(state, frames, nq_row):
                 indices, is_noise, state = self.engine._step_impl(
-                    state, frames, nq)
-                return packet.pack_wire_device(indices, bits), is_noise, state
+                    state, frames, nq_row)
+                wire = packet.pack_wire_device_mixed(indices, nq_row,
+                                                     max_bits)
+                return wire, is_noise, state
 
-            self._wire_step, self._wire_bits = _wire_step, bits
+            self._wire_step, self._wire_bits = _wire_step, max_bits
         wire, is_noise, self._state = self._wire_step(
-            self._state, np.asarray(audio, np.float32))
+            self._state, np.asarray(audio, np.float32), self._nq)
         return wire, is_noise
 
     def _drain_wire(self, pending):
-        wire, is_noise, active, gen_prev = pending
+        wire, is_noise, active, bits, gen_prev = pending
         wire = np.array(wire)  # writable host copy
         # Match tick_packed exactly: non-emitting rows carry zeros, not the
         # slot's stale encoder output (an inactive row's bytes would be a
         # removed stream's encoded audio); a slot re-admitted since submit
-        # emits size 0, like tick_packed_async.
+        # emits size 0, like tick_packed_async.  bits is the submit-time
+        # snapshot, so set_bitrate between submit and drain can't mislabel
+        # a row's size.
         emit = (active & ~np.asarray(is_noise)) & (gen_prev == self._gen)
         wire[~emit] = 0
-        sizes = np.where(emit, wire.shape[1], 0).astype(np.int32)
+        sizes = np.where(emit, (bits + 7) // 8, 0).astype(np.int32)
         return wire, sizes
 
     def tick_wire_async(self, audio: np.ndarray):
@@ -661,7 +732,7 @@ class EncoderServer:
                 dev_arr.copy_to_host_async()
         pending = getattr(self, "_wire_pending", None)
         self._wire_pending = (wire, is_noise, self._active_mask(),
-                              self._gen.copy())
+                              self._bits.copy(), self._gen.copy())
         if pending is None:
             return None
         return self._drain_wire(pending)
@@ -672,14 +743,6 @@ class EncoderServer:
         if pending is None:
             return None
         return self._drain_wire(pending)
-
-    def _uniform_bits(self) -> int:
-        rows = list(self._by_id.values())
-        bits = np.unique(self._bits[rows]) if rows else [self._default_bits]
-        if len(bits) != 1:
-            raise ValueError(
-                f"tick_wire requires a uniform-bitrate fleet, got bits={list(bits)}")
-        return int(bits[0])
 
     def tick_packed_async(self, audio: np.ndarray):
         """Pipelined encode tick: submit this tick's audio, return the

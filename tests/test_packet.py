@@ -111,3 +111,33 @@ def test_device_wire_codec_matches_host_codec():
         np.testing.assert_array_equal(back, idx[:, :n])
     with pytest.raises(ValueError):
         packet.pack_wire_device(np.zeros((1, 46), np.int32), 60)
+
+
+def test_mixed_device_wire_codec_matches_host_codec():
+    """pack_wire_device_mixed: each row's first size bytes must equal its
+    own-rate host packet, tail bytes zero; unpack_wire_device_mixed must
+    restore the indices with -1 beyond each row's own stages."""
+    import jax
+
+    rng = np.random.default_rng(6)
+    bits_rows = np.array([64, 184, 120, 64, 184], np.int32)
+    nq = bits_rows // config.BITS_PER_QUANTIZER
+    idx = rng.integers(0, 16, (5, 46)).astype(np.int32)
+    # un-run stages carry the engine's -1 marker; the mixed pack must mask
+    # them to zero, not wrap them to 0xF
+    for r, n in enumerate(nq):
+        idx[r, n:] = -1
+
+    wire = np.asarray(jax.jit(
+        lambda i, q: packet.pack_wire_device_mixed(i, q, 184))(idx, nq))
+    assert wire.shape == (5, 23)
+    for r, bits in enumerate(bits_rows):
+        size = (int(bits) + 7) // 8
+        host = packet.pack_indices_batch(idx[r:r + 1, :nq[r]], int(bits))
+        np.testing.assert_array_equal(wire[r, :size], host[0])
+        assert not wire[r, size:].any()
+
+    back = np.asarray(jax.jit(packet.unpack_wire_device_mixed)(wire, nq))
+    for r, n in enumerate(nq):
+        np.testing.assert_array_equal(back[r, :n], idx[r, :n])
+        assert (back[r, n:] == -1).all()

@@ -295,16 +295,76 @@ def test_tick_wire_matches_tick_packed(model_path):
         np.testing.assert_array_equal(out_w, out_p, err_msg=f"tick {t}")
 
 
-def test_tick_wire_rejects_mixed_bitrates(model_path):
-    enc = EncoderServer(2, model_path=model_path, bitrate=3200)
-    enc.add_stream("a")
-    enc.add_stream("b", bitrate=9200)
-    with pytest.raises(ValueError, match="uniform"):
-        enc.tick_wire(np.zeros((2, INTERNAL_HOP), np.int16))
-    dec = DecoderServer(2, model_path=model_path)
-    dec.add_stream("a")
+def test_tick_wire_mixed_bitrates_matches_tick_packed(model_path):
+    """A mixed-bitrate fleet on the device wire path must be bit-identical
+    to the host native-codec path: rows pack at their own rate into the
+    fleet's widest packet, tails zero, and the decoder consumes the sizes
+    vector on device (reference: lyra/lyra_encoder.h:44-101 per-stream
+    set_bitrate at serving scale)."""
+    cap = 4
+    enc_w = EncoderServer(cap, model_path=model_path, bitrate=3200)
+    enc_p = EncoderServer(cap, model_path=model_path, bitrate=3200)
+    dec_w = DecoderServer(cap, model_path=model_path)
+    dec_p = DecoderServer(cap, model_path=model_path)
+    for s in (enc_w, enc_p):
+        s.add_stream("a", bitrate=3200)
+        s.add_stream("b", bitrate=9200)
+        s.add_stream("c", bitrate=6000)
+        # slot 3 inactive: zero row on both paths
+    for s in (dec_w, dec_p):
+        for sid in "abc":
+            s.add_stream(sid)
+
+    rng = np.random.default_rng(11)
+    for t in range(4):
+        audio = rng.integers(-8000, 8000, (cap, INTERNAL_HOP)).astype(np.int16)
+        received = rng.uniform(size=cap) >= 0.3
+
+        wire_w, sizes_w = enc_w.tick_wire(audio)
+        wire_p, sizes_p = enc_p.tick_packed(audio)
+        np.testing.assert_array_equal(sizes_w, sizes_p)
+        np.testing.assert_array_equal(wire_w, wire_p)
+        assert sizes_w[3] == 0 and not wire_w[3].any()
+        assert set(sizes_w[:3]) <= {0, 8, 15, 23}  # own-rate sizes (0=DTX)
+
+        out_w = dec_w.tick_wire(wire_w, received, sizes_w)
+        out_p = dec_p.tick_packed(wire_p, received, sizes_p)
+        np.testing.assert_array_equal(out_w, out_p, err_msg=f"tick {t}")
+
+    # Mid-call set_bitrate (the reference's dynamic bitrate switch) keeps
+    # the two paths identical, including the wire width change.
+    for s in (enc_w, enc_p):
+        s.set_bitrate("b", 3200)
+    audio = rng.integers(-8000, 8000, (cap, INTERNAL_HOP)).astype(np.int16)
+    wire_w, sizes_w = enc_w.tick_wire(audio)
+    wire_p, sizes_p = enc_p.tick_packed(audio)
+    np.testing.assert_array_equal(sizes_w, sizes_p)
+    np.testing.assert_array_equal(wire_w, wire_p)
+    out_w = dec_w.tick_wire(wire_w, np.ones(cap, bool), sizes_w)
+    out_p = dec_p.tick_packed(wire_p, np.ones(cap, bool), sizes_p)
+    np.testing.assert_array_equal(out_w, out_p)
+
+
+def test_tick_wire_mixed_bad_sizes_are_counted_drops(model_path):
+    """Unknown packet sizes and over-cap bitrates on the mixed wire path
+    are counted drops (bad_packets), never exceptions out of the tick."""
+    from lyra_tpu.codec.engine import DecoderEngine
+
+    dec = DecoderServer(3, engine=DecoderEngine(
+        16000, model_path, max_bitrate=3200))
+    for sid in range(3):
+        dec.add_stream(sid)
+    pkts = np.zeros((3, 23), np.uint8)
+    # row 0: valid 3.2 kbps size; row 1: unknown size; row 2: 9.2 kbps
+    # packet into a max_bitrate=3200 engine (over the static stage cap).
+    sizes = np.array([8, 9, 23], np.int32)
+    out = dec.tick_wire(pkts, np.ones(3, bool), sizes)
+    assert out.shape == (3, INTERNAL_HOP)
+    assert dec.bad_packets.tolist() == [0, 1, 1]
+    # Uniform path still refuses an unsupported width loudly (host-side
+    # misconfiguration, not a per-stream wire event).
     with pytest.raises(ValueError, match="unsupported"):
-        dec.tick_wire(np.zeros((2, 9), np.uint8), np.ones(2, bool))
+        dec.tick_wire(np.zeros((3, 9), np.uint8), np.ones(3, bool))
 
 
 def test_tick_wire_async_matches_sync(model_path):
