@@ -89,12 +89,42 @@ def main():
             print(f"batch {batch} x{ticks} failed: {e}", file=sys.stderr)
 
     streams, batch, ms, ticks = best
+    if streams <= 0.0:
+        # Every config failed: report "broken", not "zero streams" — a
+        # driver-visible nonzero rc distinguishes slow from broken.
+        print(json.dumps({
+            "metric": "realtime_3.2kbps_encode+decode_streams_per_chip",
+            "value": 0.0, "unit": "streams",
+            "vs_baseline": 0.0,
+            "error": "all benchmark configs failed (see stderr)",
+        }))
+        sys.exit(1)
+
+    # Roofline: the lockstep tick is bound by per-stream streaming-state HBM
+    # traffic (PERF.md round-2 ablation) — every byte of carried state is
+    # read and written once per tick (weights, a few MB, amortize to ~0).
+    # bound = how many streams fit in 20 ms if state r+w ran at full HBM
+    # bandwidth with zero compute; achieved/bound is the auditable "how
+    # close to the physical floor" number VERDICT r2 asked for.
+    state_bytes = sum(
+        x.nbytes for x in jax.tree.leaves((enc.init_state(1),
+                                           dec.init_state(1))))
+    hbm_gbps = 819.0e9  # TPU v5e HBM2 bandwidth
+    bound_streams = 0.02 * hbm_gbps / (2.0 * state_bytes)
+    achieved_gbps = 2.0 * state_bytes * streams / 0.02
     print(json.dumps({
         "metric": "realtime_3.2kbps_encode+decode_streams_per_chip",
         "value": round(streams, 1),
         "unit": f"streams (B={batch}, {ms:.2f} ms/20ms-step, "
                 f"{ticks}-tick scan)",
         "vs_baseline": round(streams / BASELINE_STREAMS, 3),
+        "roofline": {
+            "state_bytes_per_stream": int(state_bytes),
+            "hbm_bw_gbps": hbm_gbps / 1e9,
+            "achieved_state_gbps": round(achieved_gbps / 1e9, 1),
+            "hbm_bound_streams": round(bound_streams, 1),
+            "pct_of_hbm_bound": round(100.0 * streams / bound_streams, 1),
+        },
     }))
 
 
