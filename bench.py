@@ -1,9 +1,11 @@
 """Throughput benchmark: concurrent real-time Lyra streams per chip.
 
-Measures the batched lockstep encode+decode step (one 20 ms frame per
-stream per step: SoundStream encode → RVQ quantize → RVQ decode → LyraGAN
-decode with the full PLC/fade machinery) and reports how many concurrent
-real-time streams one chip sustains: streams = B * 0.02s / step_time.
+Measures the batched lockstep encode+decode tick (one 20 ms frame per
+stream per tick: SoundStream encode → RVQ quantize → RVQ decode → LyraGAN
+decode with the full PLC/fade machinery), served as a multi-wave schedule
+(W interleaved jit calls of S streams each — PERF.md round 3), and reports
+how many concurrent real-time streams one chip sustains:
+streams = W * S * 0.02s / tick_time.
 
 Baseline: BASELINE.json north star = 2000 concurrent 3.2 kbps streams/chip
 (the reference sustains ~38x realtime for ONE stream on a Pixel 6 Pro,
@@ -44,51 +46,69 @@ def main():
     dec = DecoderEngine(16000, mode="bf16", max_bitrate=3200)
     rng = np.random.RandomState(0)
 
-    best = (0.0, 0, 0.0, 1)  # streams, batch, step_ms, ticks
-    # ticks is capped at 2: a k-tick scan adds k*20 ms of playout latency,
-    # and beyond ~40 ms the config stops being honest "real-time streams".
-    for batch, ticks in ((4096, 1), (16384, 1), (16384, 2)):
+    best = (0.0, 0, 0.0, 1)  # streams, wave_batch, tick_ms, n_waves
+    # Wave schedule (PERF.md round 3): the fleet is served as W interleaved
+    # jit calls of S streams each per 20 ms tick.  S~8k sits on the linear
+    # part of the HBM working-set curve where one B=16384 program is past
+    # the knee — two waves of 8192 beat one 16384 call by ~15% measured.
+    # Physical floor for one tick: every stream's carried state crosses HBM
+    # (read + write) once — used to reject broken timing measurements (a
+    # tick "faster than the memory system" means a wait was lost, e.g. a
+    # dropped dependency edge through the dev tunnel, not a fast tick).
+    state_bytes = sum(
+        x.nbytes for x in jax.tree.leaves((enc.init_state(1),
+                                           dec.init_state(1))))
+    hbm_gbps = 819.0e9  # TPU v5e HBM2 bandwidth
+
+    for wave_batch, n_waves in ((16384, 1), (8192, 2), (7168, 2)):
         try:
             import jax.numpy as jnp
 
-            enc_state = enc.init_state(batch)
-            dec_state = dec.init_state(batch)
             audio = jnp.asarray(
-                rng.randint(-16000, 16000, (batch, 320)), jnp.float32)
-            received = jnp.ones((batch,), bool)
-            nq = jnp.full((batch,), 64 // config.BITS_PER_QUANTIZER, jnp.int32)
-
-            if ticks == 1:
-                step = jax.jit(lambda es, ds, a, r, n: _roundtrip(
-                    enc, dec, es, ds, a, r, n))
-                args = (audio, received, nq)
-            else:
-                # k-tick lax.scan: state crosses HBM once per k ticks
-                # instead of per jit call (the axon PJRT rejects buffer
-                # donation, so per-call state copies are otherwise
-                # unrecoverable — PERF.md "Probed and rejected").
-                audio_k = jnp.broadcast_to(audio, (ticks, *audio.shape))
-                step = jax.jit(lambda es, ds, ak, r, n: _roundtrip_scan(
-                    enc, dec, es, ds, ak, r, n))
-                args = (audio_k, received, nq)
-
+                rng.randint(-16000, 16000, (wave_batch, 320)), jnp.float32)
+            received = jnp.ones((wave_batch,), bool)
+            nq = jnp.full(
+                (wave_batch,), 64 // config.BITS_PER_QUANTIZER, jnp.int32)
+            step = jax.jit(lambda es, ds, a, r, n: _roundtrip(
+                enc, dec, es, ds, a, r, n))
+            waves = [[enc.init_state(wave_batch), dec.init_state(wave_batch)]
+                     for _ in range(n_waves)]
             # Warmup/compile.
-            i0, c0, es, ds = step(enc_state, dec_state, *args)
+            for w in waves:
+                i0, c0, w[0], w[1] = step(w[0], w[1], audio, received, nq)
             jax.block_until_ready(c0)
-            iters = max(20 // ticks, 4)
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                i0, c0, es, ds = step(es, ds, *args)
-            jax.block_until_ready(c0)
-            dt = (time.perf_counter() - t0) / (iters * ticks)
 
-            streams = batch * 0.02 / dt
+            floor = 2.0 * state_bytes * wave_batch * n_waves / hbm_gbps
+            dt = None
+            for attempt in range(3):
+                iters = 20
+                outs = []
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    for w in waves:
+                        i0, c0, w[0], w[1] = step(
+                            w[0], w[1], audio, received, nq)
+                        outs.append(c0)
+                jax.block_until_ready(outs)
+                dt = (time.perf_counter() - t0) / iters  # one full tick
+                if dt >= floor:
+                    break
+                print(f"wave config {n_waves}x{wave_batch}: measured "
+                      f"{dt * 1e3:.2f} ms/tick below the {floor * 1e3:.2f} ms "
+                      f"HBM floor — lost wait, remeasuring", file=sys.stderr)
+            if dt < floor:
+                raise RuntimeError(
+                    f"tick time {dt * 1e3:.2f} ms stayed below the physical "
+                    f"HBM floor {floor * 1e3:.2f} ms after 3 attempts")
+
+            streams = n_waves * wave_batch * 0.02 / dt
             if streams > best[0]:
-                best = (streams, batch, dt * 1e3, ticks)
+                best = (streams, wave_batch, dt * 1e3, n_waves)
         except Exception as e:  # noqa: BLE001 — report what we can
-            print(f"batch {batch} x{ticks} failed: {e}", file=sys.stderr)
+            print(f"wave config {n_waves}x{wave_batch} failed: {e}",
+                  file=sys.stderr)
 
-    streams, batch, ms, ticks = best
+    streams, batch, ms, n_waves = best
     if streams <= 0.0:
         # Every config failed: report "broken", not "zero streams" — a
         # driver-visible nonzero rc distinguishes slow from broken.
@@ -106,17 +126,13 @@ def main():
     # bound = how many streams fit in 20 ms if state r+w ran at full HBM
     # bandwidth with zero compute; achieved/bound is the auditable "how
     # close to the physical floor" number VERDICT r2 asked for.
-    state_bytes = sum(
-        x.nbytes for x in jax.tree.leaves((enc.init_state(1),
-                                           dec.init_state(1))))
-    hbm_gbps = 819.0e9  # TPU v5e HBM2 bandwidth
     bound_streams = 0.02 * hbm_gbps / (2.0 * state_bytes)
     achieved_gbps = 2.0 * state_bytes * streams / 0.02
     print(json.dumps({
         "metric": "realtime_3.2kbps_encode+decode_streams_per_chip",
         "value": round(streams, 1),
-        "unit": f"streams (B={batch}, {ms:.2f} ms/20ms-step, "
-                f"{ticks}-tick scan)",
+        "unit": f"streams ({n_waves}x{batch} wave schedule, "
+                f"{ms:.2f} ms/20ms-tick)",
         "vs_baseline": round(streams / BASELINE_STREAMS, 3),
         "roofline": {
             "state_bytes_per_stream": int(state_bytes),
@@ -132,27 +148,6 @@ def _roundtrip(enc, dec, enc_state, dec_state, audio, received, nq):
     indices, is_noise, enc_state = enc._step_impl(enc_state, audio, nq)
     out, is_cn, dec_state = dec._step_impl(dec_state, indices, received)
     return out, is_cn, enc_state, dec_state
-
-
-def _roundtrip_scan(enc, dec, enc_state, dec_state, audio_k, received, nq):
-    """k lockstep ticks inside one XLA while-loop (audio_k: [k, B, hop])."""
-    from jax import lax
-
-    import jax.numpy as jnp
-
-    def body(carry, audio):
-        es, ds, acc = carry
-        indices, _, es = enc._step_impl(es, audio, nq)
-        out, is_cn, ds = dec._step_impl(ds, indices, received)
-        # Fold every tick's full audio into the carry: without this XLA may
-        # dead-code-eliminate the audio tail (crossfade/clip/write) for all
-        # ticks but the last, and the scan variant would overstate capacity.
-        return (es, ds, acc + out), is_cn[:1]
-
-    acc0 = jnp.zeros_like(audio_k[0])
-    (enc_state, dec_state, acc), cns = lax.scan(
-        body, (enc_state, dec_state, acc0), audio_k)
-    return acc, cns, enc_state, dec_state
 
 
 if __name__ == "__main__":

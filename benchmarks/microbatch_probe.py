@@ -17,10 +17,13 @@ freeze-mask traffic (PERF.md round-2 ablation):
 Usage: python benchmarks/microbatch_probe.py [B] [iters]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
