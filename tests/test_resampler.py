@@ -118,3 +118,49 @@ def test_fused_backend_call_contract(model_path):
         enc.single(None, None)
     with pytest.raises(ValueError, match="fused"):
         SoundStreamEncoder(model_path, backend="fused", mode="int8")
+
+
+def test_golden_vectors_pinned():
+    """Pinned streaming outputs for every supported rate pair (reference:
+    lyra/resampler.cc:31-49, resampler_test.cc:45-48 oracle strategy).
+
+    The property tests above bound behavior; this bounds the *kernel*: a
+    change that preserves sine amplitude/anti-aliasing but shifts the
+    Kaiser-sinc design would still move these samples by far more than the
+    tolerance (0.05 on an int16 scale ~= half an LSB of float noise).
+    Regenerate with tests/golden/generate_resampler_goldens.py only for an
+    intentional kernel change, and note it in PARITY.md."""
+    import os
+
+    import jax
+
+    from lyra_tpu.dsp.resampler import Resampler
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "resampler_goldens.npz")
+    data = np.load(path)
+    pairs = sorted({k[len("in_"):] for k in data.files if k.startswith("in_")})
+    assert len(pairs) == 6
+    for key in pairs:
+        in_rate, out_rate = (int(v) for v in key.split("_"))
+        r = Resampler(in_rate, out_rate)
+        x = data[f"in_{key}"]
+        want = data[f"out_{key}"]
+        block = in_rate * 20 // 1000
+        state = r.init_state(x.shape[0])
+        fn = jax.jit(r.resample)
+        got = []
+        for b in range(x.shape[1] // block):
+            y, state = fn(state, x[:, b * block:(b + 1) * block])
+            got.append(np.asarray(y))
+        got = np.concatenate(got, axis=1)
+        assert got.shape == want.shape, key
+        dev = np.abs(got - want).max()
+        assert dev <= 0.05, f"{key}: max deviation {dev}"
+        # The host-side streaming twin must pin to the same goldens.
+        host = np.concatenate([
+            r.resample_stream_np(np.zeros(2 * r.radius, np.float32),
+                                 x[row])[0][None]
+            for row in range(x.shape[0])])
+        host_dev = np.abs(host - want).max()
+        assert host_dev <= 0.05, f"{key} host path: max deviation {host_dev}"
