@@ -35,6 +35,11 @@ B = int(args[0]) if args else 16384
 DEPTH = 2 if "--depth=2" in sys.argv else 1
 SYNC = "--sync" in sys.argv
 DEVICE_WIRE = "--wire=device" in sys.argv
+# --wire=device-mixed routes the uniform fleet through the mixed-bitrate
+# kernel (per-row nq vector + stage masks) to measure its overhead vs the
+# uniform nibble codec; wire widths/content are identical for this fleet.
+MIXED_WIRE = "--wire=device-mixed" in sys.argv
+DEVICE_WIRE = DEVICE_WIRE or MIXED_WIRE
 NQ = 16  # 3.2 kbps
 rng = np.random.RandomState(0)
 enc = EncoderEngine(16000, mode="bf16", max_bitrate=3200)
@@ -42,6 +47,10 @@ dec = DecoderEngine(16000, mode="bf16", max_bitrate=3200)
 
 @jax.jit
 def enc_step(es, audio):
+    if MIXED_WIRE:
+        nq_row = jnp.full((audio.shape[0],), NQ, jnp.int32)
+        idx, isn, es = enc._step_impl(es, audio, nq_row)
+        return packet.pack_wire_device_mixed(idx, nq_row, NQ * 4), es
     idx, isn, es = enc._step_impl(es, audio, jnp.int32(NQ))
     if DEVICE_WIRE:  # emit actual wire bytes: 8 B/stream at 3.2 kbps
         return packet.pack_wire_device(idx, NQ * 4), es
@@ -49,7 +58,10 @@ def enc_step(es, audio):
 
 @jax.jit
 def dec_step(ds, wire, received):
-    if DEVICE_WIRE:
+    if MIXED_WIRE:
+        idx = packet.unpack_wire_device_mixed(
+            wire, jnp.full((B,), NQ, jnp.int32))
+    elif DEVICE_WIRE:
         idx = packet.unpack_wire_device(wire, NQ * 4)
     else:
         idx = wire.astype(jnp.int32)
@@ -106,7 +118,7 @@ else:
     jax.block_until_ready(out)
     jax.block_until_ready(q[-1])
     dt = (time.perf_counter() - t0) / iters
-    label = f"pipelined depth={DEPTH}" + (" wire=device" if DEVICE_WIRE else "")
+    label = f"pipelined depth={DEPTH}" + (" wire=device-mixed" if MIXED_WIRE else (" wire=device" if DEVICE_WIRE else ""))
 
 print(f"serving e2e ({label}): {dt*1e3:.2f} ms/tick at B={B} -> "
       f"{B*0.02/dt:.0f} realtime streams/chip", flush=True)

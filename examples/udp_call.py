@@ -1,0 +1,174 @@
+"""Example: a real-transport loopback call — UDP datagrams, jitter buffer,
+async device wire path, measured admission→playout latency.
+
+The deployment story the reference leaves to the app (reference:
+lyra/android_example/MainActivity.java:203-262 records/encodes/decodes in
+an app loop): here the full serving transport is driven end to end:
+
+  mic tick → EncoderServer.tick_wire_async (device encodes + packs wire
+  bytes) → one UDP datagram per stream per 20 ms (header: slot, seq) →
+  127.0.0.1 loopback → socket drain → native JitterBuffer (reordering,
+  late-drop, playout delay) → DecoderServer.tick_wire_async (device
+  unpacks + decodes, PLC/CNG on gaps) → playout.
+
+Latency is measured per hop, wall-clock from the UDP send of a packet to
+the drain of its decoded audio, and reported as mean/p95 plus the
+deterministic tick budget (jitter playout_delay + 2 async pipeline ticks).
+
+Run from the repo root (CPU works: LYRA_TPU_PLATFORM=cpu):
+
+    python examples/udp_call.py --seconds 2 --callers 3 --loss 0.1 \
+        [--realtime]
+
+`--realtime` paces ticks on the 20 ms wall-clock grid (the latency figures
+then include real pacing); without it the loop free-runs and the wall
+figures measure the pipeline itself.
+"""
+
+import argparse
+import os
+import socket
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from lyra_tpu import config
+from lyra_tpu.tools.jitter_buffer import JitterBuffer
+from lyra_tpu.tools.stream_server import DecoderServer, EncoderServer
+from lyra_tpu.utils import wav
+
+_HDR = 6  # 2 B slot + 4 B seq, big-endian
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input",
+                   default="/root/reference/lyra/testdata/sample1_16kHz.wav")
+    p.add_argument("--seconds", type=float, default=2.0)
+    p.add_argument("--callers", type=int, default=3)
+    p.add_argument("--bitrate", type=int, default=3200)
+    p.add_argument("--loss", type=float, default=0.1,
+                   help="Probability a datagram is dropped before send.")
+    p.add_argument("--playout_delay", type=int, default=2,
+                   help="Jitter-buffer depth in ticks.")
+    p.add_argument("--realtime", action="store_true",
+                   help="Pace ticks on the 20 ms wall-clock grid.")
+    p.add_argument("--out_dir", default="/tmp/lyra_tpu_udp_call")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    rng = np.random.RandomState(args.seed)
+    data = wav.read_wav_int16(args.input)
+    rate = data.sample_rate_hz
+    hop = config.num_samples_per_hop(rate)
+    ticks = min(int(args.seconds * config.FRAME_RATE),
+                data.samples.size // hop)
+    cap = args.callers
+
+    from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+    enc = EncoderServer(cap, engine=EncoderEngine(rate), bitrate=args.bitrate)
+    dec = DecoderServer(cap, engine=DecoderEngine(rate))
+    jb = JitterBuffer(cap, config.packet_size(184),
+                      depth=args.playout_delay + 6)
+    for c in range(cap):
+        enc.add_stream(c)
+        jb.add_stream(dec.add_stream(c), playout_delay=args.playout_delay)
+
+    # Real UDP loopback: the receiver socket is the "remote end".
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.setblocking(False)
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    addr = rx.getsockname()
+
+    send_wall = {}  # (slot, seq) -> wall time of the UDP send
+    latencies = []
+    decoded = [[] for _ in range(cap)]
+    sent = lost = 0
+    next_tick = time.perf_counter()
+
+    for t in range(ticks):
+        if args.realtime:
+            while time.perf_counter() < next_tick:
+                time.sleep(0.001)
+            # Pace relative to the previous tick, re-anchoring after any
+            # overrun (e.g. the first tick's jit compile) instead of
+            # free-running to catch up on a stale absolute grid.
+            next_tick = max(next_tick, time.perf_counter()) + 0.02
+
+        audio = np.stack([
+            data.samples[(t * hop + c * 160) % (data.samples.size - hop):]
+            [:hop] for c in range(cap)
+        ]).astype(np.float32)
+
+        # Encode (async device pipeline: returns tick t-1's wire bytes).
+        got = enc.tick_wire_async(audio)
+        if got is not None:
+            wire, sizes = got
+            seq = t - 1
+            for c in range(cap):
+                if sizes[c] == 0:
+                    continue  # DTX / inactive: nothing on the wire
+                if rng.uniform() < args.loss:
+                    lost += 1
+                    continue
+                pkt = (c.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                       + bytes(wire[c, : sizes[c]]))
+                tx.sendto(pkt, addr)
+                send_wall[(c, seq)] = time.perf_counter()
+                sent += 1
+
+        # Drain the receiver socket into the jitter buffer.
+        while True:
+            try:
+                dgram, _ = rx.recvfrom(2048)
+            except BlockingIOError:
+                break
+            slot = int.from_bytes(dgram[:2], "big")
+            seq = int.from_bytes(dgram[2:_HDR], "big")
+            jb.insert(slot, seq, dgram[_HDR:])
+
+        # Decode (async device pipeline over the device wire codec).
+        pkts, received, sizes = jb.collect()
+        out = dec.tick_wire_async(pkts, received, sizes.astype(np.int32))
+        if out is None:
+            continue
+        now = time.perf_counter()
+        # The audio drained now was submitted at tick t-1, which decoded the
+        # jitter-buffer collect of that tick; the buffer's cursor drains
+        # seq = collect_tick - playout_delay once warmed up.
+        s = t - 1 - args.playout_delay
+        for c in range(cap):
+            decoded[c].append(out[c])
+            key = (c, s)
+            if key in send_wall:
+                latencies.append(now - send_wall.pop(key))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for c in range(cap):
+        wav.write_wav_int16(os.path.join(args.out_dir, f"caller{c}.wav"),
+                            np.concatenate(decoded[c]), rate)
+
+    lat = np.array(latencies) * 1e3
+    # Wire-send → playout spans the jitter-buffer delay + the decoder's
+    # async tick; admission → playout adds the encoder's async tick + the
+    # 20 ms of audio accumulating before encode.
+    budget_ticks = args.playout_delay + 2
+    print(f"{ticks} ticks, {cap} callers over UDP loopback: "
+          f"{sent} datagrams sent, {lost} dropped by the network")
+    print(f"jitter buffer: {jb.stats()}")
+    if lat.size:
+        print(f"wire-send→playout latency: mean {lat.mean():.1f} ms, "
+              f"p95 {np.percentile(lat, 95):.1f} ms over {lat.size} hops"
+              f"{' (realtime pacing)' if args.realtime else ' (free-running: pipeline cost only)'}; "
+              f"admission→playout budget = {budget_ticks} ticks "
+              f"({budget_ticks * 20} ms) end to end")
+    print(f"decoded wavs in {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

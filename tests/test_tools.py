@@ -222,3 +222,24 @@ def test_examples_run_end_to_end(tmp_path, monkeypatch, model_path,
                          "--ticks_after", "4",
                          "--out_dir", str(tmp_path / "mig")]) == 0
     assert (tmp_path / "mig" / "caller0.wav").exists()
+
+
+def test_udp_call_example(tmp_path, monkeypatch, model_path, testdata_path,
+                          capsys):
+    del model_path, testdata_path  # gate: skip when assets are absent
+    """The real-transport example (UDP datagrams → jitter buffer → async
+    device wire decode) completes and reports a measured latency figure."""
+    import importlib
+
+    examples = os.path.join(os.path.dirname(__file__), "..", "examples")
+    monkeypatch.syspath_prepend(examples)
+    udp_call = importlib.import_module("udp_call")
+
+    assert udp_call.main(["--seconds", "0.4", "--callers", "2",
+                          "--loss", "0.0",
+                          "--out_dir", str(tmp_path / "udp")]) == 0
+    out = capsys.readouterr().out
+    assert (tmp_path / "udp" / "caller1.wav").exists()
+    assert "wire-send→playout latency" in out
+    # Zero network loss on loopback: every sent hop's latency is matched.
+    assert "0 dropped" in out
