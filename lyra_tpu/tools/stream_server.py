@@ -20,7 +20,7 @@ exactly the shape XLA wants.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -812,3 +812,143 @@ class EncoderServer:
             if is_noise[i]:
                 out[sid] = b""
         return out
+
+
+def _concat_wave_outputs(outs):
+    """Concatenate per-wave tick outputs along the stream axis.
+
+    Handles both decoder ticks (one audio array) and encoder ticks
+    ((wire, sizes) tuples, right-padding wire rows to the widest wave's
+    packet size — tails are zero by the tick_wire contract)."""
+    if isinstance(outs[0], tuple):
+        wires, sizes = zip(*outs)
+        width = max(w.shape[1] for w in wires)
+        wires = [np.pad(w, ((0, 0), (0, width - w.shape[1]))) for w in wires]
+        return np.concatenate(wires), np.concatenate(sizes)
+    return np.concatenate(outs)
+
+
+class ServerPool:
+    """Wave-scheduled serving: one fleet split across N identical servers
+    whose device programs interleave each tick.
+
+    Why: one program over the whole fleet sits past the HBM working-set
+    knee — two waves of 8192 streams run ~15% more streams per chip than
+    one 16384-stream program (PERF.md round 3; bench.py serves its
+    headline this way).  Streams are row-independent, so the fleet
+    partitions freely; the pool preserves the single-server array API with
+    global rows = the concatenation of each wave's rows.  The async tick
+    is the intended path: submitting wave i+1 before draining wave i's
+    previous output keeps the device queue fed across waves.
+
+    The reference has no counterpart (one codec instance per stream,
+    reference: lyra/lyra_encoder.h:30-43); this is deployment-scale
+    runtime, like the servers it wraps.
+    """
+
+    def __init__(self, servers: Sequence):
+        servers = list(servers)
+        if not servers or len({s.capacity for s in servers}) != 1:
+            raise ValueError("pool needs >= 1 servers of equal capacity")
+        kinds = {type(s) for s in servers}
+        if len(kinds) != 1:
+            raise ValueError("pool servers must be all-encoder or all-decoder")
+        self.servers = servers
+        self.wave_capacity = servers[0].capacity
+        self.capacity = self.wave_capacity * len(servers)
+
+    @property
+    def num_active(self) -> int:
+        return sum(s.num_active for s in self.servers)
+
+    @property
+    def bad_packets(self) -> np.ndarray:
+        return np.concatenate([s.bad_packets for s in self.servers])
+
+    def _locate(self, stream_id):
+        for w, s in enumerate(self.servers):
+            if stream_id in s._by_id:
+                return w, s
+        raise KeyError(f"unknown stream {stream_id!r}")
+
+    def add_stream(self, stream_id, **kw) -> int:
+        """Admit on the least-loaded wave; returns the global row."""
+        for s in self.servers:
+            if stream_id in s._by_id:
+                raise KeyError(f"stream {stream_id!r} already active")
+        w = min(range(len(self.servers)),
+                key=lambda i: self.servers[i].num_active)
+        if self.servers[w].num_active >= self.wave_capacity:
+            raise RuntimeError("pool at capacity")
+        slot = self.servers[w].add_stream(stream_id, **kw)
+        return w * self.wave_capacity + slot
+
+    def add_streams(self, stream_ids, **kw) -> Dict[object, int]:
+        """Bulk admission, balanced across waves (all-or-nothing)."""
+        ids = list(stream_ids)
+        if len(set(ids)) != len(ids):
+            raise KeyError("duplicate stream ids in bulk admission")
+        for s in self.servers:
+            for sid in ids:
+                if sid in s._by_id:
+                    raise KeyError(f"stream {sid!r} already active")
+        free = [self.wave_capacity - s.num_active for s in self.servers]
+        if len(ids) > sum(free):
+            raise RuntimeError("pool at capacity")
+        # Fill toward balance: each id goes to the emptiest wave.
+        assign: List[List[object]] = [[] for _ in self.servers]
+        load = [s.num_active for s in self.servers]
+        for sid in ids:
+            w = min(range(len(self.servers)), key=lambda i: load[i])
+            assign[w].append(sid)
+            load[w] += 1
+        out: Dict[object, int] = {}
+        for w, (s, group) in enumerate(zip(self.servers, assign)):
+            for sid, slot in s.add_streams(group, **kw).items():
+                out[sid] = w * self.wave_capacity + slot
+        return out
+
+    def remove_stream(self, stream_id) -> None:
+        _, s = self._locate(stream_id)
+        s.remove_stream(stream_id)
+
+    def set_bitrate(self, stream_id, bitrate: int) -> None:
+        _, s = self._locate(stream_id)
+        s.set_bitrate(stream_id, bitrate)
+
+    def _wave_args(self, w: int, arrays):
+        lo = w * self.wave_capacity
+        return tuple(a[lo: lo + self.wave_capacity] for a in arrays)
+
+    def tick_wire(self, *arrays):
+        """Synchronous tick over all waves (correctness path; the async
+        variant is the throughput path — it keeps the device queue fed)."""
+        return _concat_wave_outputs([
+            s.tick_wire(*self._wave_args(w, arrays))
+            for w, s in enumerate(self.servers)])
+
+    def tick_wire_async(self, *arrays):
+        """Submit every wave's tick back-to-back, then return the
+        *previous* tick's concatenated outputs (None on the first call).
+        Per-wave submits happen before any drain, so wave i+1's device
+        program queues while wave i's prior output is still in flight."""
+        outs = [s.tick_wire_async(*self._wave_args(w, arrays))
+                for w, s in enumerate(self.servers)]
+        if any(o is None for o in outs):
+            return None
+        return _concat_wave_outputs(outs)
+
+    def flush_wire_async(self):
+        outs = [s.flush_wire_async() for s in self.servers]
+        if any(o is None for o in outs):
+            return None
+        return _concat_wave_outputs(outs)
+
+    def save(self, path: str) -> None:
+        """One snapshot directory per wave (path.w0, path.w1, ...)."""
+        for w, s in enumerate(self.servers):
+            s.save(f"{path}.w{w}")
+
+    def restore(self, path: str) -> None:
+        for w, s in enumerate(self.servers):
+            s.restore(f"{path}.w{w}")

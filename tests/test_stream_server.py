@@ -470,3 +470,134 @@ def test_async_pipelines_are_mutually_exclusive(model_path):
         dec.tick_packed_async(pkts, rec, np.full(2, 8, np.int32))
     assert dec.flush_async() is not None
     assert dec.add_streams([]) == {}  # empty bulk admission is a no-op
+
+
+def _pool_pair(model_path, cap=4, waves=2):
+    from lyra_tpu.tools.stream_server import ServerPool
+
+    wc = cap // waves
+    enc_pool = ServerPool([EncoderServer(wc, model_path=model_path,
+                                         bitrate=3200)
+                           for _ in range(waves)])
+    dec_pool = ServerPool([DecoderServer(wc, model_path=model_path)
+                           for _ in range(waves)])
+    return enc_pool, dec_pool
+
+
+def test_server_pool_matches_single_server(model_path):
+    """A 2-wave pool must produce per-stream audio bit-identical to one
+    server holding the same streams — the wave split is pure scheduling
+    (PERF.md round 3), never a semantic change."""
+    cap = 4
+    enc_pool, dec_pool = _pool_pair(model_path, cap)
+    enc_one = EncoderServer(cap, model_path=model_path, bitrate=3200)
+    dec_one = DecoderServer(cap, model_path=model_path)
+
+    ids = ["a", "b", "c"]
+    rows_pool_e = enc_pool.add_streams(ids)
+    rows_pool_d = dec_pool.add_streams(ids)
+    rows_one_e = enc_one.add_streams(ids)
+    rows_one_d = dec_one.add_streams(ids)
+    assert enc_pool.num_active == 3 and enc_pool.capacity == cap
+    assert rows_pool_e == rows_pool_d  # same balanced placement both ways
+
+    rng = np.random.default_rng(3)
+    for t in range(3):
+        speech = {sid: rng.integers(-8000, 8000, INTERNAL_HOP) for sid in ids}
+        audio_pool = np.zeros((cap, INTERNAL_HOP), np.float32)
+        audio_one = np.zeros((cap, INTERNAL_HOP), np.float32)
+        for sid in ids:
+            audio_pool[rows_pool_e[sid]] = speech[sid]
+            audio_one[rows_one_e[sid]] = speech[sid]
+
+        wire_p, sizes_p = enc_pool.tick_wire(audio_pool)
+        wire_o, sizes_o = enc_one.tick_wire(audio_one)
+        for sid in ids:
+            rp, ro = rows_pool_e[sid], rows_one_e[sid]
+            assert sizes_p[rp] == sizes_o[ro]
+            np.testing.assert_array_equal(wire_p[rp, :sizes_p[rp]],
+                                          wire_o[ro, :sizes_o[ro]])
+
+        out_p = dec_pool.tick_wire(wire_p, sizes_p > 0,
+                                   sizes_p.astype(np.int32))
+        out_o = dec_one.tick_wire(wire_o, sizes_o > 0,
+                                  sizes_o.astype(np.int32))
+        for sid in ids:
+            np.testing.assert_array_equal(out_p[rows_pool_d[sid]],
+                                          out_o[rows_one_d[sid]],
+                                          err_msg=f"{sid} tick {t}")
+
+
+def test_server_pool_async_matches_sync(model_path):
+    cap = 4
+    enc_s, dec_s = _pool_pair(model_path, cap)
+    enc_a, dec_a = _pool_pair(model_path, cap)
+    for pool in (enc_s, dec_s, enc_a, dec_a):
+        pool.add_streams(["x", "y", "z"])
+
+    rng = np.random.default_rng(7)
+    ticks = 3
+    audio = rng.integers(-8000, 8000,
+                         (ticks, cap, INTERNAL_HOP)).astype(np.float32)
+    sync_out, async_out = [], []
+    for t in range(ticks):
+        wire, sizes = enc_s.tick_wire(audio[t])
+        sync_out.append(dec_s.tick_wire(wire, sizes > 0,
+                                        sizes.astype(np.int32)))
+        got = enc_a.tick_wire_async(audio[t])
+        if t == 0:
+            assert got is None
+        else:
+            wire_a, sizes_a = got
+            out = dec_a.tick_wire_async(wire_a, sizes_a > 0,
+                                        sizes_a.astype(np.int32))
+            if t == 1:
+                assert out is None
+            else:
+                async_out.append(out)
+    wire_a, sizes_a = enc_a.flush_wire_async()
+    async_out.append(dec_a.tick_wire_async(wire_a, sizes_a > 0,
+                                           sizes_a.astype(np.int32)))
+    async_out.append(dec_a.flush_wire_async())
+    for t, (a, s) in enumerate(zip(async_out, sync_out)):
+        np.testing.assert_array_equal(a, s, err_msg=f"tick {t}")
+
+
+def test_server_pool_admission_and_errors(model_path):
+    from lyra_tpu.tools.stream_server import ServerPool
+
+    enc_pool, _ = _pool_pair(model_path, cap=4)
+    r0 = enc_pool.add_stream("a")
+    r1 = enc_pool.add_stream("b")
+    assert r0 // 2 != r1 // 2  # balanced: different waves
+    with pytest.raises(KeyError):
+        enc_pool.add_stream("a")
+    enc_pool.set_bitrate("a", 3200)
+    with pytest.raises(KeyError):
+        enc_pool.set_bitrate("nope", 3200)
+    enc_pool.remove_stream("a")
+    assert enc_pool.num_active == 1
+    enc_pool.add_streams(["c", "d", "e"])
+    with pytest.raises(RuntimeError):
+        enc_pool.add_stream("f")
+    with pytest.raises(ValueError, match="equal capacity"):
+        ServerPool([EncoderServer(2, model_path=model_path),
+                    EncoderServer(3, model_path=model_path)])
+
+
+def test_server_pool_save_restore(model_path, tmp_path):
+    enc_pool, dec_pool = _pool_pair(model_path, cap=4)
+    rows = dec_pool.add_streams(["a", "b", "c"])
+    enc_pool.add_streams(["a", "b", "c"])
+    audio = np.zeros((4, INTERNAL_HOP), np.float32)
+    wire, sizes = enc_pool.tick_wire(audio)
+    out1 = dec_pool.tick_wire(wire, sizes > 0, sizes.astype(np.int32))
+    dec_pool.save(str(tmp_path / "pool"))
+
+    _, dec2 = _pool_pair(model_path, cap=4)
+    dec2.restore(str(tmp_path / "pool"))
+    wire, sizes = enc_pool.tick_wire(audio)
+    out_a = dec_pool.tick_wire(wire, sizes > 0, sizes.astype(np.int32))
+    out_b = dec2.tick_wire(wire, sizes > 0, sizes.astype(np.int32))
+    np.testing.assert_array_equal(out_a, out_b)
+    assert rows  # placement map survives via each wave's snapshot
