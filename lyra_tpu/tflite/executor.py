@@ -310,11 +310,29 @@ def _strided_slice(x, begin, end, strides, opts, x_shape):
     return out
 
 
+def _grouped_conv(x, w, groups: int, conv):
+    """Apply `conv(x_group, w_group, fgc)` with grouped convs lowered as
+    per-group dense convs.  XLA's SPMD partitioner cannot batch-partition a
+    feature_group_count>1 convolution: under a sharded stream axis it
+    all-gathers the batch dim and runs everything downstream replicated
+    (verified against the optimized HLO, tests/test_sharding.py).
+    Per-group dense convs are mathematically identical (same taps, same
+    accumulation order per output channel) and partition row-wise like
+    every other conv.  Used by BOTH the float and int8 CONV_2D lowerings so
+    sharded int8 engines keep the same property."""
+    if 1 < groups < x.shape[-1]:
+        xs = jnp.split(x, groups, axis=-1)
+        ws = jnp.split(w, groups, axis=0)  # output channels are group-major
+        return jnp.concatenate(
+            [conv(xg, wg, 1) for xg, wg in zip(xs, ws)], axis=-1)
+    return conv(x, w, groups)
+
+
 def _conv2d(x, w, b, opts, groups_from: Tuple[int, int]):
     in_c, filt_in_c = groups_from
     groups = in_c // filt_in_c
 
-    def conv(xg, wg, fgc=1):
+    def conv(xg, wg, fgc):
         return jax.lax.conv_general_dilated(
             xg,
             jnp.transpose(wg, (1, 2, 3, 0)),  # [O,KH,KW,I] -> HWIO
@@ -325,20 +343,7 @@ def _conv2d(x, w, b, opts, groups_from: Tuple[int, int]):
             feature_group_count=fgc,
         )
 
-    if 1 < groups < in_c:
-        # Grouped conv lowered as per-group dense convs.  XLA's SPMD
-        # partitioner cannot batch-partition a feature_group_count>1
-        # convolution: under a sharded stream axis it all-gathers the batch
-        # dim and runs everything downstream replicated (verified against
-        # the optimized HLO, tests/test_sharding.py).  Per-group dense convs
-        # are mathematically identical (same taps, same accumulation order
-        # per output channel) and partition row-wise like every other conv.
-        xs = jnp.split(x, groups, axis=-1)
-        ws = jnp.split(w, groups, axis=0)  # output channels are group-major
-        out = jnp.concatenate(
-            [conv(xg, wg) for xg, wg in zip(xs, ws)], axis=-1)
-    else:
-        out = conv(x, w, groups)
+    out = _grouped_conv(x, w, groups, conv)
     if b is not None:
         out = out + b
     return _ACT_FNS[opts.get("activation")](out)
@@ -394,16 +399,20 @@ def _int8_conv_acc(x, w, opts, groups_from, t_in):
     _, zp_in = _tensor_qparams(t_in)
     in_c, filt_in_c = groups_from
     x32 = x.astype(jnp.int32) - zp_in
-    return jax.lax.conv_general_dilated(
-        x32,
-        jnp.transpose(jnp.asarray(w, jnp.int32), (1, 2, 3, 0)),
-        window_strides=(opts["stride_h"], opts["stride_w"]),
-        padding=opts["padding"],
-        rhs_dilation=(opts.get("dilation_h", 1), opts.get("dilation_w", 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=in_c // filt_in_c,
-        preferred_element_type=jnp.int32,
-    )
+
+    def conv(xg, wg, fgc):
+        return jax.lax.conv_general_dilated(
+            xg,
+            jnp.transpose(jnp.asarray(wg, jnp.int32), (1, 2, 3, 0)),
+            window_strides=(opts["stride_h"], opts["stride_w"]),
+            padding=opts["padding"],
+            rhs_dilation=(opts.get("dilation_h", 1), opts.get("dilation_w", 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=fgc,
+            preferred_element_type=jnp.int32,
+        )
+
+    return _grouped_conv(x32, jnp.asarray(w), in_c // filt_in_c, conv)
 
 
 def _int8_depthwise_acc(x, w, opts, t_in):

@@ -331,14 +331,16 @@ class DecoderServer:
             audio, is_cn, self._state = self._wire_step(
                 self._state, packets, received)
         else:
-            nq_row, received = self._sizes_to_nq(sizes, received)
+            nq_row, received = self._sizes_to_nq(sizes, received,
+                                                 packets.shape[1])
             self._wire_prep_mixed(packets.shape[1])
             audio, is_cn, self._state = self._wire_step_mixed(
                 self._state, packets, received, nq_row)
         self._last_comfort = np.asarray(is_cn)
         return np.asarray(audio).astype(np.int16)
 
-    def _sizes_to_nq(self, sizes: np.ndarray, received: np.ndarray):
+    def _sizes_to_nq(self, sizes: np.ndarray, received: np.ndarray,
+                     width: int):
         """Per-row packet sizes → per-row RVQ stage counts + effective
         received mask.  Unknown sizes and bitrates above the engine's
         static max_bitrate cap are counted drops (same policy as
@@ -347,6 +349,13 @@ class DecoderServer:
         sizes = np.asarray(sizes)
         received = (np.asarray(received, bool) & (sizes > 0)
                     & self._active_mask())
+        if np.any(received & (sizes > width)):
+            # A row claiming more bytes than the packets array holds is the
+            # host's own buffer-assembly bug, not a wire event: decoding
+            # only the stages that physically fit would be silently
+            # degraded audio, so refuse loudly (CLAUDE.md fail-loudly).
+            raise ValueError(
+                f"sizes exceed the packets array width {width}")
         nq_row = np.zeros(self.capacity, np.int32)
         bad = np.zeros(self.capacity, bool)
         for size in np.unique(sizes[received]):
@@ -434,7 +443,8 @@ class DecoderServer:
             audio, is_cn, self._state = self._wire_step(
                 self._state, packets, received)
         else:
-            nq_row, received = self._sizes_to_nq(sizes, received)
+            nq_row, received = self._sizes_to_nq(sizes, received,
+                                                 packets.shape[1])
             self._wire_prep_mixed(packets.shape[1])
             audio, is_cn, self._state = self._wire_step_mixed(
                 self._state, packets, received, nq_row)
@@ -583,6 +593,12 @@ class EncoderServer:
     def remove_stream(self, stream_id) -> None:
         i = self._by_id.pop(stream_id)
         self._slots[i] = _Slot(None, False)
+        # Drop the evicted stream's bitrate immediately: the wire width is
+        # computed from _bits (tick_packed's max_size, _wire_submit's
+        # max_bits), and a stale 9.2 kbps entry would keep an all-3.2 kbps
+        # fleet emitting 23-byte rows until the slot is reused.
+        self._nq[i] = self._default_bits // config.BITS_PER_QUANTIZER
+        self._bits[i] = self._default_bits
         self._active_cache = None
 
     def set_bitrate(self, stream_id, bitrate: int) -> None:
@@ -648,9 +664,12 @@ class EncoderServer:
         bits_arr/active are the per-slot wire config *of the tick that
         produced the indices* — the async path snapshots them at submit time
         so set_bitrate/add_stream between submit and drain can't pack a
-        row with a config its indices weren't encoded for.
+        row with a config its indices weren't encoded for.  Width follows
+        the *active* rows (default when empty), matching _wire_submit.
         """
-        max_size = config.packet_size(int(bits_arr.max()))
+        act_bits = bits_arr[active]
+        max_size = config.packet_size(
+            int(act_bits.max()) if act_bits.size else self._default_bits)
         out = np.zeros((self.capacity, max_size), np.uint8)
         sizes = np.zeros(self.capacity, np.int32)
         for bits in np.unique(bits_arr):
@@ -687,8 +706,10 @@ class EncoderServer:
         """Run the jitted encode+device-pack step; returns device arrays.
         One program serves uniform and mixed fleets (per-row nq is already
         a runtime engine input on the packed path); it recompiles only when
-        the fleet's widest bitrate changes."""
-        max_bits = int(self._bits.max())
+        the fleet's widest bitrate changes.  The width comes from *active*
+        rows (default when empty) so an idle fleet can't inflate the wire."""
+        rows = list(self._by_id.values())
+        max_bits = int(self._bits[rows].max()) if rows else self._default_bits
         if not hasattr(self, "_wire_step") or self._wire_bits != max_bits:
             import jax
 
@@ -716,7 +737,8 @@ class EncoderServer:
         # a row's size.
         emit = (active & ~np.asarray(is_noise)) & (gen_prev == self._gen)
         wire[~emit] = 0
-        sizes = np.where(emit, (bits + 7) // 8, 0).astype(np.int32)
+        sizes = np.where(
+            emit, (bits + config.NUM_HEADER_BITS + 7) // 8, 0).astype(np.int32)
         return wire, sizes
 
     def tick_wire_async(self, audio: np.ndarray):
@@ -945,10 +967,36 @@ class ServerPool:
         return _concat_wave_outputs(outs)
 
     def save(self, path: str) -> None:
-        """One snapshot directory per wave (path.w0, path.w1, ...)."""
+        """One snapshot per wave (path.w0, path.w1, ...)."""
         for w, s in enumerate(self.servers):
             s.save(f"{path}.w{w}")
 
     def restore(self, path: str) -> None:
+        """All-or-nothing across waves: the snapshot's wave count must
+        match this pool exactly BEFORE any wave is mutated — restoring a
+        3-wave snapshot into a 2-wave pool would silently drop wave 2's
+        calls, and a partial per-wave restore would leave the pool half
+        old, half new (each wave's own restore is atomic; the pool must
+        be too)."""
+        import os
+
+        for w in range(len(self.servers)):
+            if not os.path.exists(f"{path}.w{w}.npz"):
+                raise ValueError(
+                    f"pool snapshot {path!r} is missing wave {w} "
+                    f"(pool has {len(self.servers)} waves)")
+            # Header-only peek: catch per-wave capacity mismatches before
+            # any wave mutates (each wave's restore re-validates fully).
+            extra = checkpoint.peek_extra(f"{path}.w{w}")
+            nslots = len(extra.get("slots", ()))
+            if nslots != self.wave_capacity:
+                raise ValueError(
+                    f"pool snapshot wave {w} capacity {nslots} != wave "
+                    f"capacity {self.wave_capacity}")
+        if os.path.exists(f"{path}.w{len(self.servers)}.npz"):
+            raise ValueError(
+                f"pool snapshot {path!r} has more waves than this pool's "
+                f"{len(self.servers)} — its extra streams would be "
+                f"silently dropped")
         for w, s in enumerate(self.servers):
             s.restore(f"{path}.w{w}")

@@ -98,6 +98,21 @@ def load_state(path: str) -> tuple[Any, Dict[str, Any]]:
     return _unflatten(flat), header.get("extra", {})
 
 
+def peek_extra(path: str) -> Dict[str, Any]:
+    """Read ONLY a snapshot's extra header (no state arrays): np.load is a
+    lazy zip reader, so this stays cheap even for multi-GB snapshots.
+    Lets callers validate a multi-part restore (e.g. ServerPool waves)
+    before mutating anything."""
+    path = _canonical(path)
+    with np.load(path) as data:
+        header = json.loads(bytes(data[_HEADER_KEY]).decode())
+    if header["identifier"] != config.VERSION_MINOR:
+        raise ValueError(
+            f"checkpoint identifier {header['identifier']} incompatible with "
+            f"codec identifier {config.VERSION_MINOR}")
+    return header.get("extra", {})
+
+
 def jax_to_numpy(tree: Any) -> Any:
     """Device → host copy of every leaf."""
     if isinstance(tree, dict):

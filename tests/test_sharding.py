@@ -392,3 +392,33 @@ def test_weak_scaling_constant_per_device_cost(model_path):
         assert flops[n] == pytest.approx(flops[1], rel=0.02), flops
         if bytes_[1] > 0:
             assert bytes_[n] == pytest.approx(bytes_[1], rel=0.02), bytes_
+
+
+def test_sharded_int8_roundtrip_has_no_tensor_collectives(model_path):
+    """The int8 arithmetic mode lowers its own conv path (_int8_conv_acc);
+    it must share the grouped-conv decomposition or GSPMD all-gathers the
+    stream axis there too (the round-3 float fix, applied to both)."""
+    from lyra_tpu import config
+    from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+
+    enc = EncoderEngine(16000, model_path, mode="int8", max_bitrate=3200)
+    dec = DecoderEngine(16000, model_path, mode="int8", max_bitrate=3200)
+    mesh = make_mesh()
+    b = 16
+    enc_state = shard_batch_tree(enc.init_state(b), mesh)
+    dec_state = shard_batch_tree(dec.init_state(b), mesh)
+    audio = shard_batch_tree(jnp.zeros((b, enc.hop_samples), jnp.float32),
+                             mesh)
+    received = shard_batch_tree(jnp.ones((b,), bool), mesh)
+    nq = shard_batch_tree(
+        jnp.full((b,), 64 // config.BITS_PER_QUANTIZER, jnp.int32), mesh)
+
+    def roundtrip(es, ds, a, r, n):
+        indices, _, es = enc._step_impl(es, a, n)
+        out, is_cn, ds = dec._step_impl(ds, indices, r)
+        return out, is_cn, es, ds
+
+    compiled = (jax.jit(roundtrip)
+                .lower(enc_state, dec_state, audio, received, nq)
+                .compile())
+    _assert_no_tensor_collectives(compiled.as_text(), "(int8)")

@@ -601,3 +601,61 @@ def test_server_pool_save_restore(model_path, tmp_path):
     out_b = dec2.tick_wire(wire, sizes > 0, sizes.astype(np.int32))
     np.testing.assert_array_equal(out_a, out_b)
     assert rows  # placement map survives via each wave's snapshot
+
+
+def test_removed_stream_bitrate_does_not_inflate_wire_width(model_path):
+    """A removed 9.2 kbps stream's stale _bits entry must not keep an
+    all-3.2 kbps fleet emitting 23-byte wire rows (3x traffic, and zero
+    tails that a no-sizes uniform decode would read as stage-0 indices)."""
+    enc = EncoderServer(2, model_path=model_path, bitrate=3200)
+    enc.add_stream("wide", bitrate=9200)
+    enc.add_stream("narrow")
+    audio = np.zeros((2, INTERNAL_HOP), np.float32)
+    wire, sizes = enc.tick_wire(audio)
+    assert wire.shape[1] == 23  # genuinely mixed: widest active rules
+    enc.remove_stream("wide")
+    wire, sizes = enc.tick_wire(audio)
+    assert wire.shape[1] == 8  # fleet is all-3.2 kbps again
+    pkts, sizes_p = enc.tick_packed(audio)
+    assert pkts.shape[1] == 8  # tick_packed width follows active rows too
+
+
+def test_mixed_sizes_exceeding_packet_width_fail_loudly(model_path):
+    """sizes[i] > packets width is the host's own buffer-assembly bug:
+    decoding only the stages that fit would be silently degraded audio, so
+    the tick must refuse (fail-loudly convention), not count a drop."""
+    dec = DecoderServer(2, model_path=model_path)
+    dec.add_stream("a")
+    dec.add_stream("b")
+    pkts = np.zeros((2, 8), np.uint8)
+    with pytest.raises(ValueError, match="exceed"):
+        dec.tick_wire(pkts, np.ones(2, bool), np.array([8, 23]))
+    assert dec.bad_packets.sum() == 0  # refused before any counting
+
+
+def test_server_pool_restore_rejects_wave_mismatch(model_path, tmp_path):
+    """A pool restore must be all-or-nothing across waves: wave-count and
+    per-wave capacity mismatches are detected BEFORE any wave mutates."""
+    from lyra_tpu.tools.stream_server import ServerPool
+
+    _, dec3 = _pool_pair(model_path, cap=6, waves=3)
+    dec3.add_streams(["a", "b", "c"])
+    dec3.save(str(tmp_path / "p3"))
+
+    _, dec2 = _pool_pair(model_path, cap=4, waves=2)
+    with pytest.raises(ValueError, match="more waves"):
+        dec2.restore(str(tmp_path / "p3"))  # 3-wave snapshot, 2-wave pool
+    assert dec2.num_active == 0  # untouched
+
+    _, dec2b = _pool_pair(model_path, cap=4, waves=2)
+    dec2b.add_streams(["x"])
+    dec2b.save(str(tmp_path / "p2"))
+    with pytest.raises(ValueError, match="missing wave"):
+        dec3.restore(str(tmp_path / "p2"))  # 2-wave snapshot, 3-wave pool
+    assert set(dec3._locate("a")[1]._by_id)  # original streams intact
+
+    # Same wave count, different wave capacity: caught by the header peek
+    # before wave 0 restores.
+    _, dec2c = _pool_pair(model_path, cap=6, waves=2)  # wave capacity 3
+    with pytest.raises(ValueError, match="capacity"):
+        dec2c.restore(str(tmp_path / "p2"))  # wave capacity 2 snapshot
