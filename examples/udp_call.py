@@ -50,6 +50,9 @@ def main(argv=None) -> int:
     p.add_argument("--seconds", type=float, default=2.0)
     p.add_argument("--callers", type=int, default=3)
     p.add_argument("--bitrate", type=int, default=3200)
+    p.add_argument("--mixed", action="store_true",
+                   help="Rotate callers through 3.2/6/9.2 kbps — the "
+                        "mixed-bitrate device wire path end to end.")
     p.add_argument("--loss", type=float, default=0.1,
                    help="Probability a datagram is dropped before send.")
     p.add_argument("--playout_delay", type=int, default=2,
@@ -73,8 +76,9 @@ def main(argv=None) -> int:
     dec = DecoderServer(cap, engine=DecoderEngine(rate))
     jb = JitterBuffer(cap, config.packet_size(184),
                       depth=args.playout_delay + 6)
+    rates = (3200, 6000, 9200) if args.mixed else (args.bitrate,)
     for c in range(cap):
-        enc.add_stream(c)
+        enc.add_stream(c, bitrate=rates[c % len(rates)])
         jb.add_stream(dec.add_stream(c), playout_delay=args.playout_delay)
 
     # Real UDP loopback: the receiver socket is the "remote end".

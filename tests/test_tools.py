@@ -243,3 +243,10 @@ def test_udp_call_example(tmp_path, monkeypatch, model_path, testdata_path,
     assert "wire-send→playout latency" in out
     # Zero network loss on loopback: every sent hop's latency is matched.
     assert "0 dropped" in out
+
+    # Mixed-bitrate fleet rides the same transport (device wire path with
+    # per-row sizes through the jitter buffer).
+    assert udp_call.main(["--seconds", "0.4", "--callers", "3",
+                          "--loss", "0.0", "--mixed",
+                          "--out_dir", str(tmp_path / "udpm")]) == 0
+    assert (tmp_path / "udpm" / "caller2.wav").exists()
