@@ -36,11 +36,6 @@ def main():
     r = jnp.ones((S,), bool)
     nq = jnp.full((S,), 16, jnp.int32)
 
-    def noop_mask(saved):
-        def _mask(mask, new, old):
-            return new
-        return _mask
-
     variants = [
         ("full", None),
         ("no soundstream", lambda enc, dec: setattr(

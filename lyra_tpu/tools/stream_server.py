@@ -324,6 +324,14 @@ class DecoderServer:
         never an exception out of the tick.  Bit-identical audio to
         tick_packed in both forms."""
         _no_inflight_tick(self, "a synchronous tick")
+        audio, is_cn = self._wire_run(packets, received, sizes)
+        self._last_comfort = np.asarray(is_cn)
+        return np.asarray(audio).astype(np.int16)
+
+    def _wire_run(self, packets, received, sizes):
+        """Shared uniform/mixed dispatch for the wire tick: (re)build the
+        right jitted program, run it, advance state; returns device
+        (audio, is_comfort_noise)."""
         packets = np.ascontiguousarray(packets, np.uint8)
         if sizes is None:
             self._wire_prep(packets)
@@ -336,8 +344,7 @@ class DecoderServer:
             self._wire_prep_mixed(packets.shape[1])
             audio, is_cn, self._state = self._wire_step_mixed(
                 self._state, packets, received, nq_row)
-        self._last_comfort = np.asarray(is_cn)
-        return np.asarray(audio).astype(np.int16)
+        return audio, is_cn
 
     def _sizes_to_nq(self, sizes: np.ndarray, received: np.ndarray,
                      width: int):
@@ -436,18 +443,7 @@ class DecoderServer:
         if getattr(self, "_pending", None) is not None:
             raise RuntimeError(
                 "tick_packed_async pipeline in flight; flush_async() first")
-        packets = np.ascontiguousarray(packets, np.uint8)
-        if sizes is None:
-            self._wire_prep(packets)
-            received = np.asarray(received, bool) & self._active_mask()
-            audio, is_cn, self._state = self._wire_step(
-                self._state, packets, received)
-        else:
-            nq_row, received = self._sizes_to_nq(sizes, received,
-                                                 packets.shape[1])
-            self._wire_prep_mixed(packets.shape[1])
-            audio, is_cn, self._state = self._wire_step_mixed(
-                self._state, packets, received, nq_row)
+        audio, is_cn = self._wire_run(packets, received, sizes)
         for dev_arr in (audio, is_cn):
             if hasattr(dev_arr, "copy_to_host_async"):
                 dev_arr.copy_to_host_async()
