@@ -63,3 +63,38 @@ def test_jitter_buffer_matches_model(data):
         # sequence number plays per tick
         expect.append(model.pop(t - delay, None) if t >= delay else None)
     assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.sampled_from(config.SUPPORTED_QUANTIZED_BITS),
+             min_size=1, max_size=16),
+    st.integers(0, 2**32 - 1),
+)
+def test_mixed_device_wire_property(bits_rows, seed):
+    """For ANY per-row bitrate assignment, the mixed device codec must be
+    row-wise bit-identical to the host batch codec at each row's own rate,
+    zero beyond each row's size, and round-trip exactly."""
+    import jax
+
+    rng = np.random.RandomState(seed)
+    bits_rows = np.asarray(bits_rows, np.int32)
+    nq = bits_rows // config.BITS_PER_QUANTIZER
+    max_bits = int(bits_rows.max())
+    idx = rng.randint(0, 16, (len(bits_rows), 46)).astype(np.int32)
+    for r, n in enumerate(nq):
+        idx[r, n:] = -1  # the engine's un-run stage marker
+
+    wire = np.asarray(jax.jit(
+        lambda i, q: packet.pack_wire_device_mixed(i, q, max_bits))(idx, nq))
+    assert wire.shape == (len(bits_rows), config.packet_size(max_bits))
+    for r, bits in enumerate(bits_rows):
+        size = config.packet_size(int(bits))
+        host = packet.pack_indices_batch(idx[r:r + 1, :nq[r]], int(bits))
+        np.testing.assert_array_equal(wire[r, :size], host[0])
+        assert not wire[r, size:].any()
+
+    back = np.asarray(jax.jit(packet.unpack_wire_device_mixed)(wire, nq))
+    for r, n in enumerate(nq):
+        np.testing.assert_array_equal(back[r, :n], idx[r, :n])
+        assert (back[r, n:] == -1).all()
