@@ -63,6 +63,10 @@ def unpack_bitstring(packet: bytes, num_bits: int) -> str:
 def pack_indices(indices, num_bits: int) -> bytes:
     """Stage indices for one frame → wire packet bytes."""
     n_stages = num_bits // config.BITS_PER_QUANTIZER
+    if len(indices) < n_stages:
+        raise ValueError(
+            f"{len(indices)} stage indices cannot fill {num_bits} bits "
+            f"({n_stages} stages)")
     return pack_bitstring(indices_to_bitstring(indices[:n_stages]))
 
 
@@ -143,7 +147,15 @@ def pack_indices_batch_np(indices: np.ndarray, num_bits: int) -> np.ndarray:
     """
     bps = config.BITS_PER_QUANTIZER
     n_stages = num_bits // bps
-    used = np.asarray(indices)[:, :n_stages]
+    indices = np.asarray(indices)
+    if indices.shape[1] < n_stages:
+        # Match the native codec's rc=1 rejection: silently clamping would
+        # emit wrong-size packets the decoder counts as drops, with no
+        # error at the sender.
+        raise ValueError(
+            f"indices have {indices.shape[1]} stages, need {n_stages} "
+            f"for {num_bits} bits")
+    used = indices[:, :n_stages]
     if used.min(initial=0) < 0 or used.max(initial=0) >= (1 << bps):
         raise ValueError(
             f"stage index out of range for {bps} bits in packed batch")

@@ -144,6 +144,9 @@ class DecoderServer:
         self._last_comfort = np.zeros(capacity, bool)
         # Malformed wire packets per slot: treated as loss, never fatal.
         self.bad_packets = np.zeros(capacity, np.int64)
+        # Packets addressed to no active stream (stragglers after hangup):
+        # counted drops, mirroring the jitter buffer's inactive_drops.
+        self.inactive_drops = 0
         # Bumped on every admission: lets the async drain detect that a slot
         # changed hands between submit and drain (see tick_packed_async).
         self._gen = np.zeros(capacity, np.int64)
@@ -168,6 +171,12 @@ class DecoderServer:
         self._slots[i] = _Slot(stream_id, True)
         self._by_id[stream_id] = i
         self.bad_packets[i] = 0  # the slot's counter belongs to its stream
+        # Ditto the evicted stream's comfort-noise flag.  Copy-on-write:
+        # after a tick _last_comfort holds a read-only view of the device
+        # result.
+        lc = np.array(self._last_comfort)
+        lc[i] = False
+        self._last_comfort = lc
         self._gen[i] += 1
         self._active_cache = None
         return i
@@ -187,11 +196,14 @@ class DecoderServer:
                                     ids)
         self._state = self.engine.reset_rows(self._state, mask,
                                              seed=self._seed)
+        lc = np.array(self._last_comfort)  # copy-on-write, see add_stream
         for sid, i in slots.items():
             self._slots[i] = _Slot(sid, True)
             self._by_id[sid] = i
             self.bad_packets[i] = 0
+            lc[i] = False
             self._gen[i] += 1
+        self._last_comfort = lc
         self._active_cache = None
         return slots
 
@@ -208,6 +220,7 @@ class DecoderServer:
             "seed": self._seed,
             "bad_packets": self.bad_packets.tolist(),
             "last_comfort": self._last_comfort.tolist(),
+            "inactive_drops": int(self.inactive_drops),
         })
 
     def restore(self, path: str) -> None:
@@ -219,6 +232,7 @@ class DecoderServer:
         self._seed = extra["seed"]
         self.bad_packets = np.asarray(extra["bad_packets"], np.int64)
         self._last_comfort = np.asarray(extra["last_comfort"], bool)
+        self.inactive_drops = int(extra.get("inactive_drops", 0))
 
     def tick(self, packets: Dict[object, Optional[bytes]]) -> Dict[object, np.ndarray]:
         """One 20 ms step for every active stream.
@@ -227,15 +241,17 @@ class DecoderServer:
         Returns stream_id -> hop of int16 audio at the engine's sample rate.
         """
         _no_inflight_tick(self, "a synchronous tick")
-        # Validate every id up front: a KeyError mid-loop would abort the
-        # tick after some slots' bad_packets counters already moved.
-        for sid in packets:
-            if sid not in self._by_id:
-                raise KeyError(f"unknown stream {sid!r}")
         indices = np.full((self.capacity, self._num_stages), -1, np.int32)
         received = np.zeros(self.capacity, bool)
         for sid, pkt in packets.items():
-            i = self._by_id[sid]
+            i = self._by_id.get(sid)
+            if i is None:
+                # A straggler packet for a stream that already hung up is a
+                # routine transport event (same as the jitter buffer's
+                # inactive_drops), not a reason to abort every live call's
+                # tick: count it and move on.
+                self.inactive_drops += 1
+                continue
             if pkt:
                 try:
                     idx = packet.unpack_indices(pkt)
@@ -288,6 +304,14 @@ class DecoderServer:
         sizes = np.asarray(sizes)
         received = (np.asarray(received, bool) & (sizes > 0)
                     & self._active_mask())
+        if np.any(received & (sizes > packets.shape[1])):
+            # Same rule as _sizes_to_nq: a row claiming more bytes than the
+            # packets array holds is the host's own buffer-assembly bug —
+            # refuse loudly BEFORE any counter moves (a recognized-but-
+            # oversized size would otherwise surface as an opaque native
+            # codec error after earlier bad-size groups were counted).
+            raise ValueError(
+                f"sizes exceed the packets array width {packets.shape[1]}")
         indices = np.full((self.capacity, self._num_stages), -1, np.int32)
         for size in np.unique(sizes[received]):
             bits = config.packet_size_to_num_quantized_bits(int(size))
@@ -380,8 +404,10 @@ class DecoderServer:
         """(Re)build the jitted mixed-bitrate unpack+step program for a
         given wire row width (recompiles only when the fleet's widest
         packet size changes)."""
-        if (not hasattr(self, "_wire_step_mixed")
-                or self._wire_mixed_width != width):
+        cache = getattr(self, "_wire_steps_mixed", None)
+        if cache is None:
+            cache = self._wire_steps_mixed = {}
+        if width not in cache:
             import jax
             import jax.numpy as jnp
 
@@ -395,8 +421,8 @@ class DecoderServer:
                 full = full.at[:, :n_keep].set(idx[:, :n_keep])
                 return self.engine._step_impl(state, full, received)
 
-            self._wire_step_mixed = _wire_step_mixed
-            self._wire_mixed_width = width
+            cache[width] = _wire_step_mixed  # keyed: no churn recompiles
+        self._wire_step_mixed = cache[width]
 
     def _wire_prep(self, packets: np.ndarray) -> None:
         """Validate the uniform packet size and (re)build the jitted
@@ -406,7 +432,10 @@ class DecoderServer:
         if bits < 0 or bits // config.BITS_PER_QUANTIZER > self._stage_cap:
             raise ValueError(
                 f"packet size {packets.shape[1]} unsupported for this engine")
-        if not hasattr(self, "_wire_step") or self._wire_bits != bits:
+        cache = getattr(self, "_wire_steps", None)
+        if cache is None:
+            cache = self._wire_steps = {}
+        if bits not in cache:
             import jax
             import jax.numpy as jnp
 
@@ -420,7 +449,10 @@ class DecoderServer:
                 full = full.at[:, :nq].set(idx)
                 return self.engine._step_impl(state, full, received)
 
-            self._wire_step, self._wire_bits = _wire_step, bits
+            # Keyed cache: a fleet whose packet size toggles (bitrate churn)
+            # must not recompile the whole program on every flip.
+            cache[bits] = _wire_step
+        self._wire_step = cache[bits]
 
     def _active_mask(self) -> np.ndarray:
         # Rebuilding this is O(capacity) python — cache it per admission
@@ -706,18 +738,24 @@ class EncoderServer:
         rows (default when empty) so an idle fleet can't inflate the wire."""
         rows = list(self._by_id.values())
         max_bits = int(self._bits[rows].max()) if rows else self._default_bits
-        if not hasattr(self, "_wire_step") or self._wire_bits != max_bits:
+        cache = getattr(self, "_wire_steps", None)
+        if cache is None:
+            cache = self._wire_steps = {}
+        if max_bits not in cache:
             import jax
 
             @jax.jit
-            def _wire_step(state, frames, nq_row):
+            def _wire_step(state, frames, nq_row, max_bits=max_bits):
                 indices, is_noise, state = self.engine._step_impl(
                     state, frames, nq_row)
                 wire = packet.pack_wire_device_mixed(indices, nq_row,
                                                      max_bits)
                 return wire, is_noise, state
 
-            self._wire_step, self._wire_bits = _wire_step, max_bits
+            # Keyed cache: bitrate churn (a 9.2 kbps caller joining/leaving
+            # an all-3.2 fleet) must not recompile on every width flip.
+            cache[max_bits] = _wire_step
+        self._wire_step = cache[max_bits]
         wire, is_noise, self._state = self._wire_step(
             self._state, np.asarray(audio, np.float32), self._nq)
         return wire, is_noise
@@ -733,8 +771,7 @@ class EncoderServer:
         # a row's size.
         emit = (active & ~np.asarray(is_noise)) & (gen_prev == self._gen)
         wire[~emit] = 0
-        sizes = np.where(
-            emit, (bits + config.NUM_HEADER_BITS + 7) // 8, 0).astype(np.int32)
+        sizes = np.where(emit, config.packet_size(bits), 0).astype(np.int32)
         return wire, sizes
 
     def tick_wire_async(self, audio: np.ndarray):
@@ -803,6 +840,15 @@ class EncoderServer:
         """One 20 ms step: stream_id -> hop of int16 samples in,
         stream_id -> wire packet bytes out (b"" for DTX noise hops)."""
         _no_inflight_tick(self, "a synchronous tick")
+        missing = self._by_id.keys() - audio.keys()
+        if missing:
+            # Encoding zeros for an omitted active stream would emit a real
+            # packet of silence and advance its conv state with no error —
+            # the host's capture pipeline must account for every live call
+            # (fail loudly; a DECODER-side missing entry is a loss event,
+            # but there is no such thing as "lost" mic audio host-side).
+            raise ValueError(
+                f"no audio for active streams {sorted(missing, key=repr)!r}")
         frames = np.zeros((self.capacity, self.engine.hop_samples), np.float32)
         for sid, hop in audio.items():
             i = self._by_id.get(sid)
@@ -952,14 +998,26 @@ class ServerPool:
         program queues while wave i's prior output is still in flight."""
         outs = [s.tick_wire_async(*self._wave_args(w, arrays))
                 for w, s in enumerate(self.servers)]
-        if any(o is None for o in outs):
-            return None
-        return _concat_wave_outputs(outs)
+        return self._merge_async(outs)
 
     def flush_wire_async(self):
-        outs = [s.flush_wire_async() for s in self.servers]
-        if any(o is None for o in outs):
+        return self._merge_async([s.flush_wire_async()
+                                  for s in self.servers])
+
+    @staticmethod
+    def _merge_async(outs):
+        """None only when EVERY wave is pipeline-priming; a mix of drained
+        and None waves means the pipelines desynchronized (e.g. one wave
+        raised on an earlier tick) -- silently returning None would drop
+        the drained waves' audio on the floor, so fail loudly instead."""
+        pending = [o is None for o in outs]
+        if all(pending):
             return None
+        if any(pending):
+            raise RuntimeError(
+                f"pool wave pipelines desynchronized (waves "
+                f"{[w for w, p in enumerate(pending) if p]} have nothing "
+                f"in flight); flush and re-prime the pool")
         return _concat_wave_outputs(outs)
 
     def save(self, path: str) -> None:
@@ -994,5 +1052,21 @@ class ServerPool:
                 f"pool snapshot {path!r} has more waves than this pool's "
                 f"{len(self.servers)} — its extra streams would be "
                 f"silently dropped")
-        for w, s in enumerate(self.servers):
-            s.restore(f"{path}.w{w}")
+        # The header peeks above catch shape mismatches, but a wave can
+        # still fail mid-loop on deeper problems (wrong snapshot kind,
+        # bitrate over this engine's cap, corrupt arrays).  Snapshot every
+        # wave's mutable host state first and roll back on any failure so
+        # the pool is never left half restored.
+        fields = ("_state", "_slots", "_by_id", "_gen", "_active_cache",
+                  "_seed", "bad_packets", "_last_comfort", "inactive_drops",
+                  "_bits", "_nq")
+        saved = [{f: getattr(srv, f) for f in fields if hasattr(srv, f)}
+                 for srv in self.servers]
+        try:
+            for w, s in enumerate(self.servers):
+                s.restore(f"{path}.w{w}")
+        except Exception:
+            for srv, snap in zip(self.servers, saved):
+                for f, v in snap.items():
+                    setattr(srv, f, v)
+            raise

@@ -659,3 +659,111 @@ def test_server_pool_restore_rejects_wave_mismatch(model_path, tmp_path):
     _, dec2c = _pool_pair(model_path, cap=6, waves=2)  # wave capacity 3
     with pytest.raises(ValueError, match="capacity"):
         dec2c.restore(str(tmp_path / "p2"))  # wave capacity 2 snapshot
+
+
+def test_decoder_tick_straggler_packet_is_counted_drop(model_path):
+    """A packet addressed to a removed stream is a transport event
+    (CLAUDE.md: inactive streams are counted drops), not an exception
+    aborting every live call's tick."""
+    dec = DecoderServer(2, model_path=model_path)
+    dec.add_stream("live")
+    audio = dec.tick({"live": bytes(8), "ghost": bytes(8)})
+    assert set(audio) == {"live"}
+    assert dec.inactive_drops == 1
+    assert dec.bad_packets.sum() == 0
+
+
+def test_encoder_tick_requires_audio_for_every_active_stream(model_path):
+    """Omitting an active stream from the audio dict would silently encode
+    a packet of silence and advance its conv state — refuse loudly."""
+    enc = EncoderServer(2, model_path=model_path)
+    enc.add_stream("a")
+    enc.add_stream("b")
+    with pytest.raises(ValueError, match="no audio"):
+        enc.tick({"a": [0] * 320})
+
+
+def test_tick_packed_oversized_size_fails_loudly_before_counting(model_path):
+    dec = DecoderServer(2, model_path=model_path)
+    dec.add_stream("a")
+    dec.add_stream("b")
+    pkts = np.zeros((2, 8), np.uint8)
+    # row 0: unknown size 9 (would normally count a drop); row 1: size 23
+    # exceeding the 8-byte array — the loud check must fire BEFORE the
+    # unknown-size group moves any counter.
+    with pytest.raises(ValueError, match="exceed"):
+        dec.tick_packed(pkts, np.ones(2, bool), np.array([9, 23]))
+    assert dec.bad_packets.sum() == 0
+
+
+def test_reused_slot_does_not_inherit_comfort_flag(model_path):
+    dec = DecoderServer(1, model_path=model_path)
+    dec.add_stream("old")
+    for _ in range(10):  # drive into comfort noise
+        dec.tick({"old": None})
+    assert dec.is_comfort_noise("old")
+    dec.remove_stream("old")
+    dec.add_stream("new")
+    assert not dec.is_comfort_noise("new")
+
+
+def test_wire_program_cache_survives_bitrate_churn(model_path):
+    """Toggling the fleet's widest bitrate must reuse previously compiled
+    programs (keyed cache), not recompile on every flip."""
+    enc = EncoderServer(2, model_path=model_path, bitrate=3200)
+    enc.add_stream("a")
+    audio = np.zeros((2, INTERNAL_HOP), np.float32)
+    enc.tick_wire(audio)
+    prog_narrow = enc._wire_step
+    enc.add_stream("b", bitrate=9200)
+    enc.tick_wire(audio)
+    prog_wide = enc._wire_step
+    enc.remove_stream("b")
+    enc.tick_wire(audio)
+    assert enc._wire_step is prog_narrow
+    enc.add_stream("b2", bitrate=9200)
+    enc.tick_wire(audio)
+    assert enc._wire_step is prog_wide
+
+
+def test_pool_async_desync_fails_loudly(model_path):
+    """A wave with nothing in flight while others drain is a pipeline
+    desync — the pool must not silently drop the drained waves' audio."""
+    enc_pool, _ = _pool_pair(model_path, cap=4)
+    enc_pool.add_streams(["a", "b"])
+    audio = np.zeros((4, INTERNAL_HOP), np.float32)
+    assert enc_pool.tick_wire_async(audio) is None  # both priming: fine
+    enc_pool.servers[1].flush_wire_async()          # knock wave 1 out
+    with pytest.raises(RuntimeError, match="desynchronized"):
+        enc_pool.tick_wire_async(audio)
+
+
+def test_pool_restore_rolls_back_on_mid_loop_failure(model_path, tmp_path):
+    """A wave failure the header peek can't see (wrong snapshot kind) must
+    leave every wave exactly as it was — not half restored."""
+    enc_pool, dec_pool = _pool_pair(model_path, cap=4)
+    dec_pool.add_streams(["a", "b", "c"])
+    dec_pool.save(str(tmp_path / "p"))
+    # Corrupt wave 1: overwrite with an ENCODER snapshot of equal capacity.
+    enc_pool.add_streams(["x", "y"])
+    enc_pool.servers[0].save(str(tmp_path / "p.w1"))
+
+    _, victim = _pool_pair(model_path, cap=4)
+    victim.add_streams(["keep0", "keep1"])
+    before_ids = [dict(s._by_id) for s in victim.servers]
+    with pytest.raises(ValueError, match="not a decoder"):
+        victim.restore(str(tmp_path / "p"))
+    assert [dict(s._by_id) for s in victim.servers] == before_ids
+    # And the pool still ticks on its original streams.
+    out = victim.tick_wire(np.zeros((4, 23), np.uint8), np.ones(4, bool),
+                           np.zeros(4, np.int32))
+    assert out.shape == (4, INTERNAL_HOP)
+
+
+def test_pack_short_indices_fail_loudly():
+    from lyra_tpu import packet as pk
+
+    with pytest.raises(ValueError, match="stages"):
+        pk.pack_indices_batch_np(np.zeros((2, 10), np.int32), 64)
+    with pytest.raises(ValueError, match="stage"):
+        pk.pack_indices(np.zeros(10, np.int32), 64)
