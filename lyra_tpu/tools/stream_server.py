@@ -991,6 +991,21 @@ class ServerPool:
             s.tick_wire(*self._wave_args(w, arrays))
             for w, s in enumerate(self.servers)])
 
+    def tick_packed(self, *arrays):
+        """Host-codec tick over all waves (the servers' tick_packed,
+        sliced/concatenated exactly like tick_wire)."""
+        return _concat_wave_outputs([
+            s.tick_packed(*self._wave_args(w, arrays))
+            for w, s in enumerate(self.servers)])
+
+    def tick_packed_async(self, *arrays):
+        return self._merge_async([
+            s.tick_packed_async(*self._wave_args(w, arrays))
+            for w, s in enumerate(self.servers)])
+
+    def flush_async(self):
+        return self._merge_async([s.flush_async() for s in self.servers])
+
     def tick_wire_async(self, *arrays):
         """Submit every wave's tick back-to-back, then return the
         *previous* tick's concatenated outputs (None on the first call).

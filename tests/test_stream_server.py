@@ -767,3 +767,44 @@ def test_pack_short_indices_fail_loudly():
         pk.pack_indices_batch_np(np.zeros((2, 10), np.int32), 64)
     with pytest.raises(ValueError, match="stage"):
         pk.pack_indices(np.zeros(10, np.int32), 64)
+
+
+def test_server_pool_tick_packed_matches_single(model_path):
+    """The pool's host-codec path (tick_packed) is the same pure
+    scheduling transform as tick_wire: per-stream results equal one
+    server's."""
+    cap = 4
+    enc_pool, dec_pool = _pool_pair(model_path, cap)
+    enc_one = EncoderServer(cap, model_path=model_path, bitrate=3200)
+    dec_one = DecoderServer(cap, model_path=model_path)
+    ids = ["a", "b", "c"]
+    rp = enc_pool.add_streams(ids)
+    dec_pool.add_streams(ids)
+    ro = enc_one.add_streams(ids)
+    dec_one.add_streams(ids)
+
+    rng = np.random.default_rng(5)
+    audio_p = np.zeros((cap, INTERNAL_HOP), np.float32)
+    audio_o = np.zeros((cap, INTERNAL_HOP), np.float32)
+    for sid in ids:
+        hop = rng.integers(-8000, 8000, INTERNAL_HOP)
+        audio_p[rp[sid]] = hop
+        audio_o[ro[sid]] = hop
+    pk_p, sz_p = enc_pool.tick_packed(audio_p)
+    pk_o, sz_o = enc_one.tick_packed(audio_o)
+    out_p = dec_pool.tick_packed(pk_p, sz_p > 0, sz_p)
+    out_o = dec_one.tick_packed(pk_o, sz_o > 0, sz_o)
+    for sid in ids:
+        assert sz_p[rp[sid]] == sz_o[ro[sid]]
+        np.testing.assert_array_equal(pk_p[rp[sid]], pk_o[ro[sid]])
+        np.testing.assert_array_equal(out_p[rp[sid]], out_o[ro[sid]])
+
+    # Async variant primes then drains through the same merge guard; the
+    # drained tick ran on post-sync-tick state, so compare against the
+    # single server's second tick, not the first.
+    pk_o2, sz_o2 = enc_one.tick_packed(audio_o)
+    assert enc_pool.tick_packed_async(audio_p) is None
+    pk_a, sz_a = enc_pool.flush_async()
+    for sid in ids:
+        assert sz_a[rp[sid]] == sz_o2[ro[sid]]
+        np.testing.assert_array_equal(pk_a[rp[sid]], pk_o2[ro[sid]])
