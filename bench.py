@@ -79,9 +79,12 @@ def main():
             jax.block_until_ready(c0)
 
             floor = 2.0 * state_bytes * wave_batch * n_waves / hbm_gbps
-            dt = None
-            for attempt in range(3):
-                iters = 20
+            # Tunnel weather varies on second scales (±10% observed): time
+            # each config until two VALID passes land and keep the fastest.
+            # A sub-floor pass means a lost wait (broken timing), never a
+            # fast tick — it doesn't count.
+            dt, valid, iters = None, 0, 20
+            for attempt in range(4):
                 outs = []
                 t0 = time.perf_counter()
                 for _ in range(iters):
@@ -90,16 +93,21 @@ def main():
                             w[0], w[1], audio, received, nq)
                         outs.append(c0)
                 jax.block_until_ready(outs)
-                dt = (time.perf_counter() - t0) / iters  # one full tick
-                if dt >= floor:
+                measured = (time.perf_counter() - t0) / iters  # one tick
+                if measured < floor:
+                    print(f"wave config {n_waves}x{wave_batch}: measured "
+                          f"{measured * 1e3:.2f} ms/tick below the "
+                          f"{floor * 1e3:.2f} ms HBM floor — lost wait, "
+                          f"remeasuring", file=sys.stderr)
+                    continue
+                dt = measured if dt is None else min(dt, measured)
+                valid += 1
+                if valid >= 2:
                     break
-                print(f"wave config {n_waves}x{wave_batch}: measured "
-                      f"{dt * 1e3:.2f} ms/tick below the {floor * 1e3:.2f} ms "
-                      f"HBM floor — lost wait, remeasuring", file=sys.stderr)
-            if dt < floor:
+            if dt is None:
                 raise RuntimeError(
-                    f"tick time {dt * 1e3:.2f} ms stayed below the physical "
-                    f"HBM floor {floor * 1e3:.2f} ms after 3 attempts")
+                    f"every pass stayed below the physical HBM floor "
+                    f"{floor * 1e3:.2f} ms — waits are broken")
 
             streams = n_waves * wave_batch * 0.02 / dt
             if streams > best[0]:
