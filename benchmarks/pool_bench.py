@@ -6,7 +6,10 @@ win survives the *serving* loop, where every tick also moves wire bytes
 and audio across the host link (which through the dev tunnel is the
 dominant cost — on PCIe hardware the device-side win governs).
 
-Usage: python benchmarks/pool_bench.py [B] [iters]
+Usage: python benchmarks/pool_bench.py [B] [iters] [pcm_dtype]
+
+pcm_dtype: int16 (default — 2 B/sample over the host link both ways, the
+serving configuration) or f32 (the pre-int16-boundary upload for A/B).
 """
 
 import os
@@ -18,12 +21,12 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run(make, label, B, iters):
+def run(make, label, B, iters, pcm_dtype=np.int16):
     enc, dec = make()
     enc.add_streams(range(B))
     dec.add_streams(range(B))
     rng = np.random.RandomState(0)
-    audio = rng.randint(-16000, 16000, (B, 320)).astype(np.float32)
+    audio = rng.randint(-16000, 16000, (B, 320)).astype(pcm_dtype)
 
     wire = sizes = None
     for _ in range(3):  # compile + prime both async pipelines
@@ -54,6 +57,8 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    pcm = np.float32 if (len(sys.argv) > 3
+                         and sys.argv[3] == "f32") else np.int16
 
     def engines():
         return (EncoderEngine(16000, mode="bf16", max_bitrate=3200),
@@ -72,8 +77,10 @@ def main():
             decs.append(DecoderServer(B // 2, engine=d))
         return ServerPool(encs), ServerPool(decs)
 
-    run(single, f"single server B={B}", B, iters)
-    run(pool, f"2-wave pool 2x{B // 2}", B, iters)
+    run(single, f"single server B={B} pcm={np.dtype(pcm).name}", B, iters,
+        pcm)
+    run(pool, f"2-wave pool 2x{B // 2} pcm={np.dtype(pcm).name}", B, iters,
+        pcm)
 
 
 if __name__ == "__main__":

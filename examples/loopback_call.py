@@ -72,7 +72,7 @@ def main(argv=None) -> int:
         audio = np.stack([
             data.samples[(t * hop + c * 160) % (data.samples.size - hop):]
             [:hop] for c in range(cap)
-        ]).astype(np.float32)
+        ])  # int16 end-to-end: the server uploads 2 B/sample
         pkts, sizes = enc.tick_packed(audio)
 
         # "Network": random per-packet delay, loss.

@@ -103,10 +103,12 @@ def main(argv=None) -> int:
             # free-running to catch up on a stale absolute grid.
             next_tick = max(next_tick, time.perf_counter()) + 0.02
 
+        # Stays int16 end-to-end: the server uploads 2 B/sample (the engine
+        # casts to f32 on device) — half the host-link PCM traffic.
         audio = np.stack([
             data.samples[(t * hop + c * 160) % (data.samples.size - hop):]
             [:hop] for c in range(cap)
-        ]).astype(np.float32)
+        ])
 
         # Encode (async device pipeline: returns tick t-1's wire bytes).
         got = enc.tick_wire_async(audio)

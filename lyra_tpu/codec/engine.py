@@ -110,9 +110,19 @@ class DecoderEngine:
                  feature_estimator: str = "zero",
                  max_bitrate: int | None = None,
                  gate_idle_stages: bool = True,
-                 state_compression: str | None = None):
+                 state_compression: str | None = None,
+                 emit_dtype: str = "float32"):
         config.check_params_supported(sample_rate_hz, config.NUM_CHANNELS, model_path)
         self.sample_rate_hz = sample_rate_hz
+        # emit_dtype="int16": step() returns audio as int16 instead of
+        # int16-valued float32.  Bit-exact (the hop is clip_to_int16'd
+        # either way — the reference's public unit is int16 samples,
+        # reference: lyra/lyra_decoder.h:88-104); halves the PCM bytes a
+        # serving host pulls over PCIe per tick.
+        if emit_dtype not in ("float32", "int16"):
+            raise ValueError(
+                f"emit_dtype must be 'float32' or 'int16', got {emit_dtype!r}")
+        self._emit_int16 = emit_dtype == "int16"
         # state_compression="int8": store the GAN's streaming conv contexts
         # int8-compressed between ticks (models/streaming.py
         # `_quantize_leaf`) — halves per-stream checkpoint/drain bytes for
@@ -185,7 +195,8 @@ class DecoderEngine:
                   the stream's bitrate (contents ignored where not received).
         received: [B] bool — False means packet lost (or DTX empty packet).
 
-        Returns (audio [B, hop_samples] float at int16 scale,
+        Returns (audio [B, hop_samples] at int16 scale — float32, or int16
+                 when the engine was built with emit_dtype="int16";
                  is_comfort_noise [B] bool, new_state).
         """
         return self._step(state, indices, received)
@@ -288,6 +299,10 @@ class DecoderEngine:
             audio = dsp_utils.clip_to_int16(audio).astype(jnp.float32)
 
         is_comfort_noise = fade == FADE_SAMPLES
+        if self._emit_int16:
+            # Exact: audio is integral int16-scale after clip_to_int16, and
+            # XLA folds the f32->int16 convert into the producing fusion.
+            audio = audio.astype(jnp.int16)
         return audio, is_comfort_noise, new_state
 
 

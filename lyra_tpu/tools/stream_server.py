@@ -35,6 +35,36 @@ class _Slot:
     active: bool = False
 
 
+def _dev_int16(audio):
+    """Cast device audio to int16 ON DEVICE (no-op for int16/host arrays).
+
+    The engines emit integral int16-scale samples (engine.py clip_to_int16),
+    so the cast is bit-exact; doing it device-side before the fetch halves
+    the PCM bytes crossing PCIe per tick (reference: lyra/lyra_decoder.h:
+    88-104 — int16 samples are the codec's public unit)."""
+    if not isinstance(audio, np.ndarray) and hasattr(audio, "astype") \
+            and audio.dtype != np.int16:
+        return audio.astype(np.int16)
+    return audio
+
+
+def _pcm_out(audio) -> np.ndarray:
+    """Device audio → writable host int16 PCM (see _dev_int16)."""
+    return np.asarray(_dev_int16(audio)).astype(np.int16)
+
+
+def _pcm_in(audio) -> np.ndarray:
+    """Host PCM → the engine-upload array.
+
+    int16 input uploads as int16 (2 B/sample over PCIe; the engine casts to
+    f32 on device, engine.py EncoderEngine._step_impl); anything else keeps
+    the float32 contract (callers may feed non-integral int16-scale floats)."""
+    a = np.asarray(audio)
+    if a.dtype == np.int16:
+        return a
+    return np.asarray(a, np.float32)
+
+
 def _no_inflight_tick(server, verb: str) -> None:
     if (getattr(server, "_pending", None) is not None
             or getattr(server, "_wire_pending", None) is not None):
@@ -272,7 +302,7 @@ class DecoderServer:
 
         audio, is_cn, self._state = self.engine.step(
             self._state, indices, received)
-        audio = np.asarray(audio).astype(np.int16)
+        audio = _pcm_out(audio)
         self._last_comfort = np.asarray(is_cn)
         return {sid: audio[i] for sid, i in self._by_id.items()}
 
@@ -296,7 +326,7 @@ class DecoderServer:
         audio, is_cn, self._state = self.engine.step(
             self._state, indices, received)
         self._last_comfort = np.asarray(is_cn)
-        return np.asarray(audio).astype(np.int16)
+        return _pcm_out(audio)
 
     def _unpack_wire(self, packets, received, sizes):
         """Wire bytes → (indices [capacity, stages], effective received)."""
@@ -350,7 +380,7 @@ class DecoderServer:
         _no_inflight_tick(self, "a synchronous tick")
         audio, is_cn = self._wire_run(packets, received, sizes)
         self._last_comfort = np.asarray(is_cn)
-        return np.asarray(audio).astype(np.int16)
+        return _pcm_out(audio)
 
     def _wire_run(self, packets, received, sizes):
         """Shared uniform/mixed dispatch for the wire tick: (re)build the
@@ -419,7 +449,11 @@ class DecoderServer:
                 full = jnp.full(
                     (wire.shape[0], self._num_stages), -1, jnp.int32)
                 full = full.at[:, :n_keep].set(idx[:, :n_keep])
-                return self.engine._step_impl(state, full, received)
+                audio, is_cn, state = self.engine._step_impl(
+                    state, full, received)
+                # PCM leaves the device as int16 (see _dev_int16: bit-exact,
+                # half the D2H bytes); no-op for emit_dtype="int16" engines.
+                return audio.astype(jnp.int16), is_cn, state
 
             cache[width] = _wire_step_mixed  # keyed: no churn recompiles
         self._wire_step_mixed = cache[width]
@@ -447,7 +481,10 @@ class DecoderServer:
                 full = jnp.full(
                     (wire.shape[0], self._num_stages), -1, jnp.int32)
                 full = full.at[:, :nq].set(idx)
-                return self.engine._step_impl(state, full, received)
+                audio, is_cn, state = self.engine._step_impl(
+                    state, full, received)
+                # See _wire_step_mixed: int16 PCM over the boundary.
+                return audio.astype(jnp.int16), is_cn, state
 
             # Keyed cache: a fleet whose packet size toggles (bitrate churn)
             # must not recompile the whole program on every flip.
@@ -513,6 +550,7 @@ class DecoderServer:
         indices, received = self._unpack_wire(packets, received, sizes)
         audio, is_cn, self._state = self.engine.step(
             self._state, indices, received)
+        audio = _dev_int16(audio)  # cast before the async D2H starts
         for dev_arr in (audio, is_cn):
             if hasattr(dev_arr, "copy_to_host_async"):
                 dev_arr.copy_to_host_async()
@@ -671,7 +709,7 @@ class EncoderServer:
         native batch call per size group."""
         _no_inflight_tick(self, "a synchronous tick")
         indices, is_noise, self._state = self.engine.step(
-            self._state, np.asarray(audio, np.float32), self._nq)
+            self._state, _pcm_in(audio), self._nq)
         return self._pack_wire(np.asarray(indices), np.asarray(is_noise),
                                self._bits, self._active_mask())
 
@@ -757,7 +795,7 @@ class EncoderServer:
             cache[max_bits] = _wire_step
         self._wire_step = cache[max_bits]
         wire, is_noise, self._state = self._wire_step(
-            self._state, np.asarray(audio, np.float32), self._nq)
+            self._state, _pcm_in(audio), self._nq)
         return wire, is_noise
 
     def _drain_wire(self, pending):
@@ -809,7 +847,7 @@ class EncoderServer:
             raise RuntimeError(
                 "tick_wire_async pipeline in flight; flush_wire_async() first")
         indices, is_noise, self._state = self.engine.step(
-            self._state, np.asarray(audio, np.float32), self._nq)
+            self._state, _pcm_in(audio), self._nq)
         for dev_arr in (indices, is_noise):
             if hasattr(dev_arr, "copy_to_host_async"):
                 dev_arr.copy_to_host_async()

@@ -808,3 +808,33 @@ def test_server_pool_tick_packed_matches_single(model_path):
     for sid in ids:
         assert sz_a[rp[sid]] == sz_o2[ro[sid]]
         np.testing.assert_array_equal(pk_a[rp[sid]], pk_o2[ro[sid]])
+
+
+def test_int16_pcm_boundary_is_bit_exact(model_path):
+    """int16 PCM across the host<->device boundary (half the PCIe bytes per
+    tick) is bit-identical to the float32 path in both directions, and a
+    DecoderEngine(emit_dtype="int16") drops into the server unchanged."""
+    from lyra_tpu.codec.engine import DecoderEngine
+
+    rng = np.random.RandomState(7)
+    hops = rng.randint(-20000, 20000, (4, 3, INTERNAL_HOP)).astype(np.int16)
+
+    enc_f = EncoderServer(3, model_path=model_path, bitrate=3200)
+    enc_i = EncoderServer(3, model_path=model_path, bitrate=3200)
+    dec_f = DecoderServer(3, model_path=model_path)
+    dec_i = DecoderServer(
+        3, engine=DecoderEngine(model_path=model_path, emit_dtype="int16"))
+    for s in (enc_f, enc_i, dec_f, dec_i):
+        s.add_streams(["a", "b", "c"])
+    for t in range(4):
+        pk_f, sz_f = enc_f.tick_packed(hops[t].astype(np.float32))
+        pk_i, sz_i = enc_i.tick_packed(hops[t])  # int16 upload path
+        np.testing.assert_array_equal(pk_f, pk_i)
+        np.testing.assert_array_equal(sz_f, sz_i)
+        audio_f = dec_f.tick_packed(pk_f, sz_f > 0, sz_f)
+        audio_i = dec_i.tick_packed(pk_i, sz_i > 0, sz_i)
+        assert audio_f.dtype == audio_i.dtype == np.int16
+        np.testing.assert_array_equal(audio_f, audio_i)
+
+    with pytest.raises(ValueError):
+        DecoderEngine(model_path=model_path, emit_dtype="int8")
