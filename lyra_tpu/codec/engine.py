@@ -162,6 +162,7 @@ class DecoderEngine:
         # _step_impl); False forces the always-run path (the gating's oracle).
         self._gate_idle = gate_idle_stages
         self._step = jax.jit(self._step_impl)
+        self._reset = jax.jit(self._reset_impl, static_argnums=(2,))
 
     # -- state ----------------------------------------------------------------
     def init_state(self, batch_size: int, seed: int = 0) -> State:
@@ -183,8 +184,19 @@ class DecoderEngine:
                    seed: int = 0) -> State:
         """Re-initialize streams where `mask` is set (stream admission).
         `seed` must match the one used for init_state so re-admitted slots
-        keep the server's per-stream RNG lineage."""
-        fresh = self.init_state(int(mask.shape[0]), seed=seed)
+        keep the server's per-stream RNG lineage.
+
+        Jitted: the fresh values (mostly zeros, plus the counter-hash RNG
+        rows) are generated inside the program and fused straight into the
+        per-leaf select — one dispatch and one state read+write instead of
+        materializing a second full state tree and issuing ~50 eager
+        `where` ops per admission (the call-setup hot path,
+        tools/stream_server.py add_stream/add_streams)."""
+        return self._reset(state, mask.astype(bool), seed)
+
+    def _reset_impl(self, state: State, mask: jnp.ndarray,
+                    seed: int) -> State:
+        fresh = self.init_state(mask.shape[0], seed=seed)
         return _mask_tree(mask, fresh, state)
 
     # -- one lockstep tick -----------------------------------------------------
@@ -339,6 +351,7 @@ class EncoderEngine:
         )
         self.hop_samples = config.num_samples_per_hop(sample_rate_hz)
         self._step = jax.jit(self._step_impl)
+        self._reset = jax.jit(self._reset_impl)
 
     def init_state(self, batch_size: int) -> State:
         b = batch_size
@@ -350,7 +363,11 @@ class EncoderEngine:
         return state
 
     def reset_rows(self, state: State, mask: jnp.ndarray) -> State:
-        fresh = self.init_state(int(mask.shape[0]))
+        """Jitted for the same reason as DecoderEngine.reset_rows."""
+        return self._reset(state, mask.astype(bool))
+
+    def _reset_impl(self, state: State, mask: jnp.ndarray) -> State:
+        fresh = self.init_state(mask.shape[0])
         return _mask_tree(mask, fresh, state)
 
     def _state_with_bound(self, state: State, bound: float) -> State:
