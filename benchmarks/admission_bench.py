@@ -49,16 +49,18 @@ def main():
     single = [np.zeros(B, bool) for _ in range(8)]
     for i, m in enumerate(single):
         m[rng.randint(B)] = True
+    burst_n = min(512, B)
     burst = [np.zeros(B, bool) for _ in range(4)]
     for m in burst:
-        m[rng.choice(B, 512, replace=False)] = True
+        m[rng.choice(B, burst_n, replace=False)] = True
 
     def eager(state, mask):
         # The pre-round-3 path: materialize fresh, then per-leaf where.
         fresh = dec.init_state(int(mask.shape[0]))
         return _mask_tree(jax.numpy.asarray(mask), fresh, state)
 
-    for label, masks in (("1 admission", single), ("512-burst", burst)):
+    for label, masks in (("1 admission", single),
+                         (f"{burst_n}-burst", burst)):
         dt_j = time_reset(dec.reset_rows, state, masks, iters)
         dt_e = time_reset(eager, state, masks, iters)
         print(f"B={B} {label}: jitted {dt_j * 1e3:.2f} ms | "

@@ -57,8 +57,10 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    pcm = np.float32 if (len(sys.argv) > 3
-                         and sys.argv[3] == "f32") else np.int16
+    pcm_arg = sys.argv[3] if len(sys.argv) > 3 else "int16"
+    if pcm_arg not in ("int16", "f32"):  # fail loudly, never fall back
+        raise SystemExit(f"pcm_dtype must be 'int16' or 'f32', got {pcm_arg!r}")
+    pcm = np.float32 if pcm_arg == "f32" else np.int16
 
     def engines():
         return (EncoderEngine(16000, mode="bf16", max_bitrate=3200),

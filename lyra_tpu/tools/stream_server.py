@@ -58,11 +58,17 @@ def _pcm_in(audio) -> np.ndarray:
 
     int16 input uploads as int16 (2 B/sample over PCIe; the engine casts to
     f32 on device, engine.py EncoderEngine._step_impl); anything else keeps
-    the float32 contract (callers may feed non-integral int16-scale floats)."""
+    the float32 contract (callers may feed non-integral int16-scale floats).
+
+    Always a private copy: the async tick paths return before the H2D
+    transfer completes, and some backends zero-copy-alias aligned host
+    arrays — a caller reusing its PCM ring buffer for the next hop must
+    not corrupt an in-flight upload (the old unconditional f32 cast made
+    this copy implicitly)."""
     a = np.asarray(audio)
     if a.dtype == np.int16:
-        return a
-    return np.asarray(a, np.float32)
+        return np.array(a)
+    return np.array(a, np.float32)
 
 
 def _no_inflight_tick(server, verb: str) -> None:
@@ -160,7 +166,12 @@ class DecoderServer:
     def __init__(self, capacity: int, engine: Optional[DecoderEngine] = None,
                  model_path: str = config.DEFAULT_MODEL_PATH, seed: int = 0):
         native.build()  # compile the wire codec now, not mid-tick
-        self.engine = engine or DecoderEngine(model_path=model_path)
+        # Default engine emits int16 inside its own jitted step, so the
+        # packed/dict ticks need no separate device cast before the fetch
+        # (injected float-emitting engines get the eager _dev_int16 cast —
+        # same bytes over the link, one extra dispatch).
+        self.engine = engine or DecoderEngine(model_path=model_path,
+                                              emit_dtype="int16")
         self.capacity = capacity
         self._seed = seed
         self._state = self.engine.init_state(capacity, seed=seed)
@@ -887,12 +898,18 @@ class EncoderServer:
             # but there is no such thing as "lost" mic audio host-side).
             raise ValueError(
                 f"no audio for active streams {sorted(missing, key=repr)!r}")
-        frames = np.zeros((self.capacity, self.engine.hop_samples), np.float32)
-        for sid, hop in audio.items():
+        # All-int16 hops assemble into an int16 frame buffer so the dict
+        # API gets the 2 B/sample upload too; any float hop (legal:
+        # non-integral int16-scale values) keeps the f32 contract.
+        hops = {sid: np.asarray(hop) for sid, hop in audio.items()}
+        dt = (np.int16 if all(h.dtype == np.int16 for h in hops.values())
+              else np.float32)
+        frames = np.zeros((self.capacity, self.engine.hop_samples), dt)
+        for sid, hop in hops.items():
             i = self._by_id.get(sid)
             if i is None:
                 raise KeyError(f"unknown stream {sid!r}")
-            frames[i] = np.asarray(hop, np.float32)
+            frames[i] = hop.astype(dt)
 
         indices, is_noise, self._state = self.engine.step(
             self._state, frames, self._nq)
