@@ -101,7 +101,7 @@ def _server_save(server, path: str, kind: str,
     checkpoint.save_state(  # save_state host-copies the tree itself
         path, server._state,
         extra={"kind": kind, "slots": slots, "gen": server._gen.tolist(),
-               **extra})
+               "sample_rate_hz": server.sample_rate_hz, **extra})
 
 
 def _server_restore(server, path: str, kind: str,
@@ -123,6 +123,13 @@ def _server_restore(server, path: str, kind: str,
         raise ValueError(
             f"snapshot capacity {len(slots)} != server capacity "
             f"{server.capacity}")
+    # Legacy (pre-multirate) snapshots came from 16 kHz-only servers.
+    snap_rate = extra.get("sample_rate_hz", config.INTERNAL_SAMPLE_RATE)
+    if snap_rate != server.sample_rate_hz:
+        # The resampler state shapes would mismatch anyway; say why up front.
+        raise ValueError(
+            f"snapshot is a {snap_rate} Hz fleet; this server runs at "
+            f"{server.sample_rate_hz} Hz")
     if validate is not None:
         validate(extra)
     mesh = getattr(server.engine, "mesh", None)
@@ -164,14 +171,27 @@ class DecoderServer:
     """Fixed-capacity batched decoder with per-stream admission."""
 
     def __init__(self, capacity: int, engine: Optional[DecoderEngine] = None,
-                 model_path: str = config.DEFAULT_MODEL_PATH, seed: int = 0):
+                 model_path: str = config.DEFAULT_MODEL_PATH, seed: int = 0,
+                 sample_rate_hz: Optional[int] = None):
         native.build()  # compile the wire codec now, not mid-tick
         # Default engine emits int16 inside its own jitted step, so the
         # packed/dict ticks need no separate device cast before the fetch
         # (injected float-emitting engines get the eager _dev_int16 cast —
         # same bytes over the link, one extra dispatch).
-        self.engine = engine or DecoderEngine(model_path=model_path,
-                                              emit_dtype="int16")
+        # sample_rate_hz: the fleet's external I/O rate (reference:
+        # lyra/lyra_config.h:56-57 — 8/16/32/48 kHz external, 16 kHz
+        # internal).  The engine resamples inside its jitted step, so a
+        # 48 kHz fleet's ticks take/emit 960-sample hops with no host DSP.
+        self.engine = engine or DecoderEngine(
+            sample_rate_hz or config.INTERNAL_SAMPLE_RATE,
+            model_path=model_path, emit_dtype="int16")
+        if (sample_rate_hz is not None
+                and self.engine.sample_rate_hz != sample_rate_hz):
+            raise ValueError(
+                f"sample_rate_hz={sample_rate_hz} contradicts the injected "
+                f"engine's {self.engine.sample_rate_hz} Hz")
+        self.sample_rate_hz = self.engine.sample_rate_hz
+        self.hop_samples = self.engine.hop_samples
         self.capacity = capacity
         self._seed = seed
         self._state = self.engine.init_state(capacity, seed=seed)
@@ -594,9 +614,21 @@ class EncoderServer:
 
     def __init__(self, capacity: int, engine: Optional[EncoderEngine] = None,
                  model_path: str = config.DEFAULT_MODEL_PATH,
-                 bitrate: int = 3200):
+                 bitrate: int = 3200,
+                 sample_rate_hz: Optional[int] = None):
         native.build()  # compile the wire codec now, not mid-tick
-        self.engine = engine or EncoderEngine(model_path=model_path)
+        # sample_rate_hz: see DecoderServer — the fleet's external I/O rate;
+        # the engine resamples to 16 kHz inside its jitted step.
+        self.engine = engine or EncoderEngine(
+            sample_rate_hz or config.INTERNAL_SAMPLE_RATE,
+            model_path=model_path)
+        if (sample_rate_hz is not None
+                and self.engine.sample_rate_hz != sample_rate_hz):
+            raise ValueError(
+                f"sample_rate_hz={sample_rate_hz} contradicts the injected "
+                f"engine's {self.engine.sample_rate_hz} Hz")
+        self.sample_rate_hz = self.engine.sample_rate_hz
+        self.hop_samples = self.engine.hop_samples
         self.capacity = capacity
         self._state = self.engine.init_state(capacity)
         self._slots: List[_Slot] = [_Slot(None) for _ in range(capacity)]
@@ -937,13 +969,18 @@ def _concat_wave_outputs(outs):
     """Concatenate per-wave tick outputs along the stream axis.
 
     Handles both decoder ticks (one audio array) and encoder ticks
-    ((wire, sizes) tuples, right-padding wire rows to the widest wave's
-    packet size — tails are zero by the tick_wire contract)."""
+    ((wire, sizes) tuples).  Rows right-pad to the widest wave's width —
+    wire tails are zero by the tick_wire contract; audio rows from a
+    lower-rate wave of a mixed-rate pool carry their own hop in the
+    leading columns and zero padding after (a 16 kHz row in a pool whose
+    widest wave is 48 kHz is 320 samples + 640 zeros)."""
     if isinstance(outs[0], tuple):
         wires, sizes = zip(*outs)
         width = max(w.shape[1] for w in wires)
         wires = [np.pad(w, ((0, 0), (0, width - w.shape[1]))) for w in wires]
         return np.concatenate(wires), np.concatenate(sizes)
+    width = max(a.shape[1] for a in outs)
+    outs = [np.pad(a, ((0, 0), (0, width - a.shape[1]))) for a in outs]
     return np.concatenate(outs)
 
 
@@ -963,6 +1000,16 @@ class ServerPool:
     The reference has no counterpart (one codec instance per stream,
     reference: lyra/lyra_encoder.h:30-43); this is deployment-scale
     runtime, like the servers it wraps.
+
+    Mixed external sample rates: waves may run at different I/O rates
+    (each wave's engine resamples on device, see the servers'
+    sample_rate_hz) — a pool of a 16 kHz wave and a 48 kHz wave serves
+    both client populations on one chip.  Admission then routes by rate
+    (`add_stream(sid, sample_rate_hz=...)`, required once the pool is
+    mixed-rate), encoder PCM input is [capacity, max hop] with each row's
+    own hop left-aligned, and decoder output rows pad the same way
+    (reference: lyra/lyra_config.h:56-57 — per-codec-instance external
+    rates, here per wave at serving scale).
     """
 
     def __init__(self, servers: Sequence):
@@ -975,6 +1022,38 @@ class ServerPool:
         self.servers = servers
         self.wave_capacity = servers[0].capacity
         self.capacity = self.wave_capacity * len(servers)
+        self.rates = tuple(s.sample_rate_hz for s in servers)
+        # Mixed-rate pools take/emit PCM at the widest wave's hop; see
+        # _wave_args for the per-wave column contract.
+        self.hop_samples = max(s.hop_samples for s in servers)
+        self._is_encoder = isinstance(servers[0], EncoderServer)
+
+    def sample_rate_of(self, stream_id) -> int:
+        _, s = self._locate(stream_id)
+        return s.sample_rate_hz
+
+    def hop_samples_of(self, stream_id) -> int:
+        """Valid sample count of this stream's rows in pool PCM arrays
+        (the rest of the row is padding in a mixed-rate pool)."""
+        _, s = self._locate(stream_id)
+        return s.hop_samples
+
+    def _candidate_waves(self, sample_rate_hz: Optional[int]):
+        """Waves admission may target for this rate.  A mixed-rate pool
+        with no explicit rate is refused loudly: 'any wave' would pin the
+        caller's PCM to whatever rate the emptiest wave happens to run."""
+        if sample_rate_hz is None:
+            if len(set(self.rates)) > 1:
+                raise ValueError(
+                    f"pool serves mixed rates {sorted(set(self.rates))}; "
+                    f"admission needs an explicit sample_rate_hz")
+            return list(range(len(self.servers)))
+        waves = [w for w, r in enumerate(self.rates) if r == sample_rate_hz]
+        if not waves:
+            raise ValueError(
+                f"pool has no {sample_rate_hz} Hz wave "
+                f"(rates: {sorted(set(self.rates))})")
+        return waves
 
     @property
     def num_active(self) -> int:
@@ -990,40 +1069,50 @@ class ServerPool:
                 return w, s
         raise KeyError(f"unknown stream {stream_id!r}")
 
-    def add_stream(self, stream_id, **kw) -> int:
-        """Admit on the least-loaded wave; returns the global row."""
+    def add_stream(self, stream_id, sample_rate_hz: Optional[int] = None,
+                   **kw) -> int:
+        """Admit on the least-loaded (rate-matching) wave; returns the
+        global row."""
         for s in self.servers:
             if stream_id in s._by_id:
                 raise KeyError(f"stream {stream_id!r} already active")
-        w = min(range(len(self.servers)),
-                key=lambda i: self.servers[i].num_active)
+        waves = self._candidate_waves(sample_rate_hz)
+        w = min(waves, key=lambda i: self.servers[i].num_active)
         if self.servers[w].num_active >= self.wave_capacity:
-            raise RuntimeError("pool at capacity")
+            raise RuntimeError(
+                "pool at capacity" if sample_rate_hz is None else
+                f"pool at capacity for {sample_rate_hz} Hz waves")
         slot = self.servers[w].add_stream(stream_id, **kw)
         return w * self.wave_capacity + slot
 
-    def add_streams(self, stream_ids, **kw) -> Dict[object, int]:
-        """Bulk admission, balanced across waves (all-or-nothing)."""
+    def add_streams(self, stream_ids, sample_rate_hz: Optional[int] = None,
+                    **kw) -> Dict[object, int]:
+        """Bulk admission, balanced across (rate-matching) waves
+        (all-or-nothing)."""
         ids = list(stream_ids)
         if len(set(ids)) != len(ids):
             raise KeyError("duplicate stream ids in bulk admission")
+        waves = self._candidate_waves(sample_rate_hz)
         for s in self.servers:
             for sid in ids:
                 if sid in s._by_id:
                     raise KeyError(f"stream {sid!r} already active")
-        free = [self.wave_capacity - s.num_active for s in self.servers]
+        free = [self.wave_capacity - self.servers[w].num_active
+                for w in waves]
         if len(ids) > sum(free):
-            raise RuntimeError("pool at capacity")
-        # Fill toward balance: each id goes to the emptiest wave.
-        assign: List[List[object]] = [[] for _ in self.servers]
-        load = [s.num_active for s in self.servers]
+            raise RuntimeError(
+                "pool at capacity" if sample_rate_hz is None else
+                f"pool at capacity for {sample_rate_hz} Hz waves")
+        # Fill toward balance: each id goes to the emptiest candidate wave.
+        assign: Dict[int, List[object]] = {w: [] for w in waves}
+        load = {w: self.servers[w].num_active for w in waves}
         for sid in ids:
-            w = min(range(len(self.servers)), key=lambda i: load[i])
+            w = min(waves, key=lambda i: load[i])
             assign[w].append(sid)
             load[w] += 1
         out: Dict[object, int] = {}
-        for w, (s, group) in enumerate(zip(self.servers, assign)):
-            for sid, slot in s.add_streams(group, **kw).items():
+        for w, group in assign.items():
+            for sid, slot in self.servers[w].add_streams(group, **kw).items():
                 out[sid] = w * self.wave_capacity + slot
         return out
 
@@ -1037,7 +1126,20 @@ class ServerPool:
 
     def _wave_args(self, w: int, arrays):
         lo = w * self.wave_capacity
-        return tuple(a[lo: lo + self.wave_capacity] for a in arrays)
+        out = tuple(a[lo: lo + self.wave_capacity] for a in arrays)
+        if self._is_encoder:
+            # Encoder ticks take one PCM array.  In a mixed-rate pool it is
+            # [capacity, max hop] with each row's own hop left-aligned, so a
+            # lower-rate wave reads only its leading columns; anything
+            # narrower than the pool hop is the caller assembling the wrong
+            # buffer (a row's tail would silently decode as dropped audio).
+            (audio,) = out
+            if audio.ndim != 2 or audio.shape[1] != self.hop_samples:
+                raise ValueError(
+                    f"pool PCM must be [capacity, {self.hop_samples}] "
+                    f"(the widest wave's hop); got {audio.shape}")
+            out = (audio[:, : self.servers[w].hop_samples],)
+        return out
 
     def tick_wire(self, *arrays):
         """Synchronous tick over all waves (correctness path; the async

@@ -838,3 +838,118 @@ def test_int16_pcm_boundary_is_bit_exact(model_path):
 
     with pytest.raises(ValueError):
         DecoderEngine(model_path=model_path, emit_dtype="int8")
+
+
+def test_external_rate_fleet(model_path, tmp_path):
+    """A whole fleet at a non-16 kHz external rate: the server's engine
+    resamples inside its jitted step (reference: lyra/lyra_config.h:56-57
+    external rates), so 48 kHz clients tick 960-sample hops directly."""
+    enc = EncoderServer(2, model_path=model_path, bitrate=3200,
+                        sample_rate_hz=48000)
+    dec = DecoderServer(2, model_path=model_path, sample_rate_hz=48000)
+    assert enc.hop_samples == dec.hop_samples == 960
+    enc.add_streams(["a", "b"])
+    dec.add_streams(["a", "b"])
+
+    t = np.arange(8 * 960) / 48000.0
+    sine = (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    energy = 0.0
+    for k in range(8):
+        wire, sizes = enc.tick_packed(
+            np.stack([sine[k * 960:(k + 1) * 960]] * 2))
+        audio = dec.tick_packed(wire, sizes > 0, sizes)
+        assert audio.shape == (2, 960) and audio.dtype == np.int16
+        energy += float(np.abs(audio[:, :]).mean())
+    assert energy > 100.0  # decoded signal, not silence
+
+    # Rate-vs-engine contradiction and cross-rate restore both fail loudly.
+    from lyra_tpu.codec.engine import EncoderEngine
+
+    with pytest.raises(ValueError, match="contradicts"):
+        EncoderServer(2, engine=EncoderEngine(model_path=model_path),
+                      sample_rate_hz=48000)
+    enc.save(str(tmp_path / "enc48"))
+    enc16 = EncoderServer(2, model_path=model_path)
+    with pytest.raises(ValueError, match="48000 Hz fleet"):
+        enc16.restore(str(tmp_path / "enc48"))
+
+
+def test_mixed_rate_pool_matches_standalone(model_path):
+    """A pool of a 16 kHz wave and a 48 kHz wave serves both client
+    populations bit-identically to standalone per-rate servers, with
+    rate-routed admission and left-aligned PCM rows."""
+    from lyra_tpu.tools.stream_server import ServerPool
+
+    wc = 2
+    enc_pool = ServerPool([
+        EncoderServer(wc, model_path=model_path, bitrate=3200),
+        EncoderServer(wc, model_path=model_path, bitrate=3200,
+                      sample_rate_hz=48000)])
+    dec_pool = ServerPool([
+        DecoderServer(wc, model_path=model_path),
+        DecoderServer(wc, model_path=model_path, sample_rate_hz=48000)])
+    assert enc_pool.hop_samples == 960 and enc_pool.rates == (16000, 48000)
+
+    # Mixed-rate admission requires an explicit rate; unknown rates and
+    # full rate groups are loud.
+    with pytest.raises(ValueError, match="explicit sample_rate_hz"):
+        enc_pool.add_stream("x")
+    with pytest.raises(ValueError, match="no 32000 Hz wave"):
+        enc_pool.add_stream("x", sample_rate_hz=32000)
+
+    for pool in (enc_pool, dec_pool):
+        rows = pool.add_streams(["a", "b"], sample_rate_hz=16000)
+        rows.update({"c": pool.add_stream("c", sample_rate_hz=48000)})
+        assert rows == {"a": 0, "b": 1, "c": 2}
+    assert enc_pool.sample_rate_of("c") == 48000
+    assert enc_pool.hop_samples_of("a") == 320
+    with pytest.raises(RuntimeError, match="at capacity for 16000"):
+        enc_pool.add_stream("y", sample_rate_hz=16000)
+
+    # Standalone twins, admitted identically.
+    enc16 = EncoderServer(wc, model_path=model_path, bitrate=3200)
+    enc48 = EncoderServer(wc, model_path=model_path, bitrate=3200,
+                          sample_rate_hz=48000)
+    dec16 = DecoderServer(wc, model_path=model_path)
+    dec48 = DecoderServer(wc, model_path=model_path, sample_rate_hz=48000)
+    enc16.add_streams(["a", "b"])
+    dec16.add_streams(["a", "b"])
+    enc48.add_stream("c")
+    dec48.add_stream("c")
+
+    rng = np.random.RandomState(7)
+    for t in range(3):
+        pcm = np.zeros((2 * wc, 960), np.int16)
+        pcm[:wc, :320] = rng.randint(-8000, 8000, (wc, 320))
+        pcm[wc, :] = rng.randint(-8000, 8000, 960)
+        wire, sizes = enc_pool.tick_packed(pcm)
+        w16, s16 = enc16.tick_packed(pcm[:wc, :320])
+        w48, s48 = enc48.tick_packed(pcm[wc:, :])
+        np.testing.assert_array_equal(wire, np.concatenate([w16, w48]))
+        np.testing.assert_array_equal(sizes, np.concatenate([s16, s48]))
+
+        audio = dec_pool.tick_packed(wire, sizes > 0, sizes)
+        a16 = dec16.tick_packed(w16, s16 > 0, s16)
+        a48 = dec48.tick_packed(w48, s48 > 0, s48)
+        assert audio.shape == (2 * wc, 960)
+        np.testing.assert_array_equal(audio[:wc, :320], a16)
+        np.testing.assert_array_equal(audio[:wc, 320:], 0)  # row padding
+        np.testing.assert_array_equal(audio[wc:], a48)
+
+        # PCM width is a loud contract in a mixed pool.
+        with pytest.raises(ValueError, match="pool PCM"):
+            enc_pool.tick_packed(pcm[:, :320])
+
+    # The device-wire path rides the same per-wave column contract.
+    pcm = np.zeros((2 * wc, 960), np.int16)
+    pcm[:wc, :320] = rng.randint(-8000, 8000, (wc, 320))
+    pcm[wc, :] = rng.randint(-8000, 8000, 960)
+    wire, sizes = enc_pool.tick_wire(pcm)
+    w16, s16 = enc16.tick_wire(pcm[:wc, :320])
+    w48, s48 = enc48.tick_wire(pcm[wc:, :])
+    np.testing.assert_array_equal(wire, np.concatenate([w16, w48]))
+    audio = dec_pool.tick_wire(wire, sizes > 0, sizes)
+    np.testing.assert_array_equal(
+        audio[:wc, :320], dec16.tick_wire(w16, s16 > 0, s16))
+    np.testing.assert_array_equal(
+        audio[wc:], dec48.tick_wire(w48, s48 > 0, s48))
