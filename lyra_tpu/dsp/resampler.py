@@ -104,6 +104,23 @@ class Resampler:
         n_out = self.output_length(n_in)
         ext = jnp.concatenate([state, x.astype(jnp.float32)], axis=1)
         new_state = ext[:, -self._hist :]
+        if self.up == 1 or self.down == 1:
+            # Pure down/up ratios (every supported external rate vs 16 kHz)
+            # run as a strided conv: XLA keeps the polyphase windows
+            # implicit, where the general-ratio gather below materializes
+            # [B, n_out, K] in HBM — at serving batch sizes that gather
+            # made a 48 kHz fleet 3.3x slower than 16 kHz on TPU
+            # (benchmarks/rate_cost_probe.py; fixed by this path).
+            taps = jnp.asarray(self._taps)  # [up, K]
+            out = jax.lax.conv_general_dilated(
+                ext[:, None, :], taps[:, None, :],
+                window_strides=(self.down if self.up == 1 else 1,),
+                padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
+            if self.up == 1:
+                return out[:, 0, :n_out], new_state
+            m = n_out // self.up  # phase p of window m lands at m*up + p
+            y = jnp.swapaxes(out[:, :, :m], 1, 2).reshape(b, n_out)
+            return y, new_state
         k = self._taps.shape[1]
         n = np.arange(n_out)
         offs = (n * self.down) // self.up  # window start in ext coords
