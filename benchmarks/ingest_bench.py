@@ -1,0 +1,94 @@
+"""Ingest throughput: native UDP pump vs a per-datagram Python loop.
+
+A fleet of N streams produces N x 50 datagrams/s at the decoder's front
+door; this measures how fast each ingest path can file real loopback
+datagrams into the jitter buffer (header parse + insert), using the
+native sendmmsg blaster so the sender is not the bottleneck.  Both
+receivers run against kernel socket buffers sized the same; the box has
+ONE host core, so the native number is conservative (the sender thread
+timeshares with the receiver).
+
+Usage:  python benchmarks/ingest_bench.py [n_datagrams]
+"""
+
+import socket
+import sys
+import time
+
+from lyra_tpu.tools.jitter_buffer import JitterBuffer
+from lyra_tpu.tools.udp_ingest import HEADER_BYTES, UdpIngest, blast
+
+STREAMS = 8192
+DEPTH = 8
+PAYLOAD = 8  # 3.2 kbps packet
+
+
+def _drain_native(n):
+    jb = JitterBuffer(capacity=STREAMS, packet_size=23, depth=DEPTH)
+    with UdpIngest(jb) as pump:
+        for s in range(STREAMS):
+            pump.add_stream(s)
+        t0 = time.perf_counter()
+        sent = blast(pump.port, n, PAYLOAD, STREAMS)
+        # Progress-based stop: the kernel may shed under overload, so wait
+        # until the filed count stops advancing, then report what was
+        # actually processed over the active window.
+        last, t_last = -1, time.perf_counter()
+        while True:
+            got = pump.stats()["datagrams"]
+            now = time.perf_counter()
+            if got >= sent:
+                t_last = now
+                break
+            if got != last:
+                last, t_last = got, now
+            elif now - t_last > 0.5:
+                break
+            time.sleep(0.01)
+        got = pump.stats()["datagrams"]
+        return sent, got, t_last - t0
+
+
+def _drain_python(n):
+    """The asyncio-style baseline: one Python-level recv + parse + insert
+    per datagram (the examples/udp_call.py receive path)."""
+    jb = JitterBuffer(capacity=STREAMS, packet_size=23, depth=DEPTH)
+    for s in range(STREAMS):
+        jb.add_stream(s)
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 * 1024 * 1024)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(0.5)
+    port = rx.getsockname()[1]
+    t0 = time.perf_counter()
+    sent = blast(port, n, PAYLOAD, STREAMS)
+    got = 0
+    t_last = time.perf_counter()
+    try:
+        while got < sent:
+            dgram = rx.recvfrom(64)[0]
+            slot = int.from_bytes(dgram[:2], "big")
+            seq = int.from_bytes(dgram[2:HEADER_BYTES], "big")
+            jb.insert(slot, seq, dgram[HEADER_BYTES:])
+            got += 1
+            t_last = time.perf_counter()
+    except socket.timeout:
+        pass
+    rx.close()
+    return sent, got, t_last - t0
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    for name, fn in (("native pump", _drain_native),
+                     ("python loop", _drain_python)):
+        sent, got, dt = fn(n)
+        rate = got / dt if dt > 0 else 0.0
+        streams_rt = rate / 50.0  # 50 packets/s per real-time stream
+        print(f"{name}: {got}/{sent} datagrams in {dt:.3f} s = "
+              f"{rate / 1e3:.0f}k pkts/s (= {streams_rt:,.0f} real-time "
+              f"streams of ingest)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,11 @@ def main(argv=None) -> int:
                    help="Jitter-buffer depth in ticks.")
     p.add_argument("--realtime", action="store_true",
                    help="Pace ticks on the 20 ms wall-clock grid.")
+    p.add_argument("--ingest", choices=("python", "native"),
+                   default="python",
+                   help="Receive path: per-datagram Python drain, or the "
+                        "native UDP pump (C++ recvmmsg thread -> jitter "
+                        "buffer; 12x the ingest rate, PERF.md).")
     p.add_argument("--out_dir", default="/tmp/lyra_tpu_udp_call")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -76,17 +81,26 @@ def main(argv=None) -> int:
     dec = DecoderServer(cap, engine=DecoderEngine(rate))
     jb = JitterBuffer(cap, config.packet_size(184),
                       depth=args.playout_delay + 6)
+    pump = rx = None
+    if args.ingest == "native":
+        from lyra_tpu.tools.udp_ingest import UdpIngest
+
+        pump = UdpIngest(jb)  # owns the socket; all jb access goes via it
+        addr = ("127.0.0.1", pump.port)
     rates = (3200, 6000, 9200) if args.mixed else (args.bitrate,)
+    ingest = pump or jb
     for c in range(cap):
         enc.add_stream(c, bitrate=rates[c % len(rates)])
-        jb.add_stream(dec.add_stream(c), playout_delay=args.playout_delay)
+        ingest.add_stream(dec.add_stream(c),
+                          playout_delay=args.playout_delay)
 
-    # Real UDP loopback: the receiver socket is the "remote end".
-    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    rx.bind(("127.0.0.1", 0))
-    rx.setblocking(False)
+    if pump is None:
+        # Real UDP loopback: the receiver socket is the "remote end".
+        rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        rx.bind(("127.0.0.1", 0))
+        rx.setblocking(False)
+        addr = rx.getsockname()
     tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    addr = rx.getsockname()
 
     send_wall = {}  # (slot, seq) -> wall time of the UDP send
     latencies = []
@@ -127,18 +141,23 @@ def main(argv=None) -> int:
                 send_wall[(c, seq)] = time.perf_counter()
                 sent += 1
 
-        # Drain the receiver socket into the jitter buffer.
-        while True:
-            try:
-                dgram, _ = rx.recvfrom(2048)
-            except BlockingIOError:
-                break
-            slot = int.from_bytes(dgram[:2], "big")
-            seq = int.from_bytes(dgram[2:_HDR], "big")
-            jb.insert(slot, seq, dgram[_HDR:])
+        if pump is None:
+            # Drain the receiver socket into the jitter buffer.
+            while True:
+                try:
+                    dgram, _ = rx.recvfrom(2048)
+                except BlockingIOError:
+                    break
+                slot = int.from_bytes(dgram[:2], "big")
+                seq = int.from_bytes(dgram[2:_HDR], "big")
+                jb.insert(slot, seq, dgram[_HDR:])
+            pkts, received, sizes = jb.collect()
+        else:
+            # Native ingest: the pump's C++ thread has been filing
+            # datagrams since they hit the socket; collect one tick.
+            pkts, received, sizes = pump.collect()
 
         # Decode (async device pipeline over the device wire codec).
-        pkts, received, sizes = jb.collect()
         out = dec.tick_wire_async(pkts, received, sizes.astype(np.int32))
         if out is None:
             continue
@@ -165,6 +184,9 @@ def main(argv=None) -> int:
     budget_ticks = args.playout_delay + 2
     print(f"{ticks} ticks, {cap} callers over UDP loopback: "
           f"{sent} datagrams sent, {lost} dropped by the network")
+    if pump is not None:
+        print(f"native ingest: {pump.stats()}")
+        pump.close()
     print(f"jitter buffer: {jb.stats()}")
     if lat.size:
         print(f"wire-send→playout latency: mean {lat.mean():.1f} ms, "

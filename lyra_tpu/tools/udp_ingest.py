@@ -1,0 +1,125 @@
+"""Native UDP ingest: socket → jitter buffer with zero per-packet Python.
+
+ctypes facade over native/udp_pump.cc.  At fleet scale the transport side
+is millions of datagrams per second (streams x 50 packets/s) — far past a
+per-datagram Python loop — so the pump owns the socket in C++: a receiver
+thread batch-drains it with recvmmsg, parses the wire header (2 B stream
+slot + 4 B big-endian sequence, the examples/udp_call.py layout), and
+files payloads into the native JitterBuffer.  The serving loop calls
+`collect()` once per 20 ms tick and feeds the result straight to
+`DecoderServer.tick_wire`/`tick_packed`.
+
+While the pump is live, ALL jitter-buffer access must go through this
+wrapper (it shares the receiver thread's lock); touching the underlying
+JitterBuffer directly is a data race.  The reference has no transport
+layer (its decoder CLI reads a file and simulates loss,
+reference: lyra/cli_example/decoder_main_lib.cc:86-219); this is the
+deployment-scale equivalent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Tuple
+
+import numpy as np
+
+from lyra_tpu.tools.jitter_buffer import JitterBuffer
+from lyra_tpu.utils import native
+
+HEADER_BYTES = 6  # 2 B slot + 4 B seq, big-endian
+
+
+class UdpIngest:
+    def __init__(self, jb: JitterBuffer, port: int = 0):
+        """Binds 0.0.0.0:`port` (0 = ephemeral, read `self.port`) and
+        starts the native receiver thread over `jb`."""
+        lib = native.load()
+        if lib is None:
+            raise RuntimeError("native library unavailable; build native/")
+        self._lib = lib
+        self._jb = jb  # keepalive: the pump thread dereferences its handle
+        self._h = lib.lyra_pump_create(jb._h, port)
+        if not self._h:
+            raise RuntimeError(f"UDP pump failed to bind port {port}")
+        self.port = lib.lyra_pump_port(self._h)
+        self.capacity = jb.capacity
+        self.packet_size = jb.packet_size
+
+    def close(self) -> None:
+        """Stop the receiver thread and close the socket (idempotent).
+        The jitter buffer itself stays valid and single-thread-usable."""
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.lyra_pump_destroy(h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _check_open(self):
+        if not getattr(self, "_h", None):
+            raise RuntimeError("UDP pump is closed")
+
+    def add_stream(self, stream: int, start_seq: int = 0,
+                   playout_delay: int = 0) -> None:
+        self._check_open()
+        if self._lib.lyra_pump_add_stream(self._h, stream, start_seq,
+                                          playout_delay):
+            raise ValueError(f"bad stream slot {stream} / delay")
+
+    def remove_stream(self, stream: int) -> None:
+        self._check_open()
+        if self._lib.lyra_pump_remove_stream(self._h, stream):
+            raise ValueError(f"bad stream slot {stream}")
+
+    def collect(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One tick: → (packets [capacity, packet_size] u8,
+        received [capacity] bool, sizes [capacity] u8) — same contract as
+        JitterBuffer.collect, serialized against the receiver thread."""
+        self._check_open()
+        out = np.zeros((self.capacity, self.packet_size), np.uint8)
+        received = np.zeros(self.capacity, np.uint8)
+        sizes = np.zeros(self.capacity, np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        self._lib.lyra_pump_collect(
+            self._h, out.ctypes.data_as(u8p),
+            received.ctypes.data_as(u8p), sizes.ctypes.data_as(u8p))
+        return out, received.astype(bool), sizes
+
+    def stats(self) -> dict:
+        """Pump-level counters; the per-reason drop breakdown
+        (late/dup/overflow/inactive) lives in `jb_stats`."""
+        self._check_open()
+        datagrams = ctypes.c_int64()
+        short = ctypes.c_int64()
+        drops = ctypes.c_int64()
+        self._lib.lyra_pump_stats(self._h, ctypes.byref(datagrams),
+                                  ctypes.byref(short), ctypes.byref(drops))
+        return {"datagrams": datagrams.value, "short_drops": short.value,
+                "insert_drops": drops.value}
+
+    def jb_stats(self) -> dict:
+        """Jitter-buffer drop counters (reads stats only — safe while the
+        receiver runs; counts may lag in-flight inserts by a batch)."""
+        return self._jb.stats()
+
+
+def blast(port: int, n: int, payload_size: int, streams: int,
+          seq0: int = 0) -> int:
+    """Benchmark sender: `n` datagrams to 127.0.0.1:`port`, round-robin
+    over `streams` slots, batched with sendmmsg so ingest measurements
+    aren't limited by a Python sender.  Returns datagrams actually sent."""
+    lib = native.load()
+    if lib is None:
+        raise RuntimeError("native library unavailable; build native/")
+    sent = lib.lyra_pump_blast(port, n, payload_size, streams, seq0)
+    if sent < 0:
+        raise ValueError("bad blast args (payload too large or streams<=0)")
+    return sent

@@ -46,6 +46,22 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_jb_stats.restype = None
     lib.lyra_jb_stats2.argtypes = [vp, i64p, i64p, i64p, i64p]
     lib.lyra_jb_stats2.restype = None
+    lib.lyra_pump_create.argtypes = [vp, ctypes.c_int]
+    lib.lyra_pump_create.restype = vp
+    lib.lyra_pump_port.argtypes = [vp]
+    lib.lyra_pump_port.restype = ctypes.c_int
+    lib.lyra_pump_destroy.argtypes = [vp]
+    lib.lyra_pump_destroy.restype = None
+    lib.lyra_pump_add_stream.argtypes = [vp, i64, i64, i64]
+    lib.lyra_pump_add_stream.restype = ctypes.c_int
+    lib.lyra_pump_remove_stream.argtypes = [vp, i64]
+    lib.lyra_pump_remove_stream.restype = ctypes.c_int
+    lib.lyra_pump_collect.argtypes = [vp, u8p, u8p, u8p]
+    lib.lyra_pump_collect.restype = i64
+    lib.lyra_pump_stats.argtypes = [vp, i64p, i64p, i64p]
+    lib.lyra_pump_stats.restype = None
+    lib.lyra_pump_blast.argtypes = [ctypes.c_int, i64, i64, i64, i64]
+    lib.lyra_pump_blast.restype = i64
     return lib
 
 

@@ -1,0 +1,122 @@
+"""Native UDP ingest pump tests: real datagrams through the C++ receiver
+thread into the jitter buffer, equivalence vs direct inserts, and the
+counted-drop policy for malformed/transport events."""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from lyra_tpu.tools.jitter_buffer import JitterBuffer
+from lyra_tpu.tools.udp_ingest import HEADER_BYTES, UdpIngest, blast
+
+
+def _dgram(slot: int, seq: int, payload: bytes) -> bytes:
+    return slot.to_bytes(2, "big") + seq.to_bytes(4, "big") + payload
+
+
+def _wait_for(pump, n, timeout=5.0):
+    """Poll until the pump has filed n datagrams (receiver is async)."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pump.stats()["datagrams"] >= n:
+            return
+        time.sleep(0.005)
+    raise AssertionError(
+        f"pump saw {pump.stats()['datagrams']} datagrams, wanted {n}")
+
+
+def test_pump_matches_direct_inserts():
+    """The same packet sequence through real UDP datagrams and through
+    direct JitterBuffer.insert calls must drain identically (reorder,
+    duplicate, and loss semantics are the jitter buffer's own)."""
+    events = [  # (slot, seq, payload) — reorder on slot 1, dup on slot 0
+        (0, 0, b"\x01" * 8), (1, 1, b"\x12" * 8), (1, 0, b"\x11" * 8),
+        (0, 0, b"\x01" * 8), (2, 0, b"\x21" * 8),
+    ]
+    direct = JitterBuffer(capacity=4, packet_size=23, depth=8)
+    for s in range(3):
+        direct.add_stream(s)
+    for slot, seq, payload in events:
+        direct.insert(slot, seq, payload)
+
+    with UdpIngest(JitterBuffer(capacity=4, packet_size=23, depth=8)) as pump:
+        for s in range(3):
+            pump.add_stream(s)
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for slot, seq, payload in events:
+            tx.sendto(_dgram(slot, seq, payload), ("127.0.0.1", pump.port))
+        tx.close()
+        _wait_for(pump, len(events))
+
+        for _ in range(3):  # drain several ticks; both must agree exactly
+            pkts_p, recv_p, sizes_p = pump.collect()
+            pkts_d, recv_d, sizes_d = direct.collect()
+            np.testing.assert_array_equal(recv_p, recv_d)
+            np.testing.assert_array_equal(sizes_p, sizes_d)
+            np.testing.assert_array_equal(pkts_p, pkts_d)
+        assert pump.stats()["insert_drops"] == 1  # the duplicate
+        assert pump.jb_stats()["dup_drops"] == 1
+
+
+def test_pump_counts_malformed_and_inactive():
+    """Transport junk is a counted drop, never an exception: datagrams
+    shorter than the header, and packets for a never-admitted stream."""
+    with UdpIngest(JitterBuffer(capacity=2, packet_size=23, depth=8)) as pump:
+        pump.add_stream(0)
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        tx.sendto(b"\x00", ("127.0.0.1", pump.port))  # short: no header
+        tx.sendto(_dgram(1, 0, b"x" * 8), ("127.0.0.1", pump.port))  # inactive
+        tx.sendto(_dgram(0, 0, b"y" * 8), ("127.0.0.1", pump.port))  # good
+        tx.close()
+        _wait_for(pump, 2)  # the short datagram never counts as filed
+        deadline = time.time() + 5.0
+        while pump.stats()["short_drops"] < 1 and time.time() < deadline:
+            time.sleep(0.005)
+        st = pump.stats()
+        assert st == {"datagrams": 2, "short_drops": 1, "insert_drops": 1}
+        assert pump.jb_stats()["inactive_drops"] == 1
+        pkts, received, sizes = pump.collect()
+        assert received[0] and sizes[0] == 8 and pkts[0, 0] == ord("y")
+        assert not received[1]
+
+
+def test_pump_closed_is_loud_and_jb_survives():
+    jb = JitterBuffer(capacity=2, packet_size=23, depth=8)
+    pump = UdpIngest(jb)
+    pump.add_stream(0)
+    pump.close()
+    pump.close()  # idempotent
+    with pytest.raises(RuntimeError, match="closed"):
+        pump.collect()
+    # The underlying buffer is single-thread-usable again after close.
+    jb.insert(0, 0, b"z" * 8)
+    pkts, received, sizes = jb.collect()
+    assert received[0] and pkts[0, 0] == ord("z")
+
+
+def test_blast_feeds_the_pump():
+    """The native sendmmsg sender drives the pump at benchmark rates; every
+    stream slot receives its round-robin share."""
+    streams = 8
+    with UdpIngest(JitterBuffer(capacity=streams, packet_size=23,
+                                depth=32)) as pump:
+        for s in range(streams):
+            pump.add_stream(s)
+        n = streams * 32  # exactly fills each stream's ring, no overflow
+        sent = blast(pump.port, n, payload_size=8, streams=streams)
+        assert sent == n
+        # Loopback under load may still shed packets; demand most arrive
+        # and everything that arrived was filed.
+        deadline = time.time() + 10.0
+        while pump.stats()["datagrams"] < n and time.time() < deadline:
+            time.sleep(0.01)
+        st = pump.stats()
+        assert st["datagrams"] >= n * 0.9
+        assert st["short_drops"] == 0 and st["insert_drops"] == 0
+        pkts, received, sizes = pump.collect()
+        assert received.all() and (sizes == 8).all()
+
+        with pytest.raises(ValueError):
+            blast(pump.port, 1, payload_size=999, streams=streams)
