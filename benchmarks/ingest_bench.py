@@ -19,7 +19,10 @@ from lyra_tpu.tools.jitter_buffer import JitterBuffer
 from lyra_tpu.tools.udp_ingest import HEADER_BYTES, UdpIngest, blast
 
 STREAMS = 8192
-DEPTH = 8
+# Deep enough that the default 200k-datagram run (25 seqs/stream) never
+# overflows a ring: every insert must take the full payload-copy path, or
+# the measurement would mostly time the overflow early-exit.
+DEPTH = 32
 PAYLOAD = 8  # 3.2 kbps packet
 
 

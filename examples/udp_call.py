@@ -63,7 +63,7 @@ def main(argv=None) -> int:
                    default="python",
                    help="Receive path: per-datagram Python drain, or the "
                         "native UDP pump (C++ recvmmsg thread -> jitter "
-                        "buffer; 12x the ingest rate, PERF.md).")
+                        "buffer; 15x the ingest rate, PERF.md).")
     p.add_argument("--out_dir", default="/tmp/lyra_tpu_udp_call")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)

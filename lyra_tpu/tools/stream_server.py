@@ -974,14 +974,18 @@ def _concat_wave_outputs(outs):
     lower-rate wave of a mixed-rate pool carry their own hop in the
     leading columns and zero padding after (a 16 kHz row in a pool whose
     widest wave is 48 kHz is 320 samples + 640 zeros)."""
+    def pad_to(arrays, width):
+        # No-op for the common single-rate/single-size pool: np.pad always
+        # copies, and these are the fleet's PCM/wire buffers every 20 ms.
+        return [a if a.shape[1] == width
+                else np.pad(a, ((0, 0), (0, width - a.shape[1])))
+                for a in arrays]
+
     if isinstance(outs[0], tuple):
         wires, sizes = zip(*outs)
-        width = max(w.shape[1] for w in wires)
-        wires = [np.pad(w, ((0, 0), (0, width - w.shape[1]))) for w in wires]
+        wires = pad_to(wires, max(w.shape[1] for w in wires))
         return np.concatenate(wires), np.concatenate(sizes)
-    width = max(a.shape[1] for a in outs)
-    outs = [np.pad(a, ((0, 0), (0, width - a.shape[1]))) for a in outs]
-    return np.concatenate(outs)
+    return np.concatenate(pad_to(outs, max(a.shape[1] for a in outs)))
 
 
 class ServerPool:

@@ -37,6 +37,15 @@ class UdpIngest:
         lib = native.load()
         if lib is None:
             raise RuntimeError("native library unavailable; build native/")
+        max_payload = lib.lyra_pump_max_datagram() - HEADER_BYTES
+        if jb.packet_size > max_payload:
+            # The pump's receive buffers would let the kernel truncate
+            # larger datagrams (counted as malformed, never filed) — a
+            # buffer sized for packets that can't arrive intact is
+            # misconfiguration, so fail at construction.
+            raise ValueError(
+                f"jitter buffer packet_size {jb.packet_size} exceeds the "
+                f"pump's max payload {max_payload}")
         self._lib = lib
         self._jb = jb  # keepalive: the pump thread dereferences its handle
         self._h = lib.lyra_pump_create(jb._h, port)
@@ -95,20 +104,32 @@ class UdpIngest:
 
     def stats(self) -> dict:
         """Pump-level counters; the per-reason drop breakdown
-        (late/dup/overflow/inactive) lives in `jb_stats`."""
+        (late/dup/overflow/inactive) lives in `jb_stats`.  malformed_drops
+        counts datagrams shorter than the header or kernel-truncated past
+        the pump's receive buffer — dropped, never filed as garbage."""
         self._check_open()
         datagrams = ctypes.c_int64()
-        short = ctypes.c_int64()
+        malformed = ctypes.c_int64()
         drops = ctypes.c_int64()
         self._lib.lyra_pump_stats(self._h, ctypes.byref(datagrams),
-                                  ctypes.byref(short), ctypes.byref(drops))
-        return {"datagrams": datagrams.value, "short_drops": short.value,
+                                  ctypes.byref(malformed),
+                                  ctypes.byref(drops))
+        return {"datagrams": datagrams.value,
+                "malformed_drops": malformed.value,
                 "insert_drops": drops.value}
 
     def jb_stats(self) -> dict:
-        """Jitter-buffer drop counters (reads stats only — safe while the
-        receiver runs; counts may lag in-flight inserts by a batch)."""
-        return self._jb.stats()
+        """Jitter-buffer drop counters, read under the pump's lock (the
+        receiver thread increments them; the raw JitterBuffer.stats would
+        race while the pump is live)."""
+        self._check_open()
+        late, dup, over, inactive = (ctypes.c_int64() for _ in range(4))
+        self._lib.lyra_pump_jb_stats(
+            self._h, ctypes.byref(late), ctypes.byref(dup),
+            ctypes.byref(over), ctypes.byref(inactive))
+        return {"late_drops": late.value, "dup_drops": dup.value,
+                "overflow_drops": over.value,
+                "inactive_drops": inactive.value}
 
 
 def blast(port: int, n: int, payload_size: int, streams: int,

@@ -60,6 +60,10 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_pump_collect.restype = i64
     lib.lyra_pump_stats.argtypes = [vp, i64p, i64p, i64p]
     lib.lyra_pump_stats.restype = None
+    lib.lyra_pump_jb_stats.argtypes = [vp, i64p, i64p, i64p, i64p]
+    lib.lyra_pump_jb_stats.restype = None
+    lib.lyra_pump_max_datagram.argtypes = []
+    lib.lyra_pump_max_datagram.restype = ctypes.c_int
     lib.lyra_pump_blast.argtypes = [ctypes.c_int, i64, i64, i64, i64]
     lib.lyra_pump_blast.restype = i64
     return lib

@@ -43,6 +43,8 @@ int lyra_jb_insert(void* h, int64_t stream, int64_t seq,
                    const uint8_t* packet, int64_t size);
 int64_t lyra_jb_collect(void* h, uint8_t* out, uint8_t* received,
                         uint8_t* sizes);
+void lyra_jb_stats2(void* h, int64_t* late, int64_t* dup, int64_t* overflow,
+                    int64_t* inactive);
 }
 
 namespace {
@@ -59,11 +61,13 @@ struct UdpPump {
   std::thread receiver;
   std::atomic<bool> stop{false};
   // stats (mu-guarded)
-  int64_t datagrams = 0;      // well-formed datagrams filed into the buffer
-  int64_t short_drops = 0;    // datagrams shorter than the header
-  int64_t insert_drops = 0;   // filed but dropped by the jitter buffer
-                              // (late/dup/overflow/inactive — its counters
-                              // hold the breakdown)
+  int64_t datagrams = 0;       // well-formed datagrams filed into the buffer
+  int64_t malformed_drops = 0; // shorter than the header, or kernel-truncated
+                               // past kMaxDatagram (MSG_TRUNC) — filing a
+                               // truncated payload would decode as garbage
+  int64_t insert_drops = 0;    // filed but dropped by the jitter buffer
+                               // (late/dup/overflow/inactive — its counters
+                               // hold the breakdown)
 
   void Run() {
     std::vector<uint8_t> bufs(kBatch * kMaxDatagram);
@@ -84,8 +88,9 @@ struct UdpPump {
       for (int i = 0; i < n; ++i) {
         const uint8_t* d = bufs.data() + i * kMaxDatagram;
         const int len = static_cast<int>(msgs[i].msg_len);
-        if (len < kHeaderBytes) {
-          ++short_drops;
+        if (len < kHeaderBytes ||
+            (msgs[i].msg_hdr.msg_flags & MSG_TRUNC) != 0) {
+          ++malformed_drops;
           continue;
         }
         const int64_t slot = (int64_t{d[0]} << 8) | d[1];
@@ -133,6 +138,10 @@ void* lyra_pump_create(void* jb, int port) {
 
 int lyra_pump_port(void* h) { return static_cast<UdpPump*>(h)->port; }
 
+// Largest datagram the receive buffers hold (header + payload); callers
+// validate their packet_size against this at construction, loudly.
+int lyra_pump_max_datagram(void) { return kMaxDatagram; }
+
 void lyra_pump_destroy(void* h) {
   auto* p = static_cast<UdpPump*>(h);
   p->stop.store(true);
@@ -163,13 +172,23 @@ int64_t lyra_pump_collect(void* h, uint8_t* out, uint8_t* received,
   return lyra_jb_collect(p->jb, out, received, sizes);
 }
 
-void lyra_pump_stats(void* h, int64_t* datagrams, int64_t* short_drops,
+void lyra_pump_stats(void* h, int64_t* datagrams, int64_t* malformed_drops,
                      int64_t* insert_drops) {
   auto* p = static_cast<UdpPump*>(h);
   std::lock_guard<std::mutex> lock(p->mu);
   *datagrams = p->datagrams;
-  *short_drops = p->short_drops;
+  *malformed_drops = p->malformed_drops;
   *insert_drops = p->insert_drops;
+}
+
+// Locked jitter-buffer drop breakdown: the jb counters are plain int64s
+// the receiver thread increments, so reading them through the raw
+// lyra_jb_stats2 while the pump is live would be a data race.
+void lyra_pump_jb_stats(void* h, int64_t* late, int64_t* dup,
+                        int64_t* overflow, int64_t* inactive) {
+  auto* p = static_cast<UdpPump*>(h);
+  std::lock_guard<std::mutex> lock(p->mu);
+  lyra_jb_stats2(p->jb, late, dup, overflow, inactive);
 }
 
 // Benchmark sender: blasts `n` datagrams (header + payload_size zero

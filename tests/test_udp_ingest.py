@@ -62,24 +62,32 @@ def test_pump_matches_direct_inserts():
 
 def test_pump_counts_malformed_and_inactive():
     """Transport junk is a counted drop, never an exception: datagrams
-    shorter than the header, and packets for a never-admitted stream."""
+    shorter than the header, kernel-truncated oversized datagrams, and
+    packets for a never-admitted stream."""
     with UdpIngest(JitterBuffer(capacity=2, packet_size=23, depth=8)) as pump:
         pump.add_stream(0)
         tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         tx.sendto(b"\x00", ("127.0.0.1", pump.port))  # short: no header
+        tx.sendto(_dgram(0, 5, b"z" * 100), ("127.0.0.1", pump.port))  # trunc
         tx.sendto(_dgram(1, 0, b"x" * 8), ("127.0.0.1", pump.port))  # inactive
         tx.sendto(_dgram(0, 0, b"y" * 8), ("127.0.0.1", pump.port))  # good
         tx.close()
-        _wait_for(pump, 2)  # the short datagram never counts as filed
+        _wait_for(pump, 2)  # short/truncated never count as filed
         deadline = time.time() + 5.0
-        while pump.stats()["short_drops"] < 1 and time.time() < deadline:
+        while pump.stats()["malformed_drops"] < 2 and time.time() < deadline:
             time.sleep(0.005)
         st = pump.stats()
-        assert st == {"datagrams": 2, "short_drops": 1, "insert_drops": 1}
+        assert st == {"datagrams": 2, "malformed_drops": 2,
+                      "insert_drops": 1}
         assert pump.jb_stats()["inactive_drops"] == 1
         pkts, received, sizes = pump.collect()
         assert received[0] and sizes[0] == 8 and pkts[0, 0] == ord("y")
         assert not received[1]
+
+    # A buffer sized for packets the pump's receive buffers can't hold
+    # intact is misconfiguration: loud, at construction.
+    with pytest.raises(ValueError, match="max payload"):
+        UdpIngest(JitterBuffer(capacity=2, packet_size=64, depth=8))
 
 
 def test_pump_closed_is_loud_and_jb_survives():
@@ -114,7 +122,7 @@ def test_blast_feeds_the_pump():
             time.sleep(0.01)
         st = pump.stats()
         assert st["datagrams"] >= n * 0.9
-        assert st["short_drops"] == 0 and st["insert_drops"] == 0
+        assert st["malformed_drops"] == 0 and st["insert_drops"] == 0
         pkts, received, sizes = pump.collect()
         assert received.all() and (sizes == 8).all()
 
