@@ -164,3 +164,36 @@ def test_golden_vectors_pinned():
             for row in range(x.shape[0])])
         host_dev = np.abs(host - want).max()
         assert host_dev <= 0.05, f"{key} host path: max deviation {host_dev}"
+
+
+@pytest.mark.parametrize("rates", [(8000, 16000), (16000, 8000),
+                                   (16000, 32000), (32000, 16000),
+                                   (16000, 48000), (48000, 16000)])
+def test_conv_lowering_matches_gather_path(rates):
+    """Pure up/down ratios lower as a strided conv (the serving-speed path,
+    PERF.md round 3); the general-ratio gather formulation is the oracle —
+    same taps, same windows, different only in reduction order."""
+    import jax.numpy as jnp
+
+    r = Resampler(*rates)
+    assert r.up == 1 or r.down == 1  # all supported pairs are pure ratios
+    rng = np.random.RandomState(3)
+    n_in = (r.input_rate // 50) * 2  # two hops
+    x = jnp.asarray(rng.uniform(-20000, 20000, (3, n_in)), jnp.float32)
+    state = jnp.asarray(rng.uniform(-20000, 20000, (3, 2 * r.radius)),
+                        jnp.float32)
+    y_conv, st_conv = r.resample(state, x)
+
+    # Inline gather oracle (the pre-round-3 lowering, verbatim math).
+    n_out = r.output_length(n_in)
+    ext = np.concatenate([np.asarray(state), np.asarray(x)], axis=1)
+    n = np.arange(n_out)
+    offs = (n * r.down) // r.up
+    phase = (n * r.down) % r.up
+    taps = r._taps[phase]
+    idx = offs[:, None] + np.arange(r._taps.shape[1])[None, :]
+    y_ref = np.einsum("bnk,nk->bn", ext[:, idx], taps)
+
+    np.testing.assert_allclose(np.asarray(y_conv), y_ref,
+                               rtol=1e-5, atol=2e-2)  # int16-scale inputs
+    np.testing.assert_array_equal(np.asarray(st_conv), ext[:, -2 * r.radius:])

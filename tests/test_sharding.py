@@ -317,15 +317,16 @@ _COLLECTIVE_OPS = ("all-reduce", "all-gather", "collective-permute",
                    "all-to-all", "reduce-scatter", "collective-broadcast")
 
 
-def _compile_sharded_roundtrip(model_path, n_devices, per_device_batch):
+def _compile_sharded_roundtrip(model_path, n_devices, per_device_batch,
+                               sample_rate_hz=16000):
     """Compile the full encode+decode lockstep tick over an n-device mesh
     (stream-axis batch sharding, exactly what ShardedEngine runs) and return
     the compiled artifact."""
     from lyra_tpu import config
     from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
 
-    enc = EncoderEngine(16000, model_path, max_bitrate=3200)
-    dec = DecoderEngine(16000, model_path, max_bitrate=3200)
+    enc = EncoderEngine(sample_rate_hz, model_path, max_bitrate=3200)
+    dec = DecoderEngine(sample_rate_hz, model_path, max_bitrate=3200)
     mesh = make_mesh(jax.devices()[:n_devices])
     b = per_device_batch * n_devices
 
@@ -373,6 +374,15 @@ def test_sharded_roundtrip_hlo_has_no_tensor_collectives(model_path):
     hlo = compiled.as_text()
     assert "fusion" in hlo or "convolution" in hlo  # sanity: real module
     _assert_no_tensor_collectives(hlo, "(n=8)")
+
+
+def test_sharded_48k_roundtrip_has_no_tensor_collectives(model_path):
+    """External-rate engines resample inside the step as a strided conv
+    over [B, 1, W] (dsp/resampler.py); the batch dim must stay row-sharded
+    with zero tensor collectives, like every other stage."""
+    compiled = _compile_sharded_roundtrip(model_path, 8, 2,
+                                          sample_rate_hz=48000)
+    _assert_no_tensor_collectives(compiled.as_text(), "(48 kHz, n=8)")
 
 
 def test_weak_scaling_constant_per_device_cost(model_path):
