@@ -13,8 +13,11 @@ jit via lax.scan — the scan carry (encoder+decoder state) enforces the true
 frame-to-frame dependency, and per-frame latency = scan wall time / N.  A
 running output checksum rides in the carry so no frame is dead code.
 
-Usage (on the TPU):  python benchmarks/single_stream_latency.py [B] [N]
-defaults: B=1 stream, N=250 chained frames (5 s of audio).
+Usage (on the TPU):  python benchmarks/single_stream_latency.py [B] [N] [backend]
+defaults: B=1 stream, N=250 chained frames (5 s of audio), backend=xla
+(backend=fused probes the pallas conv-stack megakernel — it loses 20x at
+serving batch sizes, PERF.md round 2, but at B=1 the working set fits
+VMEM, so latency is its one plausible niche).
 """
 
 import sys
@@ -26,6 +29,7 @@ import numpy as np
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+    backend = sys.argv[3] if len(sys.argv) > 3 else "xla"
     iters = 10
 
     import jax
@@ -45,8 +49,8 @@ def main():
     received = jnp.ones((B,), bool)
     nq = jnp.full((B,), 120 // config.BITS_PER_QUANTIZER, jnp.int32)
 
-    enc = EncoderEngine(16000, mode="bf16")
-    dec = DecoderEngine(16000, mode="bf16")
+    enc = EncoderEngine(16000, mode="bf16", backend=backend)
+    dec = DecoderEngine(16000, mode="bf16", backend=backend)
 
     def frame_step(carry, audio):
         es, ds, acc = carry
@@ -74,7 +78,7 @@ def main():
         best = dt if best is None else min(best, dt)
 
     rt = 0.02 / best
-    print(f"B={B}: {best * 1e6:8.1f} us/frame sequential "
+    print(f"B={B} ({backend}): {best * 1e6:8.1f} us/frame sequential "
           f"({rt:,.0f}x realtime per stream; reference Pixel 6 Pro "
           f"525 us/frame = 38x, README.md:161-166)", flush=True)
 
