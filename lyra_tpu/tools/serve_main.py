@@ -1,0 +1,181 @@
+"""Runnable UDP decode server: lyra packets in, int16 PCM out.
+
+The reference ships per-file CLIs (encoder_main/decoder_main) and leaves
+live serving to the app layer; this is the TPU deployment counterpart as
+one command — the full receive stack assembled and ticking:
+
+  UDP datagrams (2 B slot + 4 B seq header + lyra packet)
+    → native ingest pump (C++ recvmmsg thread, --ingest=native)
+    → native JitterBuffer (reorder/dedup/playout delay)
+    → DecoderServer.tick_wire_async (device unpack + decode, PLC/CNG)
+    → int16 PCM hops, echoed as UDP datagrams to --echo host:port
+      (same 6-byte header), or discarded with --echo none (stats only).
+
+Every slot 0..capacity-1 is admitted at startup (the wire header's slot
+field IS the stream identity, as in examples/udp_call.py); packets for
+slots beyond capacity are counted drops.  One status line prints per
+--report_every seconds: datagram/drop counters and tick-time
+percentiles against the 20 ms real-time budget.
+
+Run (CPU works: LYRA_TPU_PLATFORM=cpu):
+
+    python -m lyra_tpu.tools.serve_main --port 5620 --capacity 1024 \
+        --seconds 30 --echo 127.0.0.1:5621
+"""
+
+from __future__ import annotations
+
+import argparse
+import socket
+import time
+from typing import Optional
+
+import numpy as np
+
+from lyra_tpu import config
+from lyra_tpu.tools.jitter_buffer import JitterBuffer
+from lyra_tpu.tools.stream_server import DecoderServer
+
+_HDR = 6  # 2 B slot + 4 B seq, big-endian (examples/udp_call.py layout)
+
+
+def _parse_echo(spec: str):
+    if spec == "none":
+        return None
+    host, _, port = spec.rpartition(":")
+    if not host:
+        raise argparse.ArgumentTypeError(
+            f"--echo must be host:port or 'none', got {spec!r}")
+    return host, int(port)
+
+
+def main(argv=None, _on_ready=None, _stop=None) -> int:
+    """_on_ready(port) and _stop (a threading.Event ending the serve loop)
+    exist so tests can drive an in-process server; the CLI never sets
+    them."""
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--port", type=int, default=0,
+                   help="UDP port to serve (0 = ephemeral).")
+    p.add_argument("--capacity", type=int, default=1024,
+                   help="Stream slots (fixed batch; admission is free).")
+    p.add_argument("--seconds", type=float, default=10.0,
+                   help="How long to serve; 0 = until interrupted.")
+    p.add_argument("--model_path", default=config.DEFAULT_MODEL_PATH)
+    p.add_argument("--max_bitrate", type=int, default=9200,
+                   help="Engine stage cap; packets above it are counted "
+                        "drops (3200 compiles the smallest program).")
+    p.add_argument("--playout_delay", type=int, default=2,
+                   help="Jitter-buffer delay in 20 ms ticks.")
+    p.add_argument("--ingest", choices=("native", "python"),
+                   default="native",
+                   help="native: C++ recvmmsg pump (15x the ingest rate); "
+                        "python: per-datagram drain (no native lib needed).")
+    p.add_argument("--echo", type=_parse_echo, default=None,
+                   metavar="HOST:PORT|none",
+                   help="Where decoded PCM hops go (same 6 B header + "
+                        "int16 samples).  Default: none (stats only).")
+    p.add_argument("--report_every", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    from lyra_tpu.codec.engine import DecoderEngine
+
+    dec = DecoderServer(args.capacity, engine=DecoderEngine(
+        model_path=args.model_path, emit_dtype="int16",
+        max_bitrate=args.max_bitrate))
+    jb = JitterBuffer(args.capacity, config.packet_size(184),
+                      depth=args.playout_delay + 6)
+    pump = rx = None
+    if args.ingest == "native":
+        from lyra_tpu.tools.udp_ingest import UdpIngest
+
+        pump = UdpIngest(jb, args.port)
+        port = pump.port
+    else:
+        rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 * 1024 * 1024)
+        rx.bind(("0.0.0.0", args.port))
+        rx.setblocking(False)
+        port = rx.getsockname()[1]
+    ingest = pump or jb
+    for slot in dec.add_streams(range(args.capacity)).values():
+        ingest.add_stream(slot, playout_delay=args.playout_delay)
+
+    tx = None
+    if args.echo is not None:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    print(f"serving {args.capacity} streams on UDP :{port} "
+          f"(ingest={args.ingest}, echo={args.echo or 'none'})", flush=True)
+    if _on_ready is not None:  # test hook: report the bound port
+        _on_ready(port)
+
+    tick_ms = []
+    ticks = 0
+    t_end = (time.perf_counter() + args.seconds) if args.seconds else None
+    next_tick = time.perf_counter()
+    next_report = next_tick + args.report_every
+    try:
+        while ((t_end is None or time.perf_counter() < t_end)
+               and not (_stop is not None and _stop.is_set())):
+            while time.perf_counter() < next_tick:
+                time.sleep(0.001)
+            next_tick = max(next_tick, time.perf_counter()) + 0.02
+            t0 = time.perf_counter()
+
+            if pump is None:
+                while True:
+                    try:
+                        dgram, _ = rx.recvfrom(2048)
+                    except BlockingIOError:
+                        break
+                    slot = int.from_bytes(dgram[:2], "big")
+                    seq = int.from_bytes(dgram[2:_HDR], "big")
+                    jb.insert(slot, seq, dgram[_HDR:])
+                pkts, received, sizes = jb.collect()
+            else:
+                pkts, received, sizes = pump.collect()
+
+            out = dec.tick_wire_async(pkts, received, sizes.astype(np.int32))
+            tick_ms.append((time.perf_counter() - t0) * 1e3)
+            if out is None:
+                continue  # pipeline priming
+            if tx is not None:
+                seq = ticks
+                for slot in range(args.capacity):
+                    tx.sendto(slot.to_bytes(2, "big")
+                              + seq.to_bytes(4, "big")
+                              + out[slot].tobytes(), args.echo)
+            ticks += 1
+
+            if time.perf_counter() >= next_report:
+                next_report += args.report_every
+                lat = np.array(tick_ms[-256:])
+                ingest_stats = (pump.stats() if pump is not None
+                                else {"datagrams": "n/a"})
+                drops = (pump.jb_stats() if pump is not None
+                         else jb.stats())
+                print(f"ticks={ticks} tick_ms p50={np.median(lat):.1f} "
+                      f"p95={np.percentile(lat, 95):.1f} "
+                      f"(budget 20.0) ingest={ingest_stats} "
+                      f"jb={drops} bad_packets={int(dec.bad_packets.sum())}",
+                      flush=True)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        dec.flush_async()
+        if pump is not None:
+            pump.close()
+        if rx is not None:
+            rx.close()
+        if tx is not None:
+            tx.close()
+    lat = np.array(tick_ms) if tick_ms else np.zeros(1)
+    print(f"served {ticks} ticks; tick_ms p50={np.median(lat):.1f} "
+          f"p95={np.percentile(lat, 95):.1f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

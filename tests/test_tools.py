@@ -250,3 +250,62 @@ def test_udp_call_example(tmp_path, monkeypatch, model_path, testdata_path,
                           "--loss", "0.0", "--mixed",
                           "--out_dir", str(tmp_path / "udpm")]) == 0
     assert (tmp_path / "udpm" / "caller2.wav").exists()
+
+
+def test_serve_main_end_to_end(model_path):
+    """The serve CLI stood up in-process: real lyra packets over UDP in,
+    decoded PCM hops echoed over UDP out (native ingest path)."""
+    import socket
+    import threading
+    import time
+
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    echo_rx.bind(("127.0.0.1", 0))
+    echo_rx.settimeout(0.05)
+    echo_port = echo_rx.getsockname()[1]
+
+    port_box = {}
+    ready = threading.Event()
+    stop = threading.Event()
+
+    def on_ready(port):
+        port_box["port"] = port
+        ready.set()
+
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--capacity", "4", "--seconds", "0", "--max_bitrate", "3200",
+              "--model_path", model_path, "--playout_delay", "1",
+              "--echo", f"127.0.0.1:{echo_port}", "--report_every", "30"],
+        _on_ready=on_ready, _stop=stop))
+    th.start()
+    try:
+        assert ready.wait(60), "server never bound its port"
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        wire = pkt.pack_indices_batch(np.zeros((4, 16), np.int32), 64)
+
+        got = None
+        deadline = time.time() + 180  # first tick compiles the program
+        seq = 0
+        while got is None and time.time() < deadline:
+            for slot in range(4):
+                tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                          + wire[slot].tobytes(),
+                          ("127.0.0.1", port_box["port"]))
+            seq += 1
+            try:
+                got = echo_rx.recvfrom(4096)[0]
+            except socket.timeout:
+                pass
+        tx.close()
+        assert got is not None, "no decoded PCM echoed within the deadline"
+        assert len(got) == 6 + 320 * 2  # header + one int16 hop @16 kHz
+        hop = np.frombuffer(got[6:], np.int16)
+        assert hop.shape == (320,)
+    finally:
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive(), "serve loop failed to stop"
+        echo_rx.close()
