@@ -49,6 +49,109 @@ def _parse_echo(spec: str):
     return host, int(port)
 
 
+def _serve_encode(args, _on_ready, _stop) -> int:
+    """The reverse relay: UDP PCM hops in, lyra packets out.
+
+    Datagrams are 6 B header + one 20 ms hop of int16 samples (640 B at
+    16 kHz).  A slot with no fresh PCM for a tick encodes silence and
+    counts a pcm_gap — over a real transport, missing mic audio is a loss
+    event, unlike the in-process dict tick which refuses it
+    (stream_server.py EncoderServer.tick).  Receive is the per-datagram
+    Python drain: the native pump's receive buffers are sized for codec
+    packets (64 B), not PCM — its batching matters at packet scale, while
+    PCM datagrams are 10x fewer bytes on the wire side than the host link
+    already moves per tick."""
+    from lyra_tpu.codec.engine import EncoderEngine
+    from lyra_tpu.tools.stream_server import EncoderServer
+
+    enc = EncoderServer(
+        args.capacity,
+        engine=EncoderEngine(model_path=args.model_path,
+                             max_bitrate=args.max_bitrate),
+        bitrate=args.bitrate)
+    enc.add_streams(range(args.capacity))
+    hop_bytes = enc.hop_samples * 2
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 * 1024 * 1024)
+    rx.bind(("0.0.0.0", args.port))
+    rx.setblocking(False)
+    port = rx.getsockname()[1]
+    tx = (socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+          if args.echo is not None else None)
+
+    print(f"encoding {args.capacity} streams on UDP :{port} "
+          f"(bitrate={args.bitrate}, echo={args.echo or 'none'})",
+          flush=True)
+    if _on_ready is not None:
+        _on_ready(port)
+
+    audio = np.zeros((args.capacity, enc.hop_samples), np.int16)
+    fresh = np.zeros(args.capacity, bool)
+    datagrams = malformed = pcm_gaps = 0
+    tick_ms = []
+    ticks = 0
+    t_end = (time.perf_counter() + args.seconds) if args.seconds else None
+    next_tick = time.perf_counter()
+    next_report = next_tick + args.report_every
+    try:
+        while ((t_end is None or time.perf_counter() < t_end)
+               and not (_stop is not None and _stop.is_set())):
+            while time.perf_counter() < next_tick:
+                time.sleep(0.001)
+            next_tick = max(next_tick, time.perf_counter()) + 0.02
+            t0 = time.perf_counter()
+
+            while True:
+                try:
+                    dgram, _ = rx.recvfrom(4096)
+                except BlockingIOError:
+                    break
+                slot = int.from_bytes(dgram[:2], "big")
+                if len(dgram) != _HDR + hop_bytes or slot >= args.capacity:
+                    malformed += 1  # counted transport event, never fatal
+                    continue
+                audio[slot] = np.frombuffer(dgram[_HDR:], np.int16)
+                fresh[slot] = True
+                datagrams += 1
+
+            audio[~fresh] = 0  # lost mic hops encode as silence
+            pcm_gaps += int(args.capacity - fresh.sum())
+            fresh[:] = False
+            out = enc.tick_wire_async(audio)
+            tick_ms.append((time.perf_counter() - t0) * 1e3)
+            if out is None:
+                continue  # pipeline priming
+            wire, sizes = out
+            if tx is not None:
+                seq = ticks
+                for slot in np.flatnonzero(sizes):
+                    tx.sendto(slot.item().to_bytes(2, "big")
+                              + seq.to_bytes(4, "big")
+                              + wire[slot, : sizes[slot]].tobytes(),
+                              args.echo)
+            ticks += 1
+
+            if time.perf_counter() >= next_report:
+                next_report += args.report_every
+                lat = np.array(tick_ms[-256:])
+                print(f"ticks={ticks} tick_ms p50={np.median(lat):.1f} "
+                      f"p95={np.percentile(lat, 95):.1f} (budget 20.0) "
+                      f"datagrams={datagrams} malformed={malformed} "
+                      f"pcm_gaps={pcm_gaps}", flush=True)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        enc.flush_wire_async()
+        rx.close()
+        if tx is not None:
+            tx.close()
+    lat = np.array(tick_ms) if tick_ms else np.zeros(1)
+    print(f"encoded {ticks} ticks; tick_ms p50={np.median(lat):.1f} "
+          f"p95={np.percentile(lat, 95):.1f}", flush=True)
+    return 0
+
+
 def main(argv=None, _on_ready=None, _stop=None) -> int:
     """_on_ready(port) and _stop (a threading.Event ending the serve loop)
     exist so tests can drive an in-process server; the CLI never sets
@@ -77,7 +180,16 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                    help="Where decoded PCM hops go (same 6 B header + "
                         "int16 samples).  Default: none (stats only).")
     p.add_argument("--report_every", type=float, default=1.0)
+    p.add_argument("--mode", choices=("decode", "encode"), default="decode",
+                   help="decode: lyra packets in, PCM out.  encode: the "
+                        "reverse relay — PCM hops in (6 B header + int16 "
+                        "samples), lyra packets out to --echo.")
+    p.add_argument("--bitrate", type=int, default=3200,
+                   help="encode mode: wire bitrate for every stream.")
     args = p.parse_args(argv)
+
+    if args.mode == "encode":
+        return _serve_encode(args, _on_ready, _stop)
 
     from lyra_tpu.codec.engine import DecoderEngine
 

@@ -309,3 +309,60 @@ def test_serve_main_end_to_end(model_path):
         th.join(timeout=120)
         assert not th.is_alive(), "serve loop failed to stop"
         echo_rx.close()
+
+
+def test_serve_main_encode_relay(model_path):
+    """The encode relay in-process: PCM hops over UDP in, lyra packets out
+    at the configured bitrate; a slot with no fresh PCM is a counted gap,
+    not an error."""
+    import socket
+    import threading
+    import time
+
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    echo_rx.bind(("127.0.0.1", 0))
+    echo_rx.settimeout(0.05)
+    echo_port = echo_rx.getsockname()[1]
+
+    port_box = {}
+    ready = threading.Event()
+    stop = threading.Event()
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--mode", "encode", "--capacity", "2", "--seconds", "0",
+              "--bitrate", "3200", "--max_bitrate", "3200",
+              "--model_path", model_path, "--report_every", "30",
+              "--echo", f"127.0.0.1:{echo_port}"],
+        _on_ready=lambda port: (port_box.update(port=port), ready.set()),
+        _stop=stop))
+    th.start()
+    try:
+        assert ready.wait(60), "encode server never bound its port"
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        t = np.arange(320) / 16000.0
+        hop = (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+
+        got = None
+        deadline = time.time() + 180  # first tick compiles the program
+        seq = 0
+        while got is None and time.time() < deadline:
+            tx.sendto((0).to_bytes(2, "big") + seq.to_bytes(4, "big")
+                      + hop.tobytes(), ("127.0.0.1", port_box["port"]))
+            # slot 1 gets nothing: silence + pcm_gap, never an exception
+            seq += 1
+            try:
+                got = echo_rx.recvfrom(4096)[0]
+            except socket.timeout:
+                pass
+        tx.close()
+        assert got is not None, "no packet relayed within the deadline"
+        assert len(got) == 6 + config.packet_size(64)  # 3.2 kbps packet
+        indices = pkt.unpack_indices(got[6:])  # well-formed on the wire
+        assert indices.shape == (16,)
+    finally:
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive(), "encode loop failed to stop"
+        echo_rx.close()
