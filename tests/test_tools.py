@@ -366,3 +366,74 @@ def test_serve_main_encode_relay(model_path):
         th.join(timeout=120)
         assert not th.is_alive(), "encode loop failed to stop"
         echo_rx.close()
+
+
+def test_serve_main_duplex_chain(model_path):
+    """The two serve modes chained over real UDP — the full transcode
+    path as two independent servers: PCM hops -> encode relay -> lyra
+    packets -> decode server -> PCM hops.  The encode relay's output
+    datagrams are exactly the decode server's input format, so --echo
+    simply points one at the other."""
+    import socket
+    import threading
+    import time
+
+    from lyra_tpu.tools import serve_main
+
+    sink = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sink.bind(("127.0.0.1", 0))
+    sink.settimeout(0.05)
+    sink_port = sink.getsockname()[1]
+
+    stop = threading.Event()
+    threads, boxes = [], []
+
+    def start(argv):
+        box, ready = {}, threading.Event()
+        th = threading.Thread(target=serve_main.main, kwargs=dict(
+            argv=argv,
+            _on_ready=lambda port: (box.update(port=port), ready.set()),
+            _stop=stop))
+        th.start()
+        threads.append(th)
+        boxes.append(box)
+        assert ready.wait(60), "server never bound its port"
+        return box
+
+    try:
+        dec_box = start(["--capacity", "2", "--seconds", "0",
+                         "--max_bitrate", "3200", "--playout_delay", "1",
+                         "--model_path", model_path, "--report_every", "30",
+                         "--echo", f"127.0.0.1:{sink_port}"])
+        enc_box = start(["--mode", "encode", "--capacity", "2",
+                         "--seconds", "0", "--bitrate", "3200",
+                         "--max_bitrate", "3200", "--model_path", model_path,
+                         "--report_every", "30",
+                         "--echo", f"127.0.0.1:{dec_box['port']}"])
+
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        t = np.arange(320) / 16000.0
+        hop = (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+        got = None
+        deadline = time.time() + 240
+        seq = 0
+        while got is None and time.time() < deadline:
+            for slot in range(2):
+                tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                          + hop.tobytes(), ("127.0.0.1", enc_box["port"]))
+            seq += 1
+            try:
+                got = sink.recvfrom(4096)[0]
+            except socket.timeout:
+                pass
+        tx.close()
+        assert got is not None, "no PCM made it through the duplex chain"
+        assert len(got) == 6 + 320 * 2
+        out_hop = np.frombuffer(got[6:], np.int16)
+        assert out_hop.shape == (320,)
+    finally:
+        stop.set()
+        for th in threads:
+            th.join(timeout=120)
+            assert not th.is_alive(), "a serve loop failed to stop"
+        sink.close()
