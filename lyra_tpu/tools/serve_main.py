@@ -28,7 +28,6 @@ from __future__ import annotations
 import argparse
 import socket
 import time
-from typing import Optional
 
 import numpy as np
 

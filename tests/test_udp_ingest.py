@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from lyra_tpu.tools.jitter_buffer import JitterBuffer
-from lyra_tpu.tools.udp_ingest import HEADER_BYTES, UdpIngest, blast
+from lyra_tpu.tools.udp_ingest import UdpIngest, blast
 
 
 def _dgram(slot: int, seq: int, payload: bytes) -> bytes:
