@@ -953,3 +953,71 @@ def test_mixed_rate_pool_matches_standalone(model_path):
         audio[:wc, :320], dec16.tick_wire(w16, s16 > 0, s16))
     np.testing.assert_array_equal(
         audio[wc:], dec48.tick_wire(w48, s48 > 0, s48))
+
+
+def test_mixed_rate_pool_admission_randomized_mirror(model_path):
+    """200 random admission/removal ops against a mirror model: routing
+    respects rates, capacity errors are exact, bulk admission stays
+    all-or-nothing, and no two live streams ever share a global row."""
+    from lyra_tpu.tools.stream_server import ServerPool
+
+    pool = ServerPool([
+        EncoderServer(3, model_path=model_path),
+        EncoderServer(3, model_path=model_path, sample_rate_hz=48000),
+        EncoderServer(3, model_path=model_path)])
+    free = {16000: 6, 48000: 3}
+    mirror = {}  # sid -> rate
+    rows = {}    # sid -> global row
+    rng = np.random.RandomState(11)
+    next_id = 0
+
+    for _ in range(200):
+        op = rng.randint(3)
+        if op == 0:  # single admission
+            rate = int(rng.choice([16000, 48000]))
+            sid = f"s{next_id}"
+            next_id += 1
+            if free[rate] == 0:
+                with pytest.raises(RuntimeError, match="at capacity"):
+                    pool.add_stream(sid, sample_rate_hz=rate)
+            else:
+                rows[sid] = pool.add_stream(sid, sample_rate_hz=rate)
+                mirror[sid] = rate
+                free[rate] -= 1
+        elif op == 1:  # bulk admission (all-or-nothing)
+            rate = int(rng.choice([16000, 48000]))
+            k = int(rng.randint(1, 5))
+            ids = [f"s{next_id + i}" for i in range(k)]
+            next_id += k
+            if k > free[rate]:
+                with pytest.raises(RuntimeError, match="at capacity"):
+                    pool.add_streams(ids, sample_rate_hz=rate)
+                for sid in ids:  # all-or-nothing: none of them joined
+                    with pytest.raises(KeyError):
+                        pool.sample_rate_of(sid)
+            else:
+                got = pool.add_streams(ids, sample_rate_hz=rate)
+                rows.update(got)
+                for sid in ids:
+                    mirror[sid] = rate
+                free[rate] -= k
+        else:  # removal
+            if mirror and rng.rand() < 0.8:
+                sid = sorted(mirror)[rng.randint(len(mirror))]
+                pool.remove_stream(sid)
+                free[mirror.pop(sid)] += 1
+                rows.pop(sid)
+            else:
+                with pytest.raises(KeyError):
+                    pool.remove_stream("never-admitted")
+
+        # Invariants after every op.
+        assert pool.num_active == len(mirror)
+        live_rows = [rows[sid] for sid in mirror]
+        assert len(set(live_rows)) == len(live_rows)  # rows never collide
+        for sid, rate in mirror.items():
+            assert pool.sample_rate_of(sid) == rate
+
+    # No-rate admission on a mixed pool stays loud at every fill level.
+    with pytest.raises(ValueError, match="explicit sample_rate_hz"):
+        pool.add_stream("anon")
