@@ -151,6 +151,112 @@ def _serve_encode(args, _on_ready, _stop) -> int:
     return 0
 
 
+def _serve_bridge(args, _on_ready, _stop) -> int:
+    """Runnable UDP conference bridge: uplink lyra packets in, per-
+    participant downlink lyra packets out (tools/conference.py — decode,
+    per-room mix-minus-one, re-encode, PCM device-resident throughout).
+
+    Slots are partitioned into consecutive rooms of --room_size at
+    startup (slot // room_size is the room).  Downlink packets go to
+    --echo with the same 6 B header; a production deployment would route
+    each slot to its participant's transport address instead.  The tick
+    is synchronous (no async pipelining yet): three chained device
+    programs per 20 ms."""
+    from lyra_tpu.tools.conference import ConferenceBridge
+
+    bridge = ConferenceBridge(args.capacity, model_path=args.model_path,
+                              bitrate=args.bitrate)
+    bridge.add_participants(
+        {slot: slot // args.room_size for slot in range(args.capacity)})
+
+    jb = JitterBuffer(args.capacity, config.packet_size(184),
+                      depth=args.playout_delay + 6)
+    pump = rx = None
+    if args.ingest == "native":
+        from lyra_tpu.tools.udp_ingest import UdpIngest
+
+        pump = UdpIngest(jb, args.port)
+        port = pump.port
+    else:
+        rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 * 1024 * 1024)
+        rx.bind(("0.0.0.0", args.port))
+        rx.setblocking(False)
+        port = rx.getsockname()[1]
+    ingest = pump or jb
+    for slot in range(args.capacity):
+        ingest.add_stream(slot, playout_delay=args.playout_delay)
+    tx = (socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+          if args.echo is not None else None)
+
+    print(f"bridging {args.capacity} participants in rooms of "
+          f"{args.room_size} on UDP :{port} (ingest={args.ingest}, "
+          f"echo={args.echo or 'none'})", flush=True)
+    if _on_ready is not None:
+        _on_ready(port)
+
+    tick_ms = []
+    ticks = 0
+    t_end = (time.perf_counter() + args.seconds) if args.seconds else None
+    next_tick = time.perf_counter()
+    next_report = next_tick + args.report_every
+    try:
+        while ((t_end is None or time.perf_counter() < t_end)
+               and not (_stop is not None and _stop.is_set())):
+            while time.perf_counter() < next_tick:
+                time.sleep(0.001)
+            next_tick = max(next_tick, time.perf_counter()) + 0.02
+            t0 = time.perf_counter()
+
+            if pump is None:
+                while True:
+                    try:
+                        dgram, _ = rx.recvfrom(2048)
+                    except BlockingIOError:
+                        break
+                    slot = int.from_bytes(dgram[:2], "big")
+                    seq = int.from_bytes(dgram[2:_HDR], "big")
+                    jb.insert(slot, seq, dgram[_HDR:])
+                pkts, received, sizes = jb.collect()
+            else:
+                pkts, received, sizes = pump.collect()
+
+            wire, out_sizes = bridge.tick_wire(pkts, received,
+                                               sizes.astype(np.int32))
+            tick_ms.append((time.perf_counter() - t0) * 1e3)
+            if tx is not None:
+                seq = ticks
+                for slot in np.flatnonzero(out_sizes):
+                    tx.sendto(slot.item().to_bytes(2, "big")
+                              + seq.to_bytes(4, "big")
+                              + wire[slot, : out_sizes[slot]].tobytes(),
+                              args.echo)
+            ticks += 1
+
+            if time.perf_counter() >= next_report:
+                next_report += args.report_every
+                lat = np.array(tick_ms[-256:])
+                drops = pump.jb_stats() if pump is not None else jb.stats()
+                print(f"ticks={ticks} tick_ms p50={np.median(lat):.1f} "
+                      f"p95={np.percentile(lat, 95):.1f} (budget 20.0) "
+                      f"jb={drops} "
+                      f"bad_packets={int(bridge.bad_packets.sum())}",
+                      flush=True)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if pump is not None:
+            pump.close()
+        if rx is not None:
+            rx.close()
+        if tx is not None:
+            tx.close()
+    lat = np.array(tick_ms) if tick_ms else np.zeros(1)
+    print(f"bridged {ticks} ticks; tick_ms p50={np.median(lat):.1f} "
+          f"p95={np.percentile(lat, 95):.1f}", flush=True)
+    return 0
+
+
 def main(argv=None, _on_ready=None, _stop=None) -> int:
     """_on_ready(port) and _stop (a threading.Event ending the serve loop)
     exist so tests can drive an in-process server; the CLI never sets
@@ -179,16 +285,24 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                    help="Where decoded PCM hops go (same 6 B header + "
                         "int16 samples).  Default: none (stats only).")
     p.add_argument("--report_every", type=float, default=1.0)
-    p.add_argument("--mode", choices=("decode", "encode"), default="decode",
+    p.add_argument("--mode", choices=("decode", "encode", "bridge"),
+                   default="decode",
                    help="decode: lyra packets in, PCM out.  encode: the "
                         "reverse relay — PCM hops in (6 B header + int16 "
-                        "samples), lyra packets out to --echo.")
+                        "samples), lyra packets out to --echo.  bridge: "
+                        "conference MCU — uplink packets in, per-"
+                        "participant mixed downlink packets out to --echo.")
     p.add_argument("--bitrate", type=int, default=3200,
-                   help="encode mode: wire bitrate for every stream.")
+                   help="encode/bridge modes: downlink wire bitrate.")
+    p.add_argument("--room_size", type=int, default=4,
+                   help="bridge mode: participants per room (slots are "
+                        "partitioned consecutively).")
     args = p.parse_args(argv)
 
     if args.mode == "encode":
         return _serve_encode(args, _on_ready, _stop)
+    if args.mode == "bridge":
+        return _serve_bridge(args, _on_ready, _stop)
 
     from lyra_tpu.codec.engine import DecoderEngine
 

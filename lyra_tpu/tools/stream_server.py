@@ -64,7 +64,14 @@ def _pcm_in(audio) -> np.ndarray:
     transfer completes, and some backends zero-copy-alias aligned host
     arrays — a caller reusing its PCM ring buffer for the next hop must
     not corrupt an in-flight upload (the old unconditional f32 cast made
-    this copy implicitly)."""
+    this copy implicitly).
+
+    Device arrays pass through untouched: they are immutable (no aliasing
+    hazard) and already where the engine wants them — the conference
+    bridge's on-device mix must not round-trip through the host here."""
+    if not isinstance(audio, np.ndarray) and hasattr(audio,
+                                                     "copy_to_host_async"):
+        return audio
     a = np.asarray(audio)
     if a.dtype == np.int16:
         return np.array(a)

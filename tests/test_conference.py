@@ -1,0 +1,223 @@
+"""Conference bridge tests: device mixer exactness, bridge-vs-composed-
+servers bit-exactness, room semantics, admission, snapshots."""
+
+import numpy as np
+import pytest
+
+from lyra_tpu import config
+from lyra_tpu.codec.engine import INTERNAL_HOP
+from lyra_tpu.tools.conference import (
+    ConferenceBridge,
+    _mix_step,
+    mix_minus_one_np,
+)
+from lyra_tpu.tools.stream_server import DecoderServer, EncoderServer
+
+
+def test_device_mixer_matches_numpy_oracle_including_saturation():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    cap, hop = 16, 8
+    # Rows biased toward the rails so same-room sums saturate both ways.
+    pcm = rng.choice(
+        np.array([-32768, -30000, -5, 0, 7, 30000, 32767], np.int16),
+        size=(cap, hop)).astype(np.int16)
+    rooms = rng.randint(0, 4, cap).astype(np.int32)
+    contrib = rng.rand(cap) < 0.7
+    want = mix_minus_one_np(pcm, rooms, contrib, num_rooms=cap)
+    got = np.asarray(_mix_step(cap)(
+        jnp.asarray(pcm), jnp.asarray(~contrib), jnp.asarray(rooms),
+        jnp.ones(cap, bool)))
+    assert got.dtype == np.int16
+    assert np.array_equal(got, want)
+    # Saturation actually engaged (otherwise the fixture is too tame).
+    assert want.min() == -32768 or want.max() == 32767
+
+
+def test_excluded_rows_still_hear_their_room():
+    """A comfort-noise participant contributes nothing but still receives
+    the room mix (CN is receiver-side filler, not a mute)."""
+    pcm = np.array([[100, 200], [1000, 2000], [7, 7]], np.int16)
+    rooms = np.zeros(3, np.int32)
+    contrib = np.array([True, True, False])
+    mix = mix_minus_one_np(pcm, rooms, contrib, num_rooms=3)
+    assert np.array_equal(mix[2], [1100, 2200])  # hears rows 0+1
+    assert np.array_equal(mix[0], [1000, 2000])  # row 2 excluded
+    assert np.array_equal(mix[1], [100, 200])
+
+
+@pytest.fixture(scope="module")
+def speech(testdata_path):
+    from lyra_tpu.utils import wav
+
+    return wav.read_wav_int16(f"{testdata_path}/sample1_16kHz.wav").samples
+
+
+def test_bridge_matches_composed_servers_bit_exactly(model_path, speech):
+    """The fused device tick (unpack→decode→mix→encode→pack with PCM
+    device-resident throughout) must be bit-identical to composing the
+    public server ticks through host PCM with the numpy mixer — across
+    rooms, mixed uplink+downlink bitrates, loss-driven PLC→CN transitions,
+    and malformed uplink packets."""
+    cap = 4
+    bridge = ConferenceBridge(cap, model_path=model_path, seed=7)
+    assert bridge.add_participant("p0", "A") == 0
+    assert bridge.add_participant("p1", "A", bitrate=6000) == 1
+    assert bridge.add_participant("p2", "A") == 2
+    assert bridge.add_participant("p3", "B") == 3
+
+    dec = DecoderServer(cap, model_path=model_path, seed=7)
+    enc = EncoderServer(cap, model_path=model_path, bitrate=3200)
+    for sid in ("p0", "p1", "p2", "p3"):
+        dec.add_stream(sid)
+    enc.add_stream("p0")
+    enc.add_stream("p1", bitrate=6000)
+    enc.add_stream("p2")
+    enc.add_stream("p3")
+    rooms = np.array([0, 0, 0, 1], np.int32)
+    active = np.ones(cap, bool)
+
+    client = EncoderServer(cap, model_path=model_path)
+    client.add_streams(["p0", "p1", "p2", "p3"])
+    client.set_bitrate("p1", 9200)  # mixed uplink bitrates
+
+    cn_seen = False
+    for t in range(11):
+        audio = np.stack([speech[(t * INTERNAL_HOP + 160 * s):]
+                          [:INTERNAL_HOP] for s in range(cap)])
+        audio[2] = 0  # p2 is a silent participant
+        pkts, sizes = client.tick_wire(audio)
+        received = sizes > 0
+        if 2 <= t < 9:
+            received[2] = False  # long loss: PLC → fade → comfort noise
+        if t == 5:
+            sizes = sizes.copy()
+            sizes[3] = 7  # malformed size: must be a counted drop
+        bw, bs = bridge.tick_wire(pkts, received, sizes)
+
+        pcm = dec.tick_wire(pkts, received, sizes)
+        contrib = active & ~dec._last_comfort
+        mix = mix_minus_one_np(pcm, rooms, contrib, num_rooms=cap)
+        ow, osz = enc.tick_wire(mix)
+        assert np.array_equal(bs, osz), f"tick {t} sizes diverged"
+        assert np.array_equal(bw, ow), f"tick {t} wire bytes diverged"
+        assert bridge.is_comfort_noise("p2") == dec.is_comfort_noise("p2")
+        cn_seen = cn_seen or bridge.is_comfort_noise("p2")
+    # The long loss actually drove p2 into comfort noise mid-run (the
+    # exclusion branch of the mixer ran, then the CN→normal recovery at
+    # t=9), and the malformed packet was counted.
+    assert cn_seen
+    assert bridge.bad_packets[3] == 1
+    # Downlink sizes honour per-participant bitrates.
+    assert bs[0] == config.packet_size(64)
+    assert bs[1] == config.packet_size(120)
+
+
+def test_room_semantics_speaker_listener_isolation(model_path, speech):
+    """Room A: p0 speaks, p1 listens.  Room B: p2 (silence).  p1 must hear
+    speech-level energy; p0 (minus-one) and p2 (other room) must not."""
+    cap = 3
+    bridge = ConferenceBridge(cap, model_path=model_path)
+    bridge.add_participants({"p0": "A", "p1": "A", "p2": "B"})
+    client_enc = EncoderServer(cap, model_path=model_path)
+    client_enc.add_streams(["p0", "p1", "p2"])
+    client_dec = DecoderServer(cap, model_path=model_path)
+    client_dec.add_streams(["p0", "p1", "p2"])
+
+    outs = []
+    ticks = 14
+    voiced = 9600  # the first ~0.6 s of the sample is near-silence
+    for t in range(ticks):
+        audio = np.zeros((cap, INTERNAL_HOP), np.int16)
+        audio[0] = speech[voiced + t * INTERNAL_HOP:][:INTERNAL_HOP]
+        pkts, sizes = client_enc.tick_wire(audio)
+        bw, bs = bridge.tick_wire(pkts, sizes > 0, sizes)
+        outs.append(client_dec.tick_wire(bw, bs > 0, bs))
+    pcm = np.stack(outs[4:])  # [ticks-4, cap, hop]; skip codec warmup
+
+    def rms(x):
+        return float(np.sqrt(np.mean(x.astype(np.float64) ** 2)))
+
+    speech_rms = rms(pcm[:, 1])
+    assert speech_rms > 3 * rms(pcm[:, 0]), "speaker hears themselves"
+    assert speech_rms > 3 * rms(pcm[:, 2]), "speech leaked across rooms"
+    assert speech_rms > 500, "listener did not receive speech energy"
+
+
+def test_admission_rooms_and_atomicity(model_path):
+    cap = 3
+    bridge = ConferenceBridge(cap, model_path=model_path)
+    bridge.add_participant("a", "r1")
+    bridge.add_participant("b", "r1")
+    with pytest.raises(KeyError):
+        bridge.add_participant("a", "r2")
+    # Encoder-side failure must unwind the decoder admission too.
+    with pytest.raises(ValueError):
+        bridge.add_participant("c", "r2", bitrate=1234)
+    assert bridge.num_active == 2
+    slot = bridge.add_participant("c", "r2")  # same id admissible after
+    assert slot == 2
+    assert bridge.room_of("c") == "r2"
+    with pytest.raises(RuntimeError):
+        bridge.add_participant("d", "r1")
+
+    # Dense room ids recycle: churning rooms can never outgrow capacity.
+    for i in range(8):
+        bridge.remove_participant("c")
+        bridge.add_participant("c", f"room{i}")
+    assert bridge._next_rid <= cap
+    # Bulk-admission failure is atomic as well.
+    bridge.remove_participant("c")
+    with pytest.raises(ValueError):
+        bridge.add_participants({"x": "r9"}, bitrate=999)
+    assert bridge.num_active == 2 and "x" not in bridge._room_of
+
+
+def test_bridge_save_restore_continues_bit_exactly(model_path, speech,
+                                                   tmp_path):
+    cap = 2
+    path = str(tmp_path / "bridge")
+
+    def uplink(t, client):
+        audio = np.stack([speech[(t * INTERNAL_HOP + 160 * s):]
+                          [:INTERNAL_HOP] for s in range(cap)])
+        pkts, sizes = client.tick_wire(audio)
+        return pkts, sizes > 0, sizes
+
+    a = ConferenceBridge(cap, model_path=model_path, seed=3)
+    a.add_participant(0, "only")
+    a.add_participant(1, "only", bitrate=9200)
+    ca = EncoderServer(cap, model_path=model_path)
+    ca.add_streams([0, 1])
+    for t in range(3):
+        ref = a.tick_wire(*uplink(t, ca))
+    a.save(path)
+    ref = [a.tick_wire(*uplink(t, ca)) for t in range(3, 6)]
+
+    b = ConferenceBridge(cap, model_path=model_path, seed=99)
+    b.restore(path)
+    assert b.room_of(1) == "only"
+    cb = EncoderServer(cap, model_path=model_path)
+    cb.add_streams([0, 1])
+    for t in range(3):  # replay the client to the same point
+        cb.tick_wire(np.stack([speech[(t * INTERNAL_HOP + 160 * s):]
+                               [:INTERNAL_HOP] for s in range(cap)]))
+    got = [b.tick_wire(*uplink(t, cb)) for t in range(3, 6)]
+    for (gw, gs), (rw, rs) in zip(got, ref):
+        assert np.array_equal(gs, rs)
+        assert np.array_equal(gw, rw)
+
+    # Cross-snapshot validation: a rooms table missing an active stream
+    # refuses before mutating anything.
+    import json
+
+    with open(path + ".rooms.json") as f:
+        meta = json.load(f)
+    meta["room_of"] = [p for p in meta["room_of"] if p[0] != 1]
+    with open(path + ".rooms.json", "w") as f:
+        json.dump(meta, f)
+    c = ConferenceBridge(cap, model_path=model_path)
+    with pytest.raises(ValueError, match="missing streams"):
+        c.restore(path)
+    assert c.num_active == 0  # untouched

@@ -437,3 +437,63 @@ def test_serve_main_duplex_chain(model_path):
             th.join(timeout=120)
             assert not th.is_alive(), "a serve loop failed to stop"
         sink.close()
+
+
+def test_serve_main_bridge_mode(model_path):
+    """The conference bridge stood up in-process: uplink lyra packets over
+    UDP in, per-participant mixed downlink lyra packets echoed out (rooms
+    are consecutive --room_size groups; mix semantics are pinned in
+    tests/test_conference.py — this drives the runnable server shell)."""
+    import socket
+    import threading
+    import time
+
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    echo_rx.bind(("127.0.0.1", 0))
+    echo_rx.settimeout(0.05)
+    echo_port = echo_rx.getsockname()[1]
+
+    port_box = {}
+    ready = threading.Event()
+    stop = threading.Event()
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--mode", "bridge", "--capacity", "4", "--room_size", "2",
+              "--seconds", "0", "--bitrate", "3200", "--max_bitrate", "3200",
+              "--model_path", model_path, "--playout_delay", "1",
+              "--ingest", "python", "--report_every", "30",
+              "--echo", f"127.0.0.1:{echo_port}"],
+        _on_ready=lambda port: (port_box.update(port=port), ready.set()),
+        _stop=stop))
+    th.start()
+    try:
+        assert ready.wait(120), "bridge never bound its port"
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        wire = pkt.pack_indices_batch(np.zeros((4, 16), np.int32), 64)
+
+        got = {}
+        deadline = time.time() + 240  # first tick compiles three programs
+        seq = 0
+        while len(got) < 4 and time.time() < deadline:
+            for slot in range(4):
+                tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                          + wire[slot].tobytes(),
+                          ("127.0.0.1", port_box["port"]))
+            seq += 1
+            try:
+                dgram = echo_rx.recvfrom(4096)[0]
+                got[int.from_bytes(dgram[:2], "big")] = dgram
+            except socket.timeout:
+                pass
+        tx.close()
+        assert len(got) == 4, f"downlink only reached slots {sorted(got)}"
+        for slot, dgram in got.items():
+            assert len(dgram) == 6 + config.packet_size(64)
+            assert pkt.unpack_indices(dgram[6:]).shape == (16,)
+    finally:
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive(), "bridge loop failed to stop"
+        echo_rx.close()
