@@ -124,6 +124,7 @@ class ConferenceBridge:
         self._free_rids: list = []
         self._next_rid = 0
         self._dev_cache = None  # (active, rooms) device arrays
+        self._pending_async = None  # in-flight tick_wire_async submit
 
     # -- admission ---------------------------------------------------------
 
@@ -229,12 +230,12 @@ class ConferenceBridge:
         inactive slots).  Uplink arguments are DecoderServer.tick_wire's
         (pass `sizes` for mixed-bitrate uplinks; malformed packets are
         counted drops, never exceptions out of the tick)."""
+        if self._pending_async is not None:
+            raise RuntimeError(
+                "bridge async pipeline in flight; flush_async() first")
         _no_inflight_tick(self._dec, "a bridge tick")
         _no_inflight_tick(self._enc, "a bridge tick")
-        pcm, is_cn = self._dec._wire_run(packets, received, sizes)
-        active, rooms = self._dev_tables()
-        mix = _mix_step(self.capacity)(pcm, is_cn, rooms, active)
-        wire, is_noise = self._enc._wire_submit(mix)
+        wire, is_noise, is_cn = self._submit(packets, received, sizes)
         out = self._enc._drain_wire(
             (wire, is_noise, self._enc._active_mask(),
              self._enc._bits.copy(), self._enc._gen.copy()))
@@ -243,6 +244,54 @@ class ConferenceBridge:
         self._dec._last_comfort = np.asarray(is_cn)
         return out
 
+    def _submit(self, packets, received, sizes):
+        """Dispatch the three chained device programs (decode, mix,
+        encode+pack); returns device arrays."""
+        pcm, is_cn = self._dec._wire_run(packets, received, sizes)
+        active, rooms = self._dev_tables()
+        mix = _mix_step(self.capacity)(pcm, is_cn, rooms, active)
+        wire, is_noise = self._enc._wire_submit(mix)
+        return wire, is_noise, is_cn
+
+    def tick_wire_async(self, packets: np.ndarray, received: np.ndarray,
+                        sizes: Optional[np.ndarray] = None):
+        """Pipelined tick_wire: submit this tick's uplink, return the
+        *previous* tick's downlink (None on the first call).  One tick
+        (20 ms) of added latency buys overlap of device compute, D2H
+        transfer, and host packet IO — the same contract as the servers'
+        `*_async` ticks.  A slot that changed hands between submit and
+        drain emits size 0 downlink and drops its stale CN flag; room and
+        bitrate changes apply from the next submitted tick."""
+        _no_inflight_tick(self._dec, "a bridge tick")
+        _no_inflight_tick(self._enc, "a bridge tick")
+        wire, is_noise, is_cn = self._submit(packets, received, sizes)
+        for dev_arr in (wire, is_noise, is_cn):
+            if hasattr(dev_arr, "copy_to_host_async"):
+                dev_arr.copy_to_host_async()
+        pending = self._pending_async
+        self._pending_async = (wire, is_noise, self._enc._active_mask(),
+                               self._enc._bits.copy(),
+                               self._enc._gen.copy(), is_cn,
+                               self._dec._gen.copy())
+        if pending is None:
+            return None
+        return self._drain(pending)
+
+    def _drain(self, pending):
+        wire, is_noise, active, bits, gen_e, is_cn, gen_d = pending
+        out = self._enc._drain_wire((wire, is_noise, active, bits, gen_e))
+        stale = gen_d != self._dec._gen  # see DecoderServer._drain
+        self._dec._last_comfort = np.asarray(is_cn) & ~stale
+        return out
+
+    def flush_async(self):
+        """Drain the last in-flight async tick (None if nothing is)."""
+        pending = self._pending_async
+        self._pending_async = None
+        if pending is None:
+            return None
+        return self._drain(pending)
+
     # -- snapshots ---------------------------------------------------------
 
     def save(self, path: str) -> None:
@@ -250,6 +299,9 @@ class ConferenceBridge:
         (`path` + .dec/.enc/.rooms.json).  Restore with
         ConferenceBridge.restore on a bridge of the same capacity; calls
         continue bit-exactly (see DecoderServer.save)."""
+        if self._pending_async is not None:
+            raise RuntimeError(
+                "bridge async pipeline in flight; flush_async() before save")
         self._dec.save(path + ".dec")
         self._enc.save(path + ".enc")
         with open(path + ".rooms.json", "w") as f:
@@ -262,6 +314,10 @@ class ConferenceBridge:
     def restore(self, path: str) -> None:
         """All-or-nothing: every cross-snapshot consistency check runs
         before either server is mutated."""
+        if self._pending_async is not None:
+            raise RuntimeError(
+                "bridge async pipeline in flight; flush_async() before "
+                "restore")
         with open(path + ".rooms.json") as f:
             room_of = {sid: room for sid, room in json.load(f)["room_of"]}
         _, dex = checkpoint.load_state(path + ".dec")

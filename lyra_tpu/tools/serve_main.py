@@ -159,9 +159,10 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     Slots are partitioned into consecutive rooms of --room_size at
     startup (slot // room_size is the room).  Downlink packets go to
     --echo with the same 6 B header; a production deployment would route
-    each slot to its participant's transport address instead.  The tick
-    is synchronous (no async pipelining yet): three chained device
-    programs per 20 ms."""
+    each slot to its participant's transport address instead.  The loop
+    uses the pipelined tick (one 20 ms tick of added latency; device
+    compute, D2H, and host packet IO overlap — see
+    ConferenceBridge.tick_wire_async)."""
     from lyra_tpu.tools.conference import ConferenceBridge
 
     bridge = ConferenceBridge(args.capacity, model_path=args.model_path,
@@ -221,9 +222,12 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
             else:
                 pkts, received, sizes = pump.collect()
 
-            wire, out_sizes = bridge.tick_wire(pkts, received,
-                                               sizes.astype(np.int32))
+            out = bridge.tick_wire_async(pkts, received,
+                                         sizes.astype(np.int32))
             tick_ms.append((time.perf_counter() - t0) * 1e3)
+            if out is None:
+                continue  # pipeline priming
+            wire, out_sizes = out
             if tx is not None:
                 seq = ticks
                 for slot in np.flatnonzero(out_sizes):
@@ -245,6 +249,7 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        bridge.flush_async()
         if pump is not None:
             pump.close()
         if rx is not None:

@@ -221,3 +221,43 @@ def test_bridge_save_restore_continues_bit_exactly(model_path, speech,
     with pytest.raises(ValueError, match="missing streams"):
         c.restore(path)
     assert c.num_active == 0  # untouched
+
+
+def test_bridge_async_pipeline_matches_sync(model_path, speech):
+    """tick_wire_async must equal tick_wire shifted by one tick, with
+    flush_async draining the last submit; sync/async interleave and
+    in-flight snapshots are refused."""
+    cap = 2
+
+    def make():
+        b = ConferenceBridge(cap, model_path=model_path, seed=5)
+        b.add_participant("x", "r")
+        b.add_participant("y", "r")
+        return b
+
+    client = EncoderServer(cap, model_path=model_path)
+    client.add_streams(["x", "y"])
+    uplinks = []
+    for t in range(5):
+        audio = np.stack([speech[(t * INTERNAL_HOP + 160 * s):]
+                          [:INTERNAL_HOP] for s in range(cap)])
+        pkts, sizes = client.tick_wire(audio)
+        uplinks.append((pkts, sizes > 0, sizes))
+
+    sync = make()
+    want = [sync.tick_wire(*u) for u in uplinks]
+
+    b = make()
+    assert b.tick_wire_async(*uplinks[0]) is None
+    with pytest.raises(RuntimeError, match="flush_async"):
+        b.tick_wire(*uplinks[1])
+    with pytest.raises(RuntimeError, match="flush_async"):
+        b.save("/tmp/never-written")
+    got = [b.tick_wire_async(*u) for u in uplinks[1:]]
+    got.append(b.flush_async())
+    assert b.flush_async() is None  # idempotent when drained
+    for t, ((gw, gs), (ww, ws)) in enumerate(zip(got, want)):
+        assert np.array_equal(gs, ws), f"tick {t} sizes diverged"
+        assert np.array_equal(gw, ww), f"tick {t} wire bytes diverged"
+    # After the flush the pipeline is clear: sync ticks work again.
+    b.tick_wire(*uplinks[0])
