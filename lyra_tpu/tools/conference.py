@@ -44,7 +44,24 @@ from lyra_tpu.tools.stream_server import (
 )
 from lyra_tpu.utils import checkpoint
 
-_MIX_CACHE: Dict[int, object] = {}
+_MIX_CACHE: Dict[object, object] = {}
+
+
+def _mix_body(capacity: int):
+    import jax
+    import jax.numpy as jnp
+
+    def body(pcm, exclude, rooms, active):
+        # pcm rows are integral int16-scale (engine.py clip_to_int16),
+        # so the int32 cast is exact whether the engine emits int16 or
+        # float; int32 accumulation is exact for any room size.
+        contrib = active & ~exclude
+        x = jnp.where(contrib[:, None], pcm.astype(jnp.int32), 0)
+        sums = jax.ops.segment_sum(x, rooms, num_segments=capacity)
+        mix = sums[rooms] - x
+        return jnp.clip(mix, -32768, 32767).astype(jnp.int16)
+
+    return body
 
 
 def _mix_step(capacity: int):
@@ -52,20 +69,32 @@ def _mix_step(capacity: int):
     fn = _MIX_CACHE.get(capacity)
     if fn is None:
         import jax
-        import jax.numpy as jnp
 
-        @jax.jit
-        def fn(pcm, exclude, rooms, active):
-            # pcm rows are integral int16-scale (engine.py clip_to_int16),
-            # so the int32 cast is exact whether the engine emits int16 or
-            # float; int32 accumulation is exact for any room size.
-            contrib = active & ~exclude
-            x = jnp.where(contrib[:, None], pcm.astype(jnp.int32), 0)
-            sums = jax.ops.segment_sum(x, rooms, num_segments=capacity)
-            mix = sums[rooms] - x
-            return jnp.clip(mix, -32768, 32767).astype(jnp.int16)
+        fn = _MIX_CACHE[capacity] = jax.jit(_mix_body(capacity))
+    return fn
 
-        _MIX_CACHE[capacity] = fn
+
+def _mix_step_sharded(capacity: int, mesh, axis_name: str):
+    """Shard-local mixer: the same mix as `_mix_step`, under `shard_map`
+    so each mesh shard sums only its own rows — zero collectives, matching
+    the frame path's sharding thesis (parallel/sharding.py).
+
+    Correct iff no room straddles a shard boundary (each shard computes
+    its rooms' sums from local rows alone); the bridge validates that
+    invariant on every admission-table rebuild and `shard_affine_slots`
+    produces placements that satisfy it.  Room ids stay global dense ints
+    (< capacity), so the per-shard segment table is simply over-provisioned
+    rather than re-indexed."""
+    key = (capacity, mesh, axis_name)
+    fn = _MIX_CACHE.get(key)
+    if fn is None:
+        import jax
+        from jax.sharding import PartitionSpec
+
+        spec = PartitionSpec(axis_name)
+        fn = _MIX_CACHE[key] = jax.jit(jax.shard_map(
+            _mix_body(capacity), mesh=mesh,
+            in_specs=(spec, spec, spec, spec), out_specs=spec))
     return fn
 
 
@@ -115,6 +144,21 @@ class ConferenceBridge:
         self.capacity = capacity
         self.sample_rate_hz = self._dec.sample_rate_hz
         self.hop_samples = self._dec.hop_samples
+        # Multi-chip: when the servers run ShardedEngines the mixer runs
+        # shard-local (zero collectives), which requires room-affine
+        # placement — see shard_affine_slots / _check_rooms_shard_local.
+        self._mesh = getattr(self._dec.engine, "mesh", None)
+        self._mesh_axis = getattr(self._dec.engine, "axis_name", None)
+        enc_mesh = getattr(self._enc.engine, "mesh", None)
+        if (self._mesh is None) != (enc_mesh is None) or (
+                self._mesh is not None and enc_mesh != self._mesh):
+            raise ValueError(
+                "bridge servers must share one mesh: decoder engine mesh is "
+                f"{self._mesh}, encoder engine mesh is {enc_mesh}")
+        if self._mesh is not None and capacity % self._mesh.devices.size:
+            raise ValueError(
+                f"capacity {capacity} must divide evenly over the "
+                f"{self._mesh.devices.size}-device mesh")
         # slot → dense room index (stale values on inactive slots are
         # masked out of the sum by the active mask).
         self._rooms = np.zeros(capacity, np.int32)
@@ -165,12 +209,16 @@ class ConferenceBridge:
             del self._room_refs[room]
 
     def add_participant(self, stream_id, room,
-                        bitrate: Optional[int] = None) -> int:
+                        bitrate: Optional[int] = None,
+                        slot: Optional[int] = None) -> int:
         """Admit a participant into `room`; returns their slot (the wire
-        header identity on both directions)."""
-        slot = self._dec.add_stream(stream_id)
+        header identity on both directions).  `slot` directs placement —
+        e.g. shard-affine room packing (`shard_affine_slots`) so a room
+        never straddles a mesh shard boundary."""
+        slot = self._dec.add_stream(stream_id, slot=slot)
         try:
-            slot_e = self._enc.add_stream(stream_id, bitrate=bitrate)
+            slot_e = self._enc.add_stream(stream_id, bitrate=bitrate,
+                                          slot=slot)
         except Exception:
             self._dec.remove_stream(stream_id)
             raise
@@ -184,13 +232,17 @@ class ConferenceBridge:
         return slot
 
     def add_participants(self, rooms_by_id: Dict[object, object],
-                         bitrate: Optional[int] = None) -> Dict[object, int]:
+                         bitrate: Optional[int] = None,
+                         slots: Optional[Dict[object, int]] = None
+                         ) -> Dict[object, int]:
         """Bulk admission (one masked state reset per server — use this for
-        call-setup bursts, see DecoderServer.add_streams)."""
+        call-setup bursts, see DecoderServer.add_streams).  `slots` directs
+        placement per participant (see `shard_affine_slots`)."""
         ids = list(rooms_by_id)
-        slots = self._dec.add_streams(ids)
+        slots = self._dec.add_streams(ids, slots=slots)
         try:
-            slots_e = self._enc.add_streams(ids, bitrate=bitrate)
+            slots_e = self._enc.add_streams(ids, bitrate=bitrate,
+                                            slots=slots)
         except Exception:
             for sid in ids:
                 self._dec.remove_stream(sid)
@@ -201,6 +253,80 @@ class ConferenceBridge:
             self._room_of[sid] = rooms_by_id[sid]
         self._dev_cache = None
         return slots
+
+    @property
+    def num_shards(self) -> int:
+        """Mesh shards the slot axis splits into (1 when unsharded)."""
+        return 1 if self._mesh is None else int(self._mesh.devices.size)
+
+    def shard_affine_slots(self, rooms_by_id: Dict[object, object],
+                           num_shards: Optional[int] = None
+                           ) -> Dict[object, int]:
+        """Directed-slot placement keeping every room inside one mesh shard.
+
+        The slot axis shards contiguously over the mesh (slot → shard is
+        `slot // (capacity // num_shards)`, parallel/sharding.py
+        batch_sharding), so a room whose members share a shard is mixed
+        entirely from shard-local rows — the invariant the shard-local
+        mixer requires.  Rooms with sitting members are pinned to their
+        shard; new rooms are placed largest-first into the emptiest shard.
+        All-or-nothing: raises without touching any state if a room cannot
+        fit inside a single shard (capacity fragmentation is the caller's
+        signal to spill the room to another bridge).  Feed the result to
+        `add_participants(..., slots=...)`."""
+        n = self.num_shards if num_shards is None else int(num_shards)
+        if self.capacity % n:
+            raise ValueError(
+                f"capacity {self.capacity} must divide over {n} shards")
+        per = self.capacity // n
+        free = [[] for _ in range(n)]
+        for i, s in enumerate(self._dec._slots):
+            if not s.active:
+                free[i // per].append(i)
+        pin: Dict[object, int] = {}
+        for sid, slot in self._dec._by_id.items():
+            room = self._room_of[sid]
+            sh = slot // per
+            if pin.setdefault(room, sh) != sh:
+                raise ValueError(
+                    f"room {room!r} already straddles shards "
+                    f"{pin[room]} and {sh}")
+        groups: Dict[object, list] = {}
+        for sid, room in rooms_by_id.items():
+            groups.setdefault(room, []).append(sid)
+        out: Dict[object, int] = {}
+
+        def place(room, members, sh):
+            if len(free[sh]) < len(members):
+                raise RuntimeError(
+                    f"room {room!r}: {len(members)} joiners do not fit in "
+                    f"shard {sh} ({len(free[sh])} free seats)")
+            for sid in members:
+                out[sid] = free[sh].pop(0)
+
+        for room, members in groups.items():
+            if room in pin:
+                place(room, members, pin[room])
+        fresh = sorted((r for r in groups if r not in pin),
+                       key=lambda r: -len(groups[r]))
+        for room in fresh:
+            sh = max(range(n), key=lambda s: len(free[s]))
+            place(room, groups[room], sh)
+        return out
+
+    def _check_rooms_shard_local(self) -> None:
+        """Fail loudly if any room's sitting members straddle a shard
+        boundary — the shard-local mixer would silently mis-mix them."""
+        per = self.capacity // self.num_shards
+        shard_of: Dict[object, int] = {}
+        for sid, slot in self._dec._by_id.items():
+            room = self._room_of[sid]
+            sh = slot // per
+            if shard_of.setdefault(room, sh) != sh:
+                raise ValueError(
+                    f"room {room!r} straddles mesh shards {shard_of[room]} "
+                    f"and {sh}; admit with slots=shard_affine_slots(...) so "
+                    "the shard-local mixer stays correct")
 
     def remove_participant(self, stream_id) -> None:
         self._dec.remove_stream(stream_id)
@@ -218,6 +344,8 @@ class ConferenceBridge:
         if self._dev_cache is None:
             import jax.numpy as jnp
 
+            if self._mesh is not None:
+                self._check_rooms_shard_local()
             self._dev_cache = (jnp.asarray(self._dec._active_mask()),
                                jnp.asarray(self._rooms))
         return self._dev_cache
@@ -249,7 +377,12 @@ class ConferenceBridge:
         encode+pack); returns device arrays."""
         pcm, is_cn = self._dec._wire_run(packets, received, sizes)
         active, rooms = self._dev_tables()
-        mix = _mix_step(self.capacity)(pcm, is_cn, rooms, active)
+        if self._mesh is not None:
+            mixer = _mix_step_sharded(self.capacity, self._mesh,
+                                      self._mesh_axis)
+        else:
+            mixer = _mix_step(self.capacity)
+        mix = mixer(pcm, is_cn, rooms, active)
         wire, is_noise = self._enc._wire_submit(mix)
         return wire, is_noise, is_cn
 

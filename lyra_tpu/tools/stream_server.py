@@ -153,22 +153,44 @@ def _server_restore(server, path: str, kind: str,
     return extra
 
 
+def _check_slot(slot_table: List[_Slot], capacity: int, slot: int) -> int:
+    """Validate a caller-directed slot (placement policies — e.g. the
+    conference bridge keeping a room's members on one shard)."""
+    slot = int(slot)
+    if not 0 <= slot < capacity:
+        raise ValueError(f"slot {slot} out of range [0, {capacity})")
+    if slot_table[slot].active:
+        raise ValueError(
+            f"slot {slot} is occupied by stream "
+            f"{slot_table[slot].stream_id!r}")
+    return slot
+
+
 def _assign_slots(by_id: Dict[object, int], slot_table: List[_Slot],
-                  capacity: int, ids: List[object]):
+                  capacity: int, ids: List[object],
+                  want: Optional[Dict[object, int]] = None):
     """Validate a bulk admission and assign free slots (all-or-nothing:
     raises before any state is touched).  Returns (mask [capacity] bool,
-    {stream_id: slot})."""
+    {stream_id: slot}).  `want` maps stream ids to caller-directed slots
+    (must cover every id; duplicates/occupied slots are refused)."""
     if len(set(ids)) != len(ids):
         raise KeyError("duplicate stream ids in bulk admission")
     for sid in ids:
         if sid in by_id:
             raise KeyError(f"stream {sid!r} already active")
-    free = [i for i, s in enumerate(slot_table) if not s.active]
-    if len(free) < len(ids):
-        raise RuntimeError("server at capacity")
+    if want is not None:
+        chosen = [_check_slot(slot_table, capacity, want[sid])
+                  for sid in ids]
+        if len(set(chosen)) != len(chosen):
+            raise ValueError("duplicate slots in directed bulk admission")
+    else:
+        free = [i for i, s in enumerate(slot_table) if not s.active]
+        if len(free) < len(ids):
+            raise RuntimeError("server at capacity")
+        chosen = free[: len(ids)]
     mask = np.zeros(capacity, bool)
     slots: Dict[object, int] = {}
-    for sid, i in zip(ids, free):
+    for sid, i in zip(ids, chosen):
         mask[i] = True
         slots[sid] = i
     return mask, slots
@@ -223,15 +245,22 @@ class DecoderServer:
     def num_active(self) -> int:
         return len(self._by_id)
 
-    def add_stream(self, stream_id) -> int:
-        """Admit a stream; returns its slot. O(1) state reset, no recompile."""
+    def add_stream(self, stream_id, slot: Optional[int] = None) -> int:
+        """Admit a stream; returns its slot. O(1) state reset, no recompile.
+
+        `slot` directs placement (placement policies — e.g. shard-affine
+        room packing, conference.py); occupied/out-of-range slots are
+        refused before any state is touched."""
         if stream_id in self._by_id:
             raise KeyError(f"stream {stream_id!r} already active")
-        for i, slot in enumerate(self._slots):
-            if not slot.active:
-                break
+        if slot is not None:
+            i = _check_slot(self._slots, self.capacity, slot)
         else:
-            raise RuntimeError("server at capacity")
+            for i, s in enumerate(self._slots):
+                if not s.active:
+                    break
+            else:
+                raise RuntimeError("server at capacity")
         mask = np.zeros(self.capacity, bool)
         mask[i] = True
         self._state = self.engine.reset_rows(self._state, mask,
@@ -249,19 +278,22 @@ class DecoderServer:
         self._active_cache = None
         return i
 
-    def add_streams(self, stream_ids) -> Dict[object, int]:
+    def add_streams(self, stream_ids,
+                    slots: Optional[Dict[object, int]] = None
+                    ) -> Dict[object, int]:
         """Bulk admission: one masked state reset for the whole group.
 
         Admission is O(capacity) device work per reset_rows call, so
         admitting k streams one at a time costs k full passes; a call-setup
         burst (or bench warmup) should use this instead.  All-or-nothing:
         raises before any mutation if a stream is duplicate or capacity is
-        short."""
+        short.  `slots` directs placement per stream (must cover every id;
+        duplicate/occupied slots are refused)."""
         ids = list(stream_ids)
         if not ids:
             return {}
         mask, slots = _assign_slots(self._by_id, self._slots, self.capacity,
-                                    ids)
+                                    ids, want=slots)
         self._state = self.engine.reset_rows(self._state, mask,
                                              seed=self._seed)
         lc = np.array(self._last_comfort)  # copy-on-write, see add_stream
@@ -662,18 +694,22 @@ class EncoderServer:
     def num_active(self) -> int:
         return len(self._by_id)
 
-    def add_stream(self, stream_id, bitrate: Optional[int] = None) -> int:
+    def add_stream(self, stream_id, bitrate: Optional[int] = None,
+                   slot: Optional[int] = None) -> int:
         if stream_id in self._by_id:
             raise KeyError(f"stream {stream_id!r} already active")
         # Validate before mutating anything: a bad bitrate must not leave a
         # half-admitted stream occupying a slot.
         bits = (self._default_bits if bitrate is None
                 else self._check_bits(bitrate))
-        for i, slot in enumerate(self._slots):
-            if not slot.active:
-                break
+        if slot is not None:
+            i = _check_slot(self._slots, self.capacity, slot)
         else:
-            raise RuntimeError("server at capacity")
+            for i, s in enumerate(self._slots):
+                if not s.active:
+                    break
+            else:
+                raise RuntimeError("server at capacity")
         mask = np.zeros(self.capacity, bool)
         mask[i] = True
         self._state = self.engine.reset_rows(self._state, mask)
@@ -686,7 +722,8 @@ class EncoderServer:
         self._active_cache = None
         return i
 
-    def add_streams(self, stream_ids, bitrate: Optional[int] = None
+    def add_streams(self, stream_ids, bitrate: Optional[int] = None,
+                    slots: Optional[Dict[object, int]] = None
                     ) -> Dict[object, int]:
         """Bulk admission at one bitrate — see DecoderServer.add_streams."""
         ids = list(stream_ids)
@@ -695,7 +732,7 @@ class EncoderServer:
         if not ids:
             return {}
         mask, slots = _assign_slots(self._by_id, self._slots, self.capacity,
-                                    ids)
+                                    ids, want=slots)
         self._state = self.engine.reset_rows(self._state, mask)
         for sid, i in slots.items():
             self._slots[i] = _Slot(sid, True)

@@ -261,3 +261,31 @@ def test_bridge_async_pipeline_matches_sync(model_path, speech):
         assert np.array_equal(gw, ww), f"tick {t} wire bytes diverged"
     # After the flush the pipeline is clear: sync ticks work again.
     b.tick_wire(*uplinks[0])
+
+
+def test_shard_affine_slots_placement(model_path):
+    """Placement policy: rooms pack inside single shards, sitting members
+    pin their room's shard, oversized rooms are refused loudly."""
+    bridge = ConferenceBridge(8, model_path=model_path)
+    # 4 shards of 2 seats.  R1 (2 joiners) fills one shard; R2 lands in
+    # another; no room straddles a shard boundary.
+    slots = bridge.shard_affine_slots(
+        {"a": "R1", "b": "R1", "c": "R2"}, num_shards=4)
+    shard = {sid: slots[sid] // 2 for sid in slots}
+    assert shard["a"] == shard["b"] != shard["c"]
+    bridge.add_participants({"a": "R1", "b": "R1", "c": "R2"}, slots=slots)
+
+    # A third R1 joiner cannot fit in R1's (now full) pinned shard.
+    with pytest.raises(RuntimeError, match="do not fit in shard"):
+        bridge.shard_affine_slots({"d": "R1"}, num_shards=4)
+    # An R2 joiner is pinned next to "c".
+    s = bridge.shard_affine_slots({"e": "R2"}, num_shards=4)
+    assert s["e"] // 2 == shard["c"]
+    # A 3-member room can never fit a 2-seat shard.
+    with pytest.raises(RuntimeError, match="do not fit"):
+        bridge.shard_affine_slots(
+            {"f": "R3", "g": "R3", "h": "R3"}, num_shards=4)
+    # Largest-first: a fresh 2-room fills the emptiest shard first.
+    s2 = bridge.shard_affine_slots({"p": "R4", "q": "R4", "r": "R5"},
+                                   num_shards=4)
+    assert s2["p"] // 2 == s2["q"] // 2 != s2["r"] // 2

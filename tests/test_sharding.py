@@ -432,3 +432,105 @@ def test_sharded_int8_roundtrip_has_no_tensor_collectives(model_path):
                 .lower(enc_state, dec_state, audio, received, nq)
                 .compile())
     _assert_no_tensor_collectives(compiled.as_text(), "(int8)")
+
+
+def _make_bridge(model_path, cap, mesh=None, seed=7):
+    from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+    from lyra_tpu.tools.conference import ConferenceBridge
+
+    dec_e = enc_e = None
+    if mesh is not None:
+        dec_e = ShardedEngine(
+            DecoderEngine(16000, model_path, max_bitrate=3200), mesh)
+        enc_e = ShardedEngine(
+            EncoderEngine(16000, model_path, max_bitrate=3200), mesh)
+    return ConferenceBridge(cap, model_path=model_path, bitrate=3200,
+                            seed=seed, dec_engine=dec_e, enc_engine=enc_e)
+
+
+def test_sharded_bridge_matches_unsharded(model_path):
+    """The conference bridge over ShardedEngines (shard-local mixer under
+    shard_map) must be bit-identical to the unsharded bridge given the same
+    shard-affine placement — across rooms, loss-driven CN exclusion, and
+    room sizes up to a full shard."""
+    from lyra_tpu.tools.stream_server import EncoderServer
+
+    cap = 32
+    mesh = make_mesh()
+    sharded = _make_bridge(model_path, cap, mesh)
+    plain = _make_bridge(model_path, cap)
+    assert sharded.num_shards == 8 and plain.num_shards == 1
+
+    # 3 rooms: one full-shard (4 = cap/ndev seats), one 3, one 2.
+    rooms = {f"p{i}": "R0" for i in range(4)}
+    rooms.update({f"q{i}": "R1" for i in range(3)})
+    rooms.update({f"r{i}": "R2" for i in range(2)})
+    slots = sharded.shard_affine_slots(rooms)
+    per = cap // 8
+    by_room = {}
+    for sid, room in rooms.items():
+        by_room.setdefault(room, set()).add(slots[sid] // per)
+    assert all(len(s) == 1 for s in by_room.values())  # rooms shard-local
+    sharded.add_participants(rooms, slots=slots)
+    plain.add_participants(rooms, slots=slots)  # identical placement
+
+    client = EncoderServer(cap, model_path=model_path, bitrate=3200)
+    client.add_streams(list(rooms), slots=slots)
+    rng = np.random.RandomState(11)
+    for t in range(10):
+        audio = rng.randint(-9000, 9000, (cap, 320)).astype(np.int16)
+        pkts, sizes = client.tick_wire(audio)
+        received = sizes > 0
+        if t >= 1:
+            received[slots["q1"]] = False  # sustained loss: PLC -> CN
+        ws, ss = sharded.tick_wire(pkts, received, sizes)
+        wp, sp = plain.tick_wire(pkts, received, sizes)
+        assert np.array_equal(ss, sp), f"tick {t} sizes diverged"
+        assert np.array_equal(ws, wp), f"tick {t} wire bytes diverged"
+    # The loss actually drove the CN-exclusion branch of both mixers.
+    assert sharded.is_comfort_noise("q1") and plain.is_comfort_noise("q1")
+
+
+def test_sharded_mixer_hlo_has_zero_collectives(model_path):
+    """The shard-local mixer must compile to ZERO collectives of any kind
+    (not even the scalar idle-gate pred[] the engines are allowed): each
+    shard mixes its own rooms from its own rows."""
+    from lyra_tpu.tools.conference import _mix_step_sharded
+
+    mesh = make_mesh()
+    cap, hop = 32, 320
+    fn = _mix_step_sharded(cap, mesh, "streams")
+    pcm = shard_batch_tree(jnp.zeros((cap, hop), jnp.int16), mesh)
+    excl = shard_batch_tree(jnp.zeros((cap,), bool), mesh)
+    rooms = shard_batch_tree(jnp.zeros((cap,), jnp.int32), mesh)
+    active = shard_batch_tree(jnp.ones((cap,), bool), mesh)
+    hlo = fn.lower(pcm, excl, rooms, active).compile().as_text()
+    for op in _COLLECTIVE_OPS:
+        assert op not in hlo, f"collective '{op}' in the shard-local mixer"
+
+
+def test_sharded_bridge_refuses_straddling_room(model_path):
+    """A room placed across a shard boundary would silently mis-mix under
+    the shard-local mixer; the tick must refuse it loudly."""
+    cap = 16
+    mesh = make_mesh()
+    bridge = _make_bridge(model_path, cap, mesh)
+    # Directed placement that straddles: seats 1 and 2 sit in different
+    # 2-seat shards.
+    bridge.add_participants({"a": "R", "b": "R"}, slots={"a": 1, "b": 2})
+    pkts = np.zeros((cap, 8), np.uint8)
+    with pytest.raises(ValueError, match="straddles mesh shards"):
+        bridge.tick_wire(pkts, np.zeros(cap, bool))
+
+
+def test_sharded_bridge_rejects_mismatched_meshes(model_path):
+    """One sharded server and one plain (or two different meshes) cannot
+    mix device-resident PCM coherently; construction must refuse."""
+    from lyra_tpu.codec.engine import DecoderEngine
+    from lyra_tpu.tools.conference import ConferenceBridge
+
+    mesh = make_mesh()
+    dec_e = ShardedEngine(
+        DecoderEngine(16000, model_path, max_bitrate=3200), mesh)
+    with pytest.raises(ValueError, match="share one mesh"):
+        ConferenceBridge(16, model_path=model_path, dec_engine=dec_e)

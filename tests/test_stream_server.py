@@ -1021,3 +1021,39 @@ def test_mixed_rate_pool_admission_randomized_mirror(model_path):
     # No-rate admission on a mixed pool stays loud at every fill level.
     with pytest.raises(ValueError, match="explicit sample_rate_hz"):
         pool.add_stream("anon")
+
+
+def test_directed_slot_admission(model_path):
+    """Caller-directed placement (`slot=`/`slots=`): placement policies
+    (e.g. shard-affine room packing, conference.py) pick the row; refusals
+    are loud and all-or-nothing."""
+    dec = DecoderServer(4, model_path=model_path)
+    assert dec.add_stream("a", slot=2) == 2
+    assert dec.add_streams(["b", "c"], slots={"b": 0, "c": 3}) == \
+        {"b": 0, "c": 3}
+    # Occupied / out-of-range / duplicate slots are refused pre-mutation.
+    with pytest.raises(ValueError, match="occupied"):
+        dec.add_stream("d", slot=2)
+    with pytest.raises(ValueError, match="out of range"):
+        dec.add_stream("d", slot=4)
+    with pytest.raises(ValueError, match="duplicate slots"):
+        DecoderServer(4, model_path=model_path).add_streams(
+            ["x", "y"], slots={"x": 1, "y": 1})
+    with pytest.raises(ValueError, match="occupied"):
+        dec.add_streams(["d", "e"], slots={"d": 1, "e": 3})
+    assert "d" not in dec._by_id and "e" not in dec._by_id  # all-or-nothing
+    # A directed map must cover every admitted id.
+    with pytest.raises(KeyError):
+        dec.add_streams(["d"], slots={})
+    assert dec.add_stream("d", slot=1) == 1
+
+    # Encoder mirror, and the directed fleet actually serves.
+    enc = EncoderServer(4, model_path=model_path, bitrate=3200)
+    enc.add_stream("a", slot=2)
+    enc.add_streams(["b", "c"], slots={"b": 0, "c": 3}, bitrate=6000)
+    hop = np.zeros((320,), np.int16)
+    pkts = enc.tick({"a": hop, "b": hop, "c": hop})
+    assert len(pkts["a"]) == config.packet_size(64)
+    assert len(pkts["b"]) == config.packet_size(120)
+    out = dec.tick({sid: pkts[sid] for sid in "abc"})
+    assert set(out) == {"a", "b", "c", "d"}
