@@ -12,6 +12,12 @@ doesn't change decode cost); 5% of uplinks are lost each tick so the
 PLC/CN machinery runs at its serving duty cycle.
 
 Usage: python benchmarks/conference_bench.py [B] [room_size] [ticks]
+                                             [--async] [--waves=N]
+
+--async pipelines ticks through tick_wire_async (one tick of latency buys
+device/D2H/host-IO overlap); --waves=N splits the fleet into N bridges of
+B/N seats with interleaved async submits — the conference expression of
+the headline bench's wave schedule (rooms never span bridges).
 """
 import time
 
@@ -30,34 +36,56 @@ args = [a for a in sys.argv[1:] if not a.startswith("--")]
 B = int(args[0]) if args else 8192
 ROOM = int(args[1]) if len(args) > 1 else 4
 TICKS = int(args[2]) if len(args) > 2 else 50
+WAVES = 1
+for a in sys.argv[1:]:
+    if a.startswith("--waves="):
+        WAVES = int(a.split("=", 1)[1])
+ASYNC = "--async" in sys.argv or WAVES > 1
+if B % WAVES:
+    raise ValueError(f"B={B} must divide over {WAVES} waves")
 
 rng = np.random.RandomState(0)
-bridge = ConferenceBridge(
-    B,
-    dec_engine=DecoderEngine(16000, mode="bf16", max_bitrate=3200,
-                             emit_dtype="int16"),
-    enc_engine=EncoderEngine(16000, mode="bf16", max_bitrate=3200))
-bridge.add_participants({i: i // ROOM for i in range(B)})
+Bw = B // WAVES
+bridges = [
+    ConferenceBridge(
+        Bw,
+        dec_engine=DecoderEngine(16000, mode="bf16", max_bitrate=3200,
+                                 emit_dtype="int16"),
+        enc_engine=EncoderEngine(16000, mode="bf16", max_bitrate=3200))
+    for _ in range(WAVES)]
+for br in bridges:
+    br.add_participants({i: i // ROOM for i in range(Bw)})
 
 client = EncoderServer(
-    B, engine=EncoderEngine(16000, mode="bf16", max_bitrate=3200))
-client.add_streams(range(B))
+    Bw, engine=EncoderEngine(16000, mode="bf16", max_bitrate=3200))
+client.add_streams(range(Bw))
 ring = []
 for _ in range(8):
-    audio = rng.randint(-16000, 16000, (B, 320)).astype(np.int16)
+    audio = rng.randint(-16000, 16000, (Bw, 320)).astype(np.int16)
     ring.append(client.tick_wire(audio))
 
-# Warmup / compile.
-for pkts, sizes in ring[:3]:
-    bridge.tick_wire(pkts, sizes > 0, sizes)
 
+def run(ticks):
+    for t in range(ticks):
+        pkts, sizes = ring[t % len(ring)]
+        received = (sizes > 0) & (rng.uniform(size=Bw) > 0.05)
+        if ASYNC:
+            for br in bridges:
+                br.tick_wire_async(pkts, received, sizes)
+        else:
+            bridges[0].tick_wire(pkts, received, sizes)
+    if ASYNC:
+        for br in bridges:
+            br.flush_async()
+
+
+run(3)  # warmup / compile
 t0 = time.perf_counter()
-for t in range(TICKS):
-    pkts, sizes = ring[t % len(ring)]
-    received = (sizes > 0) & (rng.uniform(size=B) > 0.05)
-    bridge.tick_wire(pkts, received, sizes)
+run(TICKS)
 dt = (time.perf_counter() - t0) / TICKS
 seats = B * 0.02 / dt
-print(f"B={B} rooms_of={ROOM}: {dt * 1e3:.2f} ms/tick -> "
+mode = (f"{WAVES}x{Bw} async waves" if WAVES > 1
+        else ("async" if ASYNC else "sync"))
+print(f"B={B} rooms_of={ROOM} [{mode}]: {dt * 1e3:.2f} ms/tick -> "
       f"{seats:,.0f} realtime conference seats/chip "
       f"(uplink decode + mix + downlink encode, wire-to-wire)")
