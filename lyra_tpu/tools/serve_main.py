@@ -38,6 +38,24 @@ from lyra_tpu.tools.stream_server import DecoderServer
 _HDR = 6  # 2 B slot + 4 B seq, big-endian (examples/udp_call.py layout)
 
 
+def _maybe_shard(engine, n_devices: int):
+    """Wrap the engine for stream-axis sharding over the first N devices
+    (--devices).  ShardedEngine is a drop-in at every server seam, so the
+    serving loop is unchanged; capacity divisibility is checked by the
+    engine's init_state."""
+    if n_devices <= 1:
+        return engine
+    import jax
+
+    from lyra_tpu.parallel.sharding import ShardedEngine, make_mesh
+
+    devs = jax.devices()
+    if len(devs) < n_devices:
+        raise ValueError(
+            f"--devices={n_devices} but only {len(devs)} are attached")
+    return ShardedEngine(engine, make_mesh(devs[:n_devices]))
+
+
 def _parse_echo(spec: str):
     if spec == "none":
         return None
@@ -65,8 +83,9 @@ def _serve_encode(args, _on_ready, _stop) -> int:
 
     enc = EncoderServer(
         args.capacity,
-        engine=EncoderEngine(model_path=args.model_path,
-                             max_bitrate=args.max_bitrate),
+        engine=_maybe_shard(
+            EncoderEngine(model_path=args.model_path,
+                          max_bitrate=args.max_bitrate), args.devices),
         bitrate=args.bitrate)
     enc.add_streams(range(args.capacity))
     hop_bytes = enc.hop_samples * 2
@@ -165,8 +184,31 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     ConferenceBridge.tick_wire_async)."""
     from lyra_tpu.tools.conference import ConferenceBridge
 
+    dec_e = enc_e = None
+    if args.devices > 1:
+        # Consecutive rooms stay shard-local iff rooms tile the per-shard
+        # seat count; refuse up front rather than at the first tick
+        # (ConferenceBridge._check_rooms_shard_local), since here the wire
+        # header's slot field is the stream identity and re-placing rooms
+        # would break it.
+        per = args.capacity // args.devices
+        if args.capacity % args.devices or per % args.room_size:
+            raise ValueError(
+                f"--capacity={args.capacity} in rooms of {args.room_size} "
+                f"does not tile {args.devices} shards of {per} seats; pick "
+                "capacity = devices * k * room_size")
+        from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
+
+        dec_e = _maybe_shard(
+            DecoderEngine(model_path=args.model_path,
+                          max_bitrate=args.max_bitrate,
+                          emit_dtype="int16"), args.devices)
+        enc_e = _maybe_shard(
+            EncoderEngine(model_path=args.model_path,
+                          max_bitrate=args.max_bitrate), args.devices)
     bridge = ConferenceBridge(args.capacity, model_path=args.model_path,
-                              bitrate=args.bitrate)
+                              bitrate=args.bitrate,
+                              dec_engine=dec_e, enc_engine=enc_e)
     bridge.add_participants(
         {slot: slot // args.room_size for slot in range(args.capacity)})
 
@@ -302,6 +344,12 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     p.add_argument("--room_size", type=int, default=4,
                    help="bridge mode: participants per room (slots are "
                         "partitioned consecutively).")
+    p.add_argument("--devices", type=int, default=1,
+                   help="Shard the stream batch over the first N attached "
+                        "devices (stream-axis jax.sharding mesh, zero "
+                        "tensor collectives in the frame path; bridge "
+                        "rooms must tile the per-shard seats).  1 = "
+                        "single chip.")
     args = p.parse_args(argv)
 
     if args.mode == "encode":
@@ -311,9 +359,9 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
 
     from lyra_tpu.codec.engine import DecoderEngine
 
-    dec = DecoderServer(args.capacity, engine=DecoderEngine(
-        model_path=args.model_path, emit_dtype="int16",
-        max_bitrate=args.max_bitrate))
+    dec = DecoderServer(args.capacity, engine=_maybe_shard(
+        DecoderEngine(model_path=args.model_path, emit_dtype="int16",
+                      max_bitrate=args.max_bitrate), args.devices))
     jb = JitterBuffer(args.capacity, config.packet_size(184),
                       depth=args.playout_delay + 6)
     pump = rx = None

@@ -289,3 +289,47 @@ def test_shard_affine_slots_placement(model_path):
     s2 = bridge.shard_affine_slots({"p": "R4", "q": "R4", "r": "R5"},
                                    num_shards=4)
     assert s2["p"] // 2 == s2["q"] // 2 != s2["r"] // 2
+
+
+def test_shard_affine_slots_randomized_invariants(model_path):
+    """Randomized churn: joins (via the policy) and leaves never produce a
+    room straddling a shard, never collide slots, and always raise rather
+    than split a room."""
+    rng = np.random.RandomState(5)
+    cap, shards = 16, 4
+    per = cap // shards
+    bridge = ConferenceBridge(cap, model_path=model_path)
+    live = {}  # sid -> room
+    next_sid = [0]
+
+    for _ in range(60):
+        if live and rng.rand() < 0.4:
+            sid = sorted(live)[rng.randint(len(live))]
+            bridge.remove_participant(sid)
+            del live[sid]
+            continue
+        k = rng.randint(1, 4)
+        room = f"R{rng.randint(6)}"
+        ids = []
+        for _ in range(k):
+            ids.append(f"s{next_sid[0]}")
+            next_sid[0] += 1
+        try:
+            slots = bridge.shard_affine_slots({i: room for i in ids},
+                                              num_shards=shards)
+        except RuntimeError:
+            continue  # doesn't fit in one shard right now: refused loudly
+        got = bridge.add_participants({i: room for i in ids}, slots=slots)
+        assert got == slots
+        for i in ids:
+            live[i] = room
+
+        # Invariants over the whole live set after every join.
+        by_room = {}
+        for sid2, r2 in live.items():
+            slot = bridge._dec._by_id[sid2]
+            by_room.setdefault(r2, set()).add(slot // per)
+        assert all(len(s) == 1 for s in by_room.values()), by_room
+        slots_all = [bridge._dec._by_id[s] for s in live]
+        assert len(set(slots_all)) == len(slots_all)
+        assert bridge._dec._by_id == bridge._enc._by_id

@@ -497,3 +497,69 @@ def test_serve_main_bridge_mode(model_path):
         th.join(timeout=120)
         assert not th.is_alive(), "bridge loop failed to stop"
         echo_rx.close()
+
+
+def test_serve_main_bridge_sharded_over_mesh(model_path):
+    """--devices 8: the same bridge shell with the stream batch sharded
+    over the virtual mesh (ShardedEngine pair + shard-local mixer).  Rooms
+    tile the per-shard seats, so the consecutive partition is shard-local
+    by construction; geometry that does not tile is refused up front."""
+    import socket
+    import threading
+    import time
+
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    # Error path first: 16 seats / 8 shards = 2 per shard; rooms of 3
+    # cannot tile that.
+    with pytest.raises(ValueError, match="does not tile"):
+        serve_main.main(["--mode", "bridge", "--capacity", "16",
+                         "--room_size", "3", "--devices", "8",
+                         "--model_path", model_path])
+
+    echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    echo_rx.bind(("127.0.0.1", 0))
+    echo_rx.settimeout(0.05)
+    echo_port = echo_rx.getsockname()[1]
+
+    port_box = {}
+    ready = threading.Event()
+    stop = threading.Event()
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--mode", "bridge", "--capacity", "16", "--room_size", "2",
+              "--devices", "8", "--seconds", "0", "--bitrate", "3200",
+              "--max_bitrate", "3200", "--model_path", model_path,
+              "--playout_delay", "1", "--ingest", "python",
+              "--report_every", "30", "--echo", f"127.0.0.1:{echo_port}"],
+        _on_ready=lambda port: (port_box.update(port=port), ready.set()),
+        _stop=stop))
+    th.start()
+    try:
+        assert ready.wait(180), "sharded bridge never bound its port"
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        wire = pkt.pack_indices_batch(np.zeros((16, 16), np.int32), 64)
+
+        got = {}
+        deadline = time.time() + 300  # first tick compiles on the mesh
+        seq = 0
+        while len(got) < 16 and time.time() < deadline:
+            for slot in range(16):
+                tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                          + wire[slot].tobytes(),
+                          ("127.0.0.1", port_box["port"]))
+            seq += 1
+            try:
+                dgram = echo_rx.recvfrom(4096)[0]
+                got[int.from_bytes(dgram[:2], "big")] = dgram
+            except socket.timeout:
+                pass
+        tx.close()
+        assert len(got) == 16, f"downlink only reached slots {sorted(got)}"
+        for slot, dgram in got.items():
+            assert len(dgram) == 6 + config.packet_size(64)
+    finally:
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive(), "sharded bridge loop failed to stop"
+        echo_rx.close()
