@@ -1,0 +1,73 @@
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+"""Egress throughput: native sendmmsg fan-out vs a per-datagram Python loop.
+
+A serving tick ends with a dense wire matrix; the downlink side must fan
+it out as one datagram per active slot — streams x 50 datagrams/s, the
+mirror image of the ingest problem (ingest_bench.py).  This measures how
+fast each path can push a full fleet tick of real loopback datagrams:
+per-tick wall time for `UdpEgress.send` (header build + sendmmsg batches,
+payload zero-copy from the matrix) vs the Python `sendto` loop.  The
+receiver socket is deliberately never drained: the kernel drops at the
+receive buffer, which does not change the sender-side cost being measured.
+
+Usage:  python benchmarks/egress_bench.py [streams] [ticks] [payload]
+"""
+
+import socket
+import time
+
+import numpy as np
+
+from lyra_tpu.tools.udp_egress import UdpEgress
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+STREAMS = int(args[0]) if args else 8192
+TICKS = int(args[1]) if len(args) > 1 else 25
+PAYLOAD = int(args[2]) if len(args) > 2 else 8  # 3.2 kbps packet
+
+rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+rx.bind(("127.0.0.1", 0))
+port = rx.getsockname()[1]
+
+rng = np.random.RandomState(0)
+wire = rng.randint(0, 256, (STREAMS, PAYLOAD), np.int32).astype(np.uint8)
+sizes = np.full(STREAMS, PAYLOAD, np.int32)
+
+
+def py_tick(sock, seq):
+    n = 0
+    for slot in np.flatnonzero(sizes > 0):
+        sock.sendto(int(slot).to_bytes(2, "big")
+                    + int(seq).to_bytes(4, "big")
+                    + wire[slot, : sizes[slot]].tobytes(),
+                    ("127.0.0.1", port))
+        n += 1
+    return n
+
+
+tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+py_tick(tx, 0)  # warm the path
+t0 = time.perf_counter()
+sent_py = sum(py_tick(tx, t) for t in range(TICKS))
+dt_py = (time.perf_counter() - t0) / TICKS
+tx.close()
+
+eg = UdpEgress(STREAMS, dest=("127.0.0.1", port))
+eg.send(wire, sizes, 0)  # warm the path
+t0 = time.perf_counter()
+sent_nat = sum(eg.send(wire, sizes, t) for t in range(TICKS))
+dt_nat = (time.perf_counter() - t0) / TICKS
+st = eg.stats()
+eg.close()
+rx.close()
+
+pps_py = sent_py / (dt_py * TICKS)
+pps_nat = sent_nat / (dt_nat * TICKS)
+print(f"{STREAMS} slots x {PAYLOAD} B payload, {TICKS} ticks:")
+print(f"  python sendto loop : {dt_py * 1e3:8.2f} ms/tick  "
+      f"{pps_py:10,.0f} pkts/s  ({pps_py / 50:,.0f} real-time streams)")
+print(f"  native egress      : {dt_nat * 1e3:8.2f} ms/tick  "
+      f"{pps_nat:10,.0f} pkts/s  ({pps_nat / 50:,.0f} real-time streams)  "
+      f"[{dt_py / dt_nat:.1f}x]")
+print(f"  native stats: {st}")

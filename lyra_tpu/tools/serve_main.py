@@ -38,6 +38,45 @@ from lyra_tpu.tools.stream_server import DecoderServer
 _HDR = 6  # 2 B slot + 4 B seq, big-endian (examples/udp_call.py layout)
 
 
+class _PySender:
+    """Per-datagram Python fan-out (the --egress=python fallback): same
+    send(wire, sizes, seq) contract as tools/udp_egress.py UdpEgress."""
+
+    def __init__(self, dest):
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._dest = dest
+
+    def send(self, wire, sizes, seq) -> int:
+        w8 = wire.view(np.uint8) if wire.dtype != np.uint8 else wire
+        sizes = np.asarray(sizes)
+        n = 0
+        for slot in np.flatnonzero(sizes > 0):
+            self._sock.sendto(
+                int(slot).to_bytes(2, "big") + int(seq).to_bytes(4, "big")
+                + w8[slot, : sizes[slot]].tobytes(), self._dest)
+            n += 1
+        return n
+
+    def stats(self) -> dict:
+        return {}
+
+    def close(self) -> None:
+        self._sock.close()
+
+
+def _make_tx(args, capacity: int):
+    """The downlink sender for --echo: native sendmmsg egress (zero
+    per-packet Python — the send-side twin of --ingest=native) or the
+    per-datagram Python loop."""
+    if args.echo is None:
+        return None
+    if args.egress == "native":
+        from lyra_tpu.tools.udp_egress import UdpEgress
+
+        return UdpEgress(capacity, dest=args.echo)
+    return _PySender(args.echo)
+
+
 def _maybe_shard(engine, n_devices: int):
     """Wrap the engine for stream-axis sharding over the first N devices
     (--devices).  ShardedEngine is a drop-in at every server seam, so the
@@ -95,8 +134,7 @@ def _serve_encode(args, _on_ready, _stop) -> int:
     rx.bind(("0.0.0.0", args.port))
     rx.setblocking(False)
     port = rx.getsockname()[1]
-    tx = (socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-          if args.echo is not None else None)
+    tx = _make_tx(args, args.capacity)
 
     print(f"encoding {args.capacity} streams on UDP :{port} "
           f"(bitrate={args.bitrate}, echo={args.echo or 'none'})",
@@ -142,12 +180,7 @@ def _serve_encode(args, _on_ready, _stop) -> int:
                 continue  # pipeline priming
             wire, sizes = out
             if tx is not None:
-                seq = ticks
-                for slot in np.flatnonzero(sizes):
-                    tx.sendto(slot.item().to_bytes(2, "big")
-                              + seq.to_bytes(4, "big")
-                              + wire[slot, : sizes[slot]].tobytes(),
-                              args.echo)
+                tx.send(wire, sizes, ticks)
             ticks += 1
 
             if time.perf_counter() >= next_report:
@@ -229,8 +262,7 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     ingest = pump or jb
     for slot in range(args.capacity):
         ingest.add_stream(slot, playout_delay=args.playout_delay)
-    tx = (socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-          if args.echo is not None else None)
+    tx = _make_tx(args, args.capacity)
 
     print(f"bridging {args.capacity} participants in rooms of "
           f"{args.room_size} on UDP :{port} (ingest={args.ingest}, "
@@ -271,12 +303,7 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
                 continue  # pipeline priming
             wire, out_sizes = out
             if tx is not None:
-                seq = ticks
-                for slot in np.flatnonzero(out_sizes):
-                    tx.sendto(slot.item().to_bytes(2, "big")
-                              + seq.to_bytes(4, "big")
-                              + wire[slot, : out_sizes[slot]].tobytes(),
-                              args.echo)
+                tx.send(wire, out_sizes, ticks)
             ticks += 1
 
             if time.perf_counter() >= next_report:
@@ -327,6 +354,11 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                    default="native",
                    help="native: C++ recvmmsg pump (15x the ingest rate); "
                         "python: per-datagram drain (no native lib needed).")
+    p.add_argument("--egress", choices=("native", "python"),
+                   default="native",
+                   help="native: C++ sendmmsg fan-out of the downlink "
+                        "matrix (zero per-packet Python); python: "
+                        "per-datagram sendto loop (no native lib needed).")
     p.add_argument("--echo", type=_parse_echo, default=None,
                    metavar="HOST:PORT|none",
                    help="Where decoded PCM hops go (same 6 B header + "
@@ -380,9 +412,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     for slot in dec.add_streams(range(args.capacity)).values():
         ingest.add_stream(slot, playout_delay=args.playout_delay)
 
-    tx = None
-    if args.echo is not None:
-        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    tx = _make_tx(args, args.capacity)
+    pcm_sizes = np.full(args.capacity, dec.hop_samples * 2, np.int32)
 
     print(f"serving {args.capacity} streams on UDP :{port} "
           f"(ingest={args.ingest}, echo={args.echo or 'none'})", flush=True)
@@ -420,11 +451,9 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
             if out is None:
                 continue  # pipeline priming
             if tx is not None:
-                seq = ticks
-                for slot in range(args.capacity):
-                    tx.sendto(slot.to_bytes(2, "big")
-                              + seq.to_bytes(4, "big")
-                              + out[slot].tobytes(), args.echo)
+                # Every slot ships its hop (PLC/CNG fills inactive gaps);
+                # int16 PCM rows reinterpret as bytes on the wire.
+                tx.send(np.ascontiguousarray(out), pcm_sizes, ticks)
             ticks += 1
 
             if time.perf_counter() >= next_report:

@@ -66,6 +66,17 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_pump_max_datagram.restype = ctypes.c_int
     lib.lyra_pump_blast.argtypes = [ctypes.c_int, i64, i64, i64, i64]
     lib.lyra_pump_blast.restype = i64
+    lib.lyra_egress_create.argtypes = [i64]
+    lib.lyra_egress_create.restype = vp
+    lib.lyra_egress_destroy.argtypes = [vp]
+    lib.lyra_egress_destroy.restype = None
+    lib.lyra_egress_set_dest.argtypes = [vp, i64, ctypes.c_char_p,
+                                         ctypes.c_int]
+    lib.lyra_egress_set_dest.restype = ctypes.c_int
+    lib.lyra_egress_send.argtypes = [vp, u8p, i32p, i64, i64, i64]
+    lib.lyra_egress_send.restype = i64
+    lib.lyra_egress_stats.argtypes = [vp, i64p, i64p, i64p]
+    lib.lyra_egress_stats.restype = None
     return lib
 
 

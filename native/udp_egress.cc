@@ -1,0 +1,163 @@
+// Native UDP egress for the Lyra-TPU serving runtime.
+//
+// The send side of the transport mirrors the ingest pump
+// (udp_pump.cc): a serving tick produces a dense wire matrix
+// ([capacity, stride] bytes + per-slot sizes), and fanning it out as one
+// datagram per active slot is per-packet work — tens of thousands of
+// sendto() calls per 20 ms tick if done from Python.  This component
+// takes the matrix and a per-slot destination table and issues the whole
+// tick's fan-out as sendmmsg batches with zero per-datagram Python: the
+// 6-byte wire header (2 B slot + 4 B big-endian sequence, the
+// examples/udp_call.py layout) is built into a scratch area and the
+// payload rides straight out of the caller's matrix via a second iovec
+// (zero-copy).
+//
+// The reference has no transport layer (its CLIs read/write files,
+// reference: lyra/cli_example/decoder_main_lib.cc:86-219); like the
+// jitter buffer and the ingest pump this is the deployment-scale
+// equivalent, native because it runs per packet.
+//
+// Threading: unlike the pump there is no background thread — send happens
+// on the serving loop's tick, so the object is single-threaded by
+// contract.  Transport-level backpressure (sendmmsg short count / ENOBUFS)
+// is a counted drop, never an error out of the tick; malformed *caller*
+// geometry (a size exceeding the matrix stride) is refused loudly.
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kHeaderBytes = 6;  // 2 B slot + 4 B seq, big-endian
+constexpr int kBatch = 256;      // datagrams per sendmmsg call
+
+struct UdpEgress {
+  int fd = -1;
+  std::vector<sockaddr_in> dests;  // per-slot destination
+  std::vector<uint8_t> has_dest;
+  // stats
+  int64_t sent = 0;          // datagrams handed to the kernel
+  int64_t no_dest_drops = 0; // active slot without a destination
+  int64_t kernel_drops = 0;  // sendmmsg backpressure (short count/ENOBUFS)
+};
+
+}  // namespace
+
+extern "C" {
+
+// One socket, `capacity` slot destinations (unset until
+// lyra_egress_set_dest).  Returns nullptr on socket failure.
+void* lyra_egress_create(int64_t capacity) {
+  if (capacity <= 0) return nullptr;
+  int fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return nullptr;
+  int sndbuf = 8 * 1024 * 1024;  // burst headroom, mirroring the pump
+  setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sndbuf, sizeof(sndbuf));
+  auto* e = new UdpEgress;
+  e->fd = fd;
+  e->dests.resize(static_cast<size_t>(capacity));
+  e->has_dest.assign(static_cast<size_t>(capacity), 0);
+  return e;
+}
+
+void lyra_egress_destroy(void* h) {
+  auto* e = static_cast<UdpEgress*>(h);
+  close(e->fd);
+  delete e;
+}
+
+// Route `slot`'s datagrams to ip:port (dotted-quad; resolve hostnames on
+// the caller side).  slot == -1 sets every slot (the --echo single-sink
+// case).  Returns 0 ok, nonzero on bad slot/ip/port.
+int lyra_egress_set_dest(void* h, int64_t slot, const char* ip, int port) {
+  auto* e = static_cast<UdpEgress*>(h);
+  if (port <= 0 || port > 65535) return 1;
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons(static_cast<uint16_t>(port));
+  if (inet_pton(AF_INET, ip, &addr.sin_addr) != 1) return 2;
+  if (slot == -1) {
+    std::fill(e->dests.begin(), e->dests.end(), addr);
+    std::fill(e->has_dest.begin(), e->has_dest.end(), uint8_t{1});
+    return 0;
+  }
+  if (slot < 0 || slot >= static_cast<int64_t>(e->dests.size())) return 3;
+  e->dests[static_cast<size_t>(slot)] = addr;
+  e->has_dest[static_cast<size_t>(slot)] = 1;
+  return 0;
+}
+
+// One tick's fan-out: for every slot with sizes[slot] > 0 and a
+// destination, send header + wire[slot, :sizes[slot]].  `wire` is row-major
+// [rows, stride]; `seq` stamps every header.  Returns datagrams handed to
+// the kernel, or -1 if any size exceeds `stride` (caller geometry bug —
+// nothing is sent for that call).
+int64_t lyra_egress_send(void* h, const uint8_t* wire, const int32_t* sizes,
+                         int64_t rows, int64_t stride, int64_t seq) {
+  auto* e = static_cast<UdpEgress*>(h);
+  if (rows < 0 || rows > static_cast<int64_t>(e->dests.size())) return -1;
+  for (int64_t i = 0; i < rows; ++i) {
+    if (sizes[i] > stride) return -1;  // would send bytes past the row
+  }
+  uint8_t headers[kBatch][kHeaderBytes];
+  mmsghdr msgs[kBatch];
+  iovec iovs[kBatch][2];
+  int64_t sent_total = 0;
+  int n = 0;
+  auto flush = [&]() {
+    int off = 0;
+    while (off < n) {
+      int done = sendmmsg(e->fd, msgs + off, n - off, 0);
+      if (done <= 0) {  // backpressure: count the remainder, keep serving
+        e->kernel_drops += n - off;
+        break;
+      }
+      off += done;
+      sent_total += done;
+    }
+    n = 0;
+  };
+  for (int64_t i = 0; i < rows; ++i) {
+    if (sizes[i] <= 0) continue;  // inactive slot, not a drop
+    if (!e->has_dest[static_cast<size_t>(i)]) {
+      ++e->no_dest_drops;
+      continue;
+    }
+    uint8_t* hd = headers[n];
+    hd[0] = static_cast<uint8_t>(i >> 8);
+    hd[1] = static_cast<uint8_t>(i);
+    hd[2] = static_cast<uint8_t>(seq >> 24);
+    hd[3] = static_cast<uint8_t>(seq >> 16);
+    hd[4] = static_cast<uint8_t>(seq >> 8);
+    hd[5] = static_cast<uint8_t>(seq);
+    iovs[n][0] = {hd, kHeaderBytes};
+    iovs[n][1] = {const_cast<uint8_t*>(wire + i * stride),
+                  static_cast<size_t>(sizes[i])};
+    std::memset(&msgs[n], 0, sizeof(msgs[n]));
+    msgs[n].msg_hdr.msg_name = &e->dests[static_cast<size_t>(i)];
+    msgs[n].msg_hdr.msg_namelen = sizeof(sockaddr_in);
+    msgs[n].msg_hdr.msg_iov = iovs[n];
+    msgs[n].msg_hdr.msg_iovlen = 2;
+    if (++n == kBatch) flush();
+  }
+  flush();
+  e->sent += sent_total;
+  return sent_total;
+}
+
+void lyra_egress_stats(void* h, int64_t* sent, int64_t* no_dest_drops,
+                       int64_t* kernel_drops) {
+  auto* e = static_cast<UdpEgress*>(h);
+  *sent = e->sent;
+  *no_dest_drops = e->no_dest_drops;
+  *kernel_drops = e->kernel_drops;
+}
+
+}  // extern "C"

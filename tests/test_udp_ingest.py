@@ -170,3 +170,78 @@ def test_pump_admission_churn_under_load():
         for _ in range(64 + 1):
             pkts, received, sizes = pump.collect()
         assert not received.any()  # rings fully drained
+
+
+def test_egress_routes_per_slot_with_exact_payloads():
+    """Native egress: per-slot routing, header layout, zero-copy payload
+    exactness, inactive slots skipped, and loud geometry refusal."""
+    from lyra_tpu.tools.udp_egress import UdpEgress
+
+    rx_a = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx_b = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    for rx in (rx_a, rx_b):
+        rx.bind(("127.0.0.1", 0))
+        rx.settimeout(2.0)
+
+    eg = UdpEgress(6)
+    for slot in (0, 2, 4):
+        eg.set_dest(slot, "127.0.0.1", rx_a.getsockname()[1])
+    for slot in (1, 3):
+        eg.set_dest(slot, "127.0.0.1", rx_b.getsockname()[1])
+    # slot 5 has no destination: active traffic to it is a counted drop.
+
+    rng = np.random.RandomState(2)
+    wire = rng.randint(0, 256, (6, 23), np.int32).astype(np.uint8)
+    sizes = np.array([8, 23, 0, 7, 1, 9], np.int32)
+    n = eg.send(wire, sizes, seq=7)
+    assert n == 4  # slots 0,1,3,4 (2 inactive, 5 unrouted)
+
+    def drain(rx, want):
+        got = {}
+        while len(got) < want:
+            d = rx.recvfrom(2048)[0]
+            got[int.from_bytes(d[:2], "big")] = d
+        return got
+
+    got_a, got_b = drain(rx_a, 2), drain(rx_b, 2)
+    assert set(got_a) == {0, 4} and set(got_b) == {1, 3}
+    for slot, d in {**got_a, **got_b}.items():
+        assert int.from_bytes(d[2:6], "big") == 7
+        assert d[6:] == wire[slot, : sizes[slot]].tobytes()
+
+    st = eg.stats()
+    assert st == {"sent": 4, "no_dest_drops": 1, "kernel_drops": 0}
+
+    # Loud refusals: oversize row, bad shapes, closed handle.
+    with pytest.raises(ValueError, match="exceeds the wire stride"):
+        eg.send(wire, np.full(6, 24, np.int32), 0)
+    with pytest.raises(ValueError, match="does not match"):
+        eg.send(wire, np.zeros(5, np.int32), 0)
+    with pytest.raises(ValueError, match="bad egress destination"):
+        eg.set_dest(99, "127.0.0.1", rx_a.getsockname()[1])
+    eg.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        eg.send(wire, sizes, 0)
+    rx_a.close()
+    rx_b.close()
+
+
+def test_egress_int16_pcm_rows_reinterpret_as_bytes():
+    """The decode server emits int16 PCM hops; egress views rows as bytes
+    (the serve_main decode-mode downlink path)."""
+    from lyra_tpu.tools.udp_egress import UdpEgress
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2.0)
+    eg = UdpEgress(2, dest=("127.0.0.1", rx.getsockname()[1]))
+    pcm = np.array([[-32768, -1, 0, 1, 32767],
+                    [5, 6, 7, 8, 9]], np.int16)
+    n = eg.send(pcm, np.full(2, 10, np.int32), seq=3)
+    assert n == 2
+    for _ in range(2):
+        d = rx.recvfrom(2048)[0]
+        slot = int.from_bytes(d[:2], "big")
+        assert d[6:] == pcm[slot].tobytes()
+    eg.close()
+    rx.close()
