@@ -67,9 +67,19 @@ class _PySender:
 def _make_tx(args, capacity: int):
     """The downlink sender for --echo: native sendmmsg egress (zero
     per-packet Python — the send-side twin of --ingest=native) or the
-    per-datagram Python loop."""
+    per-datagram Python loop.  --echo reply routes each slot's downlink
+    back to its last uplink source (the real-MCU shape) — native-only,
+    since the source table lives in the ingest pump."""
     if args.echo is None:
         return None
+    if args.echo == "reply":
+        if args.egress != "native" or args.ingest != "native":
+            raise ValueError(
+                "--echo reply needs --ingest native and --egress native "
+                "(the uplink source table lives in the native pump)")
+        from lyra_tpu.tools.udp_egress import UdpEgress
+
+        return UdpEgress(capacity)
     if args.egress == "native":
         from lyra_tpu.tools.udp_egress import UdpEgress
 
@@ -98,10 +108,12 @@ def _maybe_shard(engine, n_devices: int):
 def _parse_echo(spec: str):
     if spec == "none":
         return None
+    if spec == "reply":
+        return "reply"
     host, _, port = spec.rpartition(":")
     if not host:
         raise argparse.ArgumentTypeError(
-            f"--echo must be host:port or 'none', got {spec!r}")
+            f"--echo must be host:port, 'reply', or 'none', got {spec!r}")
     return host, int(port)
 
 
@@ -303,6 +315,8 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
                 continue  # pipeline priming
             wire, out_sizes = out
             if tx is not None:
+                if args.echo == "reply":
+                    tx.route_from_pump(pump)
                 tx.send(wire, out_sizes, ticks)
             ticks += 1
 
@@ -360,9 +374,12 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "matrix (zero per-packet Python); python: "
                         "per-datagram sendto loop (no native lib needed).")
     p.add_argument("--echo", type=_parse_echo, default=None,
-                   metavar="HOST:PORT|none",
-                   help="Where decoded PCM hops go (same 6 B header + "
-                        "int16 samples).  Default: none (stats only).")
+                   metavar="HOST:PORT|reply|none",
+                   help="Where downlink datagrams go (same 6 B header). "
+                        "'reply' routes each slot back to its last uplink "
+                        "source — the real-MCU shape (decode/bridge modes "
+                        "with native ingest+egress).  Default: none "
+                        "(stats only).")
     p.add_argument("--report_every", type=float, default=1.0)
     p.add_argument("--mode", choices=("decode", "encode", "bridge"),
                    default="decode",
@@ -384,6 +401,10 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "single chip.")
     args = p.parse_args(argv)
 
+    if args.echo == "reply" and args.mode == "encode":
+        p.error("--echo reply needs an ingest pump with uplink sources; "
+                "the encode relay's inbound PCM drain has none "
+                "(use decode or bridge mode)")
     if args.mode == "encode":
         return _serve_encode(args, _on_ready, _stop)
     if args.mode == "bridge":
@@ -453,6 +474,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
             if tx is not None:
                 # Every slot ships its hop (PLC/CNG fills inactive gaps);
                 # int16 PCM rows reinterpret as bytes on the wire.
+                if args.echo == "reply":
+                    tx.route_from_pump(pump)
                 tx.send(np.ascontiguousarray(out), pcm_sizes, ticks)
             ticks += 1
 

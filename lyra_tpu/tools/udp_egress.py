@@ -116,6 +116,19 @@ class UdpEgress:
                 f"capacity ({w8.shape[0]} > {self.capacity})")
         return int(n)
 
+    def route_from_pump(self, pump) -> int:
+        """Reply routing: copy the ingest pump's last-seen uplink source
+        per slot into this egress's destination table (one native call —
+        slots that have never spoken keep their existing route).  The
+        real-MCU shape: downlink goes back where the uplink came from.
+        Returns how many slots are now pump-routed."""
+        self._check_open()
+        pump._check_open()
+        n = self._lib.lyra_egress_route_from_pump(self._h, pump._h)
+        if n < 0:
+            raise RuntimeError("reply-route sync failed")
+        return int(n)
+
     def stats(self) -> dict:
         """sent = datagrams handed to the kernel; no_dest_drops = active
         slots with no route; kernel_drops = sendmmsg backpressure."""

@@ -77,6 +77,12 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_egress_send.restype = i64
     lib.lyra_egress_stats.argtypes = [vp, i64p, i64p, i64p]
     lib.lyra_egress_stats.restype = None
+    lib.lyra_pump_copy_sources.argtypes = [
+        vp, i64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint16), u8p]
+    lib.lyra_pump_copy_sources.restype = i64
+    lib.lyra_egress_route_from_pump.argtypes = [vp, vp]
+    lib.lyra_egress_route_from_pump.restype = i64
     return lib
 
 

@@ -152,6 +152,40 @@ int64_t lyra_egress_send(void* h, const uint8_t* wire, const int32_t* sizes,
   return sent_total;
 }
 
+// udp_pump.cc (same shared library).
+int64_t lyra_pump_copy_sources(void* h, int64_t rows, uint32_t* ip_be,
+                               uint16_t* port_be, uint8_t* known);
+
+// Reply routing: copy the pump's last-seen uplink source per slot into
+// this egress's destination table (slots that have never spoken keep
+// their existing route, if any).  One native call per tick replaces any
+// per-slot Python address bookkeeping; returns how many slots are now
+// routed from pump sources, or -1 on a null pump.
+int64_t lyra_egress_route_from_pump(void* h, void* pump) {
+  auto* e = static_cast<UdpEgress*>(h);
+  if (pump == nullptr) return -1;
+  const int64_t rows = static_cast<int64_t>(e->dests.size());
+  std::vector<uint32_t> ip(static_cast<size_t>(rows));
+  std::vector<uint16_t> port(static_cast<size_t>(rows));
+  std::vector<uint8_t> known(static_cast<size_t>(rows));
+  if (lyra_pump_copy_sources(pump, rows, ip.data(), port.data(),
+                             known.data()) < 0) {
+    return -1;
+  }
+  int64_t routed = 0;
+  for (int64_t i = 0; i < rows; ++i) {
+    if (!known[static_cast<size_t>(i)]) continue;
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = ip[static_cast<size_t>(i)];
+    addr.sin_port = port[static_cast<size_t>(i)];
+    e->dests[static_cast<size_t>(i)] = addr;
+    e->has_dest[static_cast<size_t>(i)] = 1;
+    ++routed;
+  }
+  return routed;
+}
+
 void lyra_egress_stats(void* h, int64_t* sent, int64_t* no_dest_drops,
                        int64_t* kernel_drops) {
   auto* e = static_cast<UdpEgress*>(h);

@@ -53,6 +53,18 @@ constexpr int kHeaderBytes = 6;   // 2 B slot + 4 B seq, big-endian
 constexpr int kBatch = 256;       // datagrams per recvmmsg call
 constexpr int kMaxDatagram = 64;  // header + widest Lyra packet (23 B)
 
+// Last-seen uplink source per slot (the 2-byte wire slot field bounds the
+// table).  Reply routing (lyra_egress_route_from_pump, udp_egress.cc)
+// copies these into the egress destination table so downlink datagrams go
+// back where the uplink came from — the real-MCU shape.
+constexpr int kMaxSlots = 65536;
+
+struct SlotSource {
+  uint32_t ip_be = 0;   // network byte order
+  uint16_t port_be = 0; // network byte order
+  uint8_t known = 0;
+};
+
 struct UdpPump {
   void* jb = nullptr;
   int fd = -1;
@@ -68,9 +80,11 @@ struct UdpPump {
   int64_t insert_drops = 0;    // filed but dropped by the jitter buffer
                                // (late/dup/overflow/inactive — its counters
                                // hold the breakdown)
+  std::vector<SlotSource> sources = std::vector<SlotSource>(kMaxSlots);
 
   void Run() {
     std::vector<uint8_t> bufs(kBatch * kMaxDatagram);
+    sockaddr_in srcs[kBatch];
     mmsghdr msgs[kBatch];
     iovec iovs[kBatch];
     for (int i = 0; i < kBatch; ++i) {
@@ -82,6 +96,11 @@ struct UdpPump {
     while (!stop.load(std::memory_order_relaxed)) {
       pollfd pfd{fd, POLLIN, 0};
       if (poll(&pfd, 1, /*timeout_ms=*/50) <= 0) continue;
+      for (int i = 0; i < kBatch; ++i) {
+        // recvmmsg rewrites name lengths per datagram; re-arm each round.
+        msgs[i].msg_hdr.msg_name = &srcs[i];
+        msgs[i].msg_hdr.msg_namelen = sizeof(srcs[i]);
+      }
       int n = recvmmsg(fd, msgs, kBatch, MSG_DONTWAIT, nullptr);
       if (n <= 0) continue;
       std::lock_guard<std::mutex> lock(mu);
@@ -97,6 +116,13 @@ struct UdpPump {
         const int64_t seq = (int64_t{d[2]} << 24) | (int64_t{d[3]} << 16) |
                             (int64_t{d[4]} << 8) | d[5];
         ++datagrams;
+        if (msgs[i].msg_hdr.msg_namelen >= sizeof(sockaddr_in) &&
+            srcs[i].sin_family == AF_INET) {
+          auto& s = sources[static_cast<size_t>(slot)];
+          s.ip_be = srcs[i].sin_addr.s_addr;
+          s.port_be = srcs[i].sin_port;
+          s.known = 1;
+        }
         if (lyra_jb_insert(jb, slot, seq, d + kHeaderBytes,
                            len - kHeaderBytes) != 0) {
           ++insert_drops;  // counted transport event, never fatal
@@ -189,6 +215,26 @@ void lyra_pump_jb_stats(void* h, int64_t* late, int64_t* dup,
   auto* p = static_cast<UdpPump*>(h);
   std::lock_guard<std::mutex> lock(p->mu);
   lyra_jb_stats2(p->jb, late, dup, overflow, inactive);
+}
+
+// Copies the first `rows` last-seen uplink sources (network byte order)
+// under the pump lock; `known[i]`=0 means slot i has never spoken.
+// Returns how many of the copied rows are known.  Reply routing's bulk
+// read — see lyra_egress_route_from_pump (udp_egress.cc).
+int64_t lyra_pump_copy_sources(void* h, int64_t rows, uint32_t* ip_be,
+                               uint16_t* port_be, uint8_t* known) {
+  auto* p = static_cast<UdpPump*>(h);
+  if (rows < 0 || rows > kMaxSlots) return -1;
+  std::lock_guard<std::mutex> lock(p->mu);
+  int64_t n = 0;
+  for (int64_t i = 0; i < rows; ++i) {
+    const SlotSource& s = p->sources[static_cast<size_t>(i)];
+    ip_be[i] = s.ip_be;
+    port_be[i] = s.port_be;
+    known[i] = s.known;
+    n += s.known;
+  }
+  return n;
 }
 
 // Benchmark sender: blasts `n` datagrams (header + payload_size zero

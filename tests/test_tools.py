@@ -563,3 +563,68 @@ def test_serve_main_bridge_sharded_over_mesh(model_path):
         th.join(timeout=120)
         assert not th.is_alive(), "sharded bridge loop failed to stop"
         echo_rx.close()
+
+
+def test_serve_main_bridge_reply_routing(model_path):
+    """--echo reply: each caller's downlink comes back to the socket their
+    uplink left from (per-slot reply routing via the native pump's source
+    table); encode mode refuses the flag loudly."""
+    import socket
+    import threading
+    import time
+
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    with pytest.raises(SystemExit):
+        serve_main.main(["--mode", "encode", "--echo", "reply",
+                         "--model_path", model_path])
+    with pytest.raises(ValueError, match="needs --ingest native"):
+        serve_main.main(["--mode", "bridge", "--echo", "reply",
+                         "--ingest", "python", "--capacity", "4",
+                         "--model_path", model_path])
+
+    stop = threading.Event()
+    ready = threading.Event()
+    box = {}
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--mode", "bridge", "--capacity", "4", "--room_size", "2",
+              "--seconds", "0", "--bitrate", "3200", "--max_bitrate",
+              "3200", "--model_path", model_path, "--playout_delay", "1",
+              "--ingest", "native", "--egress", "native",
+              "--report_every", "30", "--echo", "reply"],
+        _on_ready=lambda port: (box.update(port=port), ready.set()),
+        _stop=stop))
+    th.start()
+    try:
+        assert ready.wait(120), "bridge never bound its port"
+        callers = []
+        for _ in range(4):
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            s.bind(("127.0.0.1", 0))
+            s.settimeout(0.05)
+            callers.append(s)
+        wire = pkt.pack_indices_batch(np.zeros((4, 16), np.int32), 64)
+        got = set()
+        deadline = time.time() + 240
+        seq = 0
+        while len(got) < 4 and time.time() < deadline:
+            for slot, s in enumerate(callers):
+                s.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                         + wire[slot].tobytes(), ("127.0.0.1", box["port"]))
+            seq += 1
+            for slot, s in enumerate(callers):
+                try:
+                    d = s.recvfrom(2048)[0]
+                    # The downlink on MY socket must be MY slot's.
+                    assert int.from_bytes(d[:2], "big") == slot
+                    got.add(slot)
+                except socket.timeout:
+                    pass
+        for s in callers:
+            s.close()
+        assert got == {0, 1, 2, 3}, f"reply routing reached only {got}"
+    finally:
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive(), "bridge loop failed to stop"

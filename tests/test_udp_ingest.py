@@ -245,3 +245,57 @@ def test_egress_int16_pcm_rows_reinterpret_as_bytes():
         assert d[6:] == pcm[slot].tobytes()
     eg.close()
     rx.close()
+
+
+def test_egress_reply_routing_from_pump_sources():
+    """route_from_pump copies each slot's last uplink source into the
+    egress table: downlink goes back where the uplink came from, sources
+    update when a caller re-homes, and silent slots stay unrouted."""
+    from lyra_tpu.tools.udp_egress import UdpEgress
+
+    jb = JitterBuffer(capacity=4, packet_size=23, depth=4)
+    with UdpIngest(jb) as pump:
+        for s in range(4):
+            pump.add_stream(s)
+        # Two caller sockets; slot 3 never speaks.
+        a = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        b = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for sock in (a, b):
+            sock.bind(("127.0.0.1", 0))
+            sock.settimeout(2.0)
+        for slot, sock in ((0, a), (1, b), (2, a)):
+            sock.sendto(slot.to_bytes(2, "big") + (0).to_bytes(4, "big")
+                        + b"\x00" * 8, ("127.0.0.1", pump.port))
+        deadline = time.time() + 5
+        while pump.stats()["datagrams"] < 3 and time.time() < deadline:
+            time.sleep(0.01)
+
+        eg = UdpEgress(4)
+        assert eg.route_from_pump(pump) == 3
+        wire = np.arange(4 * 5, dtype=np.uint8).reshape(4, 5)
+        sizes = np.full(4, 5, np.int32)
+        assert eg.send(wire, sizes, seq=9) == 3  # slot 3 unrouted
+        got = {}
+        for sock in (a, b):
+            try:
+                while True:
+                    d = sock.recvfrom(2048)[0]
+                    got[int.from_bytes(d[:2], "big")] = sock
+            except socket.timeout:
+                pass
+        assert {s: got[s] for s in got} == {0: a, 1: b, 2: a}
+        assert eg.stats()["no_dest_drops"] == 1
+
+        # Caller 2 re-homes to socket b; the route follows.
+        b.sendto((2).to_bytes(2, "big") + (1).to_bytes(4, "big")
+                 + b"\x00" * 8, ("127.0.0.1", pump.port))
+        deadline = time.time() + 5
+        while pump.stats()["datagrams"] < 4 and time.time() < deadline:
+            time.sleep(0.01)
+        eg.route_from_pump(pump)
+        eg.send(wire, np.array([0, 0, 5, 0], np.int32), seq=10)
+        d = b.recvfrom(2048)[0]
+        assert int.from_bytes(d[:2], "big") == 2
+        eg.close()
+        a.close()
+        b.close()
