@@ -64,25 +64,21 @@ class _PySender:
         self._sock.close()
 
 
-def _make_tx(args, capacity: int):
+def _make_tx(args, capacity: int, pump=None):
     """The downlink sender for --echo: native sendmmsg egress (zero
     per-packet Python — the send-side twin of --ingest=native) or the
     per-datagram Python loop.  --echo reply routes each slot's downlink
-    back to its last uplink source (the real-MCU shape) — native-only,
-    since the source table lives in the ingest pump."""
+    back to its last uplink source (the real-MCU shape), sending from the
+    pump's own socket so NAT'd callers receive it; the flag combination
+    is validated at parse time in main()."""
     if args.echo is None:
         return None
-    if args.echo == "reply":
-        if args.egress != "native" or args.ingest != "native":
-            raise ValueError(
-                "--echo reply needs --ingest native and --egress native "
-                "(the uplink source table lives in the native pump)")
+    from_pump = args.echo == "reply"
+    if from_pump or args.egress == "native":
         from lyra_tpu.tools.udp_egress import UdpEgress
 
-        return UdpEgress(capacity)
-    if args.egress == "native":
-        from lyra_tpu.tools.udp_egress import UdpEgress
-
+        if from_pump:
+            return UdpEgress.on_pump(pump, capacity)
         return UdpEgress(capacity, dest=args.echo)
     return _PySender(args.echo)
 
@@ -227,9 +223,9 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     uses the pipelined tick (one 20 ms tick of added latency; device
     compute, D2H, and host packet IO overlap — see
     ConferenceBridge.tick_wire_async)."""
+    from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
     from lyra_tpu.tools.conference import ConferenceBridge
 
-    dec_e = enc_e = None
     if args.devices > 1:
         # Consecutive rooms stay shard-local iff rooms tile the per-shard
         # seat count; refuse up front rather than at the first tick
@@ -242,15 +238,16 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
                 f"--capacity={args.capacity} in rooms of {args.room_size} "
                 f"does not tile {args.devices} shards of {per} seats; pick "
                 "capacity = devices * k * room_size")
-        from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
-
-        dec_e = _maybe_shard(
-            DecoderEngine(model_path=args.model_path,
-                          max_bitrate=args.max_bitrate,
-                          emit_dtype="int16"), args.devices)
-        enc_e = _maybe_shard(
-            EncoderEngine(model_path=args.model_path,
-                          max_bitrate=args.max_bitrate), args.devices)
+    # Engines are built here (not left to the bridge's defaults) so
+    # --max_bitrate caps the compiled program identically at every
+    # --devices count.
+    dec_e = _maybe_shard(
+        DecoderEngine(model_path=args.model_path,
+                      max_bitrate=args.max_bitrate,
+                      emit_dtype="int16"), args.devices)
+    enc_e = _maybe_shard(
+        EncoderEngine(model_path=args.model_path,
+                      max_bitrate=args.max_bitrate), args.devices)
     bridge = ConferenceBridge(args.capacity, model_path=args.model_path,
                               bitrate=args.bitrate,
                               dec_engine=dec_e, enc_engine=enc_e)
@@ -274,7 +271,7 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     ingest = pump or jb
     for slot in range(args.capacity):
         ingest.add_stream(slot, playout_delay=args.playout_delay)
-    tx = _make_tx(args, args.capacity)
+    tx = _make_tx(args, args.capacity, pump)
 
     print(f"bridging {args.capacity} participants in rooms of "
           f"{args.room_size} on UDP :{port} (ingest={args.ingest}, "
@@ -333,12 +330,12 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
         pass
     finally:
         bridge.flush_async()
+        if tx is not None:
+            tx.close()  # before the pump: reply egress borrows its fd
         if pump is not None:
             pump.close()
         if rx is not None:
             rx.close()
-        if tx is not None:
-            tx.close()
     lat = np.array(tick_ms) if tick_ms else np.zeros(1)
     print(f"bridged {ticks} ticks; tick_ms p50={np.median(lat):.1f} "
           f"p95={np.percentile(lat, 95):.1f}", flush=True)
@@ -401,10 +398,18 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "single chip.")
     args = p.parse_args(argv)
 
-    if args.echo == "reply" and args.mode == "encode":
-        p.error("--echo reply needs an ingest pump with uplink sources; "
-                "the encode relay's inbound PCM drain has none "
-                "(use decode or bridge mode)")
+    if args.echo == "reply":
+        # Refused before any model/engine construction: the reply route
+        # table lives in the native pump and the downlink must leave from
+        # its socket.
+        if args.mode == "encode":
+            p.error("--echo reply needs an ingest pump with uplink "
+                    "sources; the encode relay's inbound PCM drain has "
+                    "none (use decode or bridge mode)")
+        if args.ingest != "native" or args.egress != "native":
+            p.error("--echo reply needs --ingest native and --egress "
+                    "native (the uplink source table lives in the native "
+                    "pump, and downlink must leave from its socket)")
     if args.mode == "encode":
         return _serve_encode(args, _on_ready, _stop)
     if args.mode == "bridge":
@@ -433,7 +438,7 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     for slot in dec.add_streams(range(args.capacity)).values():
         ingest.add_stream(slot, playout_delay=args.playout_delay)
 
-    tx = _make_tx(args, args.capacity)
+    tx = _make_tx(args, args.capacity, pump)
     pcm_sizes = np.full(args.capacity, dec.hop_samples * 2, np.int32)
 
     print(f"serving {args.capacity} streams on UDP :{port} "
@@ -495,12 +500,12 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
         pass
     finally:
         dec.flush_async()
+        if tx is not None:
+            tx.close()  # before the pump: reply egress borrows its fd
         if pump is not None:
             pump.close()
         if rx is not None:
             rx.close()
-        if tx is not None:
-            tx.close()
     lat = np.array(tick_ms) if tick_ms else np.zeros(1)
     print(f"served {ticks} ticks; tick_ms p50={np.median(lat):.1f} "
           f"p95={np.percentile(lat, 95):.1f}", flush=True)

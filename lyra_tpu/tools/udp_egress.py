@@ -42,19 +42,41 @@ def _resolve(host: str) -> bytes:
 
 class UdpEgress:
     def __init__(self, capacity: int,
-                 dest: Optional[Tuple[str, int]] = None):
+                 dest: Optional[Tuple[str, int]] = None, *, _pump=None):
         """One socket routing up to `capacity` slots; `dest` routes every
-        slot to one sink (the --echo case)."""
+        slot to one sink (the --echo case).  Capacity is bounded by the
+        2-byte wire slot field (a larger table would alias slots in the
+        header — refused loudly)."""
+        if not 0 < capacity <= 65536:
+            raise ValueError(
+                f"capacity {capacity} outside the 2-byte wire slot field "
+                "(1..65536)")
         lib = native.load()
         if lib is None:
             raise RuntimeError("native library unavailable; build native/")
         self._lib = lib
-        self._h = lib.lyra_egress_create(capacity)
+        if _pump is not None:
+            _pump._check_open()
+            self._h = lib.lyra_egress_create_on_pump(_pump._h, capacity)
+        else:
+            self._h = lib.lyra_egress_create(capacity)
         if not self._h:
             raise RuntimeError("UDP egress socket creation failed")
+        # Keepalive ordering: an on-pump egress borrows the pump's fd, so
+        # the pump must outlive this object (close() before pump.close()).
+        self._pump_keepalive = _pump
         self.capacity = capacity
         if dest is not None:
             self.set_dest_all(*dest)
+
+    @classmethod
+    def on_pump(cls, pump, capacity: int) -> "UdpEgress":
+        """Egress on the ingest pump's own socket: downlink leaves from
+        the exact address:port the uplink was sent to, which a
+        port-restricted/symmetric NAT requires (its mapping is per
+        5-tuple) — the reply-mode transport shape.  Close this egress
+        before the pump."""
+        return cls(capacity, _pump=pump)
 
     def close(self) -> None:
         h = getattr(self, "_h", None)

@@ -83,6 +83,10 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_pump_copy_sources.restype = i64
     lib.lyra_egress_route_from_pump.argtypes = [vp, vp]
     lib.lyra_egress_route_from_pump.restype = i64
+    lib.lyra_pump_get_fd.argtypes = [vp]
+    lib.lyra_pump_get_fd.restype = ctypes.c_int
+    lib.lyra_egress_create_on_pump.argtypes = [vp, i64]
+    lib.lyra_egress_create_on_pump.restype = vp
     return lib
 
 

@@ -40,6 +40,8 @@ constexpr int kBatch = 256;      // datagrams per sendmmsg call
 
 struct UdpEgress {
   int fd = -1;
+  bool own_fd = true;  // borrowed fds (reply mode on the pump socket)
+                       // are closed by their owner, not here
   std::vector<sockaddr_in> dests;  // per-slot destination
   std::vector<uint8_t> has_dest;
   // stats
@@ -48,28 +50,52 @@ struct UdpEgress {
   int64_t kernel_drops = 0;  // sendmmsg backpressure (short count/ENOBUFS)
 };
 
-}  // namespace
-
-extern "C" {
-
-// One socket, `capacity` slot destinations (unset until
-// lyra_egress_set_dest).  Returns nullptr on socket failure.
-void* lyra_egress_create(int64_t capacity) {
-  if (capacity <= 0) return nullptr;
-  int fd = socket(AF_INET, SOCK_DGRAM, 0);
-  if (fd < 0) return nullptr;
-  int sndbuf = 8 * 1024 * 1024;  // burst headroom, mirroring the pump
-  setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sndbuf, sizeof(sndbuf));
+UdpEgress* MakeEgress(int fd, bool own_fd, int64_t capacity) {
   auto* e = new UdpEgress;
   e->fd = fd;
+  e->own_fd = own_fd;
   e->dests.resize(static_cast<size_t>(capacity));
   e->has_dest.assign(static_cast<size_t>(capacity), 0);
   return e;
 }
 
+}  // namespace
+
+extern "C" {
+
+// udp_pump.cc (same shared library).
+int lyra_pump_get_fd(void* h);
+
+// One socket, `capacity` slot destinations (unset until
+// lyra_egress_set_dest).  Capacity is bounded by the 2-byte wire slot
+// field — a larger table would silently alias slots in the header.
+// Returns nullptr on socket failure or bad capacity.
+void* lyra_egress_create(int64_t capacity) {
+  if (capacity <= 0 || capacity > 65536) return nullptr;
+  int fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return nullptr;
+  int sndbuf = 8 * 1024 * 1024;  // burst headroom, mirroring the pump
+  setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sndbuf, sizeof(sndbuf));
+  return MakeEgress(fd, /*own_fd=*/true, capacity);
+}
+
+// Egress on the ingest pump's own socket: downlink leaves from the exact
+// address:port the uplink was sent to, so a caller behind a
+// port-restricted/symmetric NAT (whose mapping is per 5-tuple) receives
+// it — required for --echo reply beyond loopback.  Concurrent recvmmsg
+// (pump thread) and sendmmsg (serving thread) on one UDP socket are
+// kernel-safe.  The fd stays owned by the pump; destroy this egress
+// BEFORE the pump.
+void* lyra_egress_create_on_pump(void* pump, int64_t capacity) {
+  if (pump == nullptr || capacity <= 0 || capacity > 65536) return nullptr;
+  int fd = lyra_pump_get_fd(pump);
+  if (fd < 0) return nullptr;
+  return MakeEgress(fd, /*own_fd=*/false, capacity);
+}
+
 void lyra_egress_destroy(void* h) {
   auto* e = static_cast<UdpEgress*>(h);
-  close(e->fd);
+  if (e->own_fd) close(e->fd);
   delete e;
 }
 
@@ -156,11 +182,14 @@ int64_t lyra_egress_send(void* h, const uint8_t* wire, const int32_t* sizes,
 int64_t lyra_pump_copy_sources(void* h, int64_t rows, uint32_t* ip_be,
                                uint16_t* port_be, uint8_t* known);
 
-// Reply routing: copy the pump's last-seen uplink source per slot into
-// this egress's destination table (slots that have never spoken keep
-// their existing route, if any).  One native call per tick replaces any
-// per-slot Python address bookkeeping; returns how many slots are now
-// routed from pump sources, or -1 on a null pump.
+// Reply routing: make the pump's source table authoritative for this
+// egress — slots with a last-seen uplink source get it as their route,
+// slots without one (never spoke, or cleared by slot churn) lose any
+// route they had.  Clearing matters: keeping a stale route after
+// remove_stream/add_stream would leak the new occupant's downlink to the
+// departed caller's address.  (Consequently set_dest and route_from_pump
+// don't compose — reply mode owns the whole table.)  One native call per
+// tick; returns how many slots are routed, or -1 on a null pump.
 int64_t lyra_egress_route_from_pump(void* h, void* pump) {
   auto* e = static_cast<UdpEgress*>(h);
   if (pump == nullptr) return -1;
@@ -174,7 +203,10 @@ int64_t lyra_egress_route_from_pump(void* h, void* pump) {
   }
   int64_t routed = 0;
   for (int64_t i = 0; i < rows; ++i) {
-    if (!known[static_cast<size_t>(i)]) continue;
+    if (!known[static_cast<size_t>(i)]) {
+      e->has_dest[static_cast<size_t>(i)] = 0;
+      continue;
+    }
     sockaddr_in addr{};
     addr.sin_family = AF_INET;
     addr.sin_addr.s_addr = ip[static_cast<size_t>(i)];

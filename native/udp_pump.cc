@@ -116,16 +116,22 @@ struct UdpPump {
         const int64_t seq = (int64_t{d[2]} << 24) | (int64_t{d[3]} << 16) |
                             (int64_t{d[4]} << 8) | d[5];
         ++datagrams;
-        if (msgs[i].msg_hdr.msg_namelen >= sizeof(sockaddr_in) &&
-            srcs[i].sin_family == AF_INET) {
+        if (lyra_jb_insert(jb, slot, seq, d + kHeaderBytes,
+                           len - kHeaderBytes) != 0) {
+          ++insert_drops;  // counted transport event, never fatal
+        } else if (msgs[i].msg_hdr.msg_namelen >= sizeof(sockaddr_in) &&
+                   srcs[i].sin_family == AF_INET) {
+          // Learn the reply route only from datagrams the jitter buffer
+          // accepted (active slot, in-window sequence): rejected traffic
+          // (inactive/late/dup/overflow) must not repoint a slot's
+          // downlink.  Note this is plain-RTP-grade trust — an on-path or
+          // guessing sender that lands a valid (slot, seq) still steers
+          // the route; deployments that need more wrap the transport in
+          // DTLS/SRTP, which the reference leaves to the app layer too.
           auto& s = sources[static_cast<size_t>(slot)];
           s.ip_be = srcs[i].sin_addr.s_addr;
           s.port_be = srcs[i].sin_port;
           s.known = 1;
-        }
-        if (lyra_jb_insert(jb, slot, seq, d + kHeaderBytes,
-                           len - kHeaderBytes) != 0) {
-          ++insert_drops;  // counted transport event, never fatal
         }
       }
     }
@@ -164,6 +170,11 @@ void* lyra_pump_create(void* jb, int port) {
 
 int lyra_pump_port(void* h) { return static_cast<UdpPump*>(h)->port; }
 
+// The pump's socket fd, for reply-mode egress on the same socket
+// (lyra_egress_create_on_pump, udp_egress.cc): downlink must leave from
+// the port the uplink was addressed to or NAT'd callers never see it.
+int lyra_pump_get_fd(void* h) { return static_cast<UdpPump*>(h)->fd; }
+
 // Largest datagram the receive buffers hold (header + payload); callers
 // validate their packet_size against this at construction, loudly.
 int lyra_pump_max_datagram(void) { return kMaxDatagram; }
@@ -182,12 +193,21 @@ int lyra_pump_add_stream(void* h, int64_t stream, int64_t start_seq,
                          int64_t playout_delay) {
   auto* p = static_cast<UdpPump*>(h);
   std::lock_guard<std::mutex> lock(p->mu);
+  // A slot changing hands must not inherit the previous occupant's reply
+  // route: downlink for the new participant would leak to the departed
+  // caller's address until the new one first speaks.
+  if (stream >= 0 && stream < kMaxSlots) {
+    p->sources[static_cast<size_t>(stream)] = SlotSource{};
+  }
   return lyra_jb_add_stream(p->jb, stream, start_seq, playout_delay);
 }
 
 int lyra_pump_remove_stream(void* h, int64_t stream) {
   auto* p = static_cast<UdpPump*>(h);
   std::lock_guard<std::mutex> lock(p->mu);
+  if (stream >= 0 && stream < kMaxSlots) {
+    p->sources[static_cast<size_t>(stream)] = SlotSource{};  // see add
+  }
   return lyra_jb_remove_stream(p->jb, stream);
 }
 

@@ -576,10 +576,12 @@ def test_serve_main_bridge_reply_routing(model_path):
     from lyra_tpu import packet as pkt
     from lyra_tpu.tools import serve_main
 
+    # Both bad flag combinations are refused at parse time, before any
+    # model/engine construction.
     with pytest.raises(SystemExit):
         serve_main.main(["--mode", "encode", "--echo", "reply",
                          "--model_path", model_path])
-    with pytest.raises(ValueError, match="needs --ingest native"):
+    with pytest.raises(SystemExit):
         serve_main.main(["--mode", "bridge", "--echo", "reply",
                          "--ingest", "python", "--capacity", "4",
                          "--model_path", model_path])

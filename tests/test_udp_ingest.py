@@ -299,3 +299,84 @@ def test_egress_reply_routing_from_pump_sources():
         eg.close()
         a.close()
         b.close()
+
+
+def test_reply_route_cleared_on_slot_churn_and_rejected_sources_ignored():
+    """Slot churn must not leak the new occupant's downlink to the
+    departed caller, and datagrams the jitter buffer rejects must not
+    repoint a route."""
+    from lyra_tpu.tools.udp_egress import UdpEgress
+
+    jb = JitterBuffer(capacity=2, packet_size=23, depth=4)
+    with UdpIngest(jb) as pump:
+        pump.add_stream(0)
+        a = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        b = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for sock in (a, b):
+            sock.bind(("127.0.0.1", 0))
+            sock.settimeout(0.5)
+
+        def speak(sock, slot, seq):
+            sock.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                        + b"\x00" * 8, ("127.0.0.1", pump.port))
+
+        speak(a, 0, 0)
+        deadline = time.time() + 5
+        while pump.stats()["datagrams"] < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        eg = UdpEgress(2)
+        assert eg.route_from_pump(pump) == 1
+
+        # Slot 0 changes hands: A's route must die with the eviction even
+        # though the new occupant hasn't spoken yet.
+        pump.remove_stream(0)
+        pump.add_stream(0)
+        assert eg.route_from_pump(pump) == 0
+        wire = np.ones((2, 4), np.uint8)
+        assert eg.send(wire, np.array([4, 0], np.int32), seq=1) == 0
+        assert eg.stats()["no_dest_drops"] == 1
+        with pytest.raises(socket.timeout):
+            a.recvfrom(2048)
+
+        # A datagram the jitter buffer rejects (inactive slot 1) must not
+        # create a route for it.
+        speak(b, 1, 0)
+        deadline = time.time() + 5
+        while pump.stats()["datagrams"] < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        assert pump.stats()["insert_drops"] == 1
+        assert eg.route_from_pump(pump) == 0
+        eg.close()
+        a.close()
+        b.close()
+
+    # Capacity is bounded by the 2-byte wire slot field.
+    with pytest.raises(ValueError, match="slot field"):
+        UdpEgress(65537)
+
+
+def test_egress_on_pump_sends_from_the_pump_port():
+    """Reply-mode downlink must leave from the socket the uplink was sent
+    to (NAT mappings are per 5-tuple)."""
+    from lyra_tpu.tools.udp_egress import UdpEgress
+
+    jb = JitterBuffer(capacity=1, packet_size=23, depth=4)
+    with UdpIngest(jb) as pump:
+        pump.add_stream(0)
+        caller = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        caller.bind(("127.0.0.1", 0))
+        caller.settimeout(2.0)
+        caller.sendto((0).to_bytes(2, "big") + (0).to_bytes(4, "big")
+                      + b"\x00" * 8, ("127.0.0.1", pump.port))
+        deadline = time.time() + 5
+        while pump.stats()["datagrams"] < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        eg = UdpEgress.on_pump(pump, 1)
+        eg.route_from_pump(pump)
+        assert eg.send(np.ones((1, 4), np.uint8),
+                       np.array([4], np.int32), seq=2) == 1
+        dgram, src = caller.recvfrom(2048)
+        assert src[1] == pump.port  # the 5-tuple a NAT would have mapped
+        assert dgram[6:] == b"\x01" * 4
+        eg.close()  # before the pump: it borrows the pump's fd
+        caller.close()
