@@ -80,4 +80,5 @@ class JitterBuffer:
                                  ctypes.byref(inactive))
         return {"late_drops": late.value, "dup_drops": dup.value,
                 "overflow_drops": over.value,
-                "inactive_drops": inactive.value}
+                "inactive_drops": inactive.value,
+                "resyncs": int(self._lib.lyra_jb_resyncs(self._h))}

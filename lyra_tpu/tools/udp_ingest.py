@@ -129,7 +129,8 @@ class UdpIngest:
             ctypes.byref(over), ctypes.byref(inactive))
         return {"late_drops": late.value, "dup_drops": dup.value,
                 "overflow_drops": over.value,
-                "inactive_drops": inactive.value}
+                "inactive_drops": inactive.value,
+                "resyncs": int(self._lib.lyra_pump_jb_resyncs(self._h))}
 
 
 def blast(port: int, n: int, payload_size: int, streams: int,

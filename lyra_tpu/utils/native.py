@@ -46,6 +46,10 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_jb_stats.restype = None
     lib.lyra_jb_stats2.argtypes = [vp, i64p, i64p, i64p, i64p]
     lib.lyra_jb_stats2.restype = None
+    lib.lyra_jb_resyncs.argtypes = [vp]
+    lib.lyra_jb_resyncs.restype = i64
+    lib.lyra_pump_jb_resyncs.argtypes = [vp]
+    lib.lyra_pump_jb_resyncs.restype = i64
     lib.lyra_pump_create.argtypes = [vp, ctypes.c_int]
     lib.lyra_pump_create.restype = vp
     lib.lyra_pump_port.argtypes = [vp]

@@ -26,6 +26,13 @@ struct Slot {
   int64_t seq = -1;
 };
 
+// Consecutive overflow inserts on one stream before its playout point
+// resyncs to the arriving sequence.  >1 so a single stray (or hostile)
+// far-future packet cannot repoint a healthy stream's schedule; small so
+// a receiver stall or a sender with a different sequence origin recovers
+// within ~60 ms of traffic.
+constexpr int64_t kResyncAfter = 3;
+
 struct JitterBuffer {
   int64_t capacity;      // streams
   int64_t packet_size;   // bytes per packet (max)
@@ -35,10 +42,13 @@ struct JitterBuffer {
   std::vector<uint8_t> sizes;    // actual size per slot (DTX empty = 0)
   std::vector<int64_t> head_seq; // next sequence to play, per stream
   std::vector<int64_t> delay;    // remaining playout-delay ticks, per stream
+  std::vector<int64_t> delay0;   // configured playout delay (for resync)
+  std::vector<int64_t> streak;   // consecutive overflow inserts, per stream
   std::vector<uint8_t> active;   // stream slot in use
   // stats
   int64_t late_drops = 0, dup_drops = 0, overflow_drops = 0;
   int64_t inactive_drops = 0;
+  int64_t resyncs = 0;
 };
 
 }  // namespace
@@ -60,6 +70,8 @@ void* lyra_jb_create(int64_t capacity, int64_t packet_size, int64_t depth) {
   jb->sizes.resize(capacity * depth);
   jb->head_seq.assign(capacity, 0);
   jb->delay.assign(capacity, 0);
+  jb->delay0.assign(capacity, 0);
+  jb->streak.assign(capacity, 0);
   jb->active.assign(capacity, 0);
   return jb;
 }
@@ -82,6 +94,8 @@ int lyra_jb_add_stream(void* h, int64_t stream, int64_t start_seq,
   jb->active[stream] = 1;
   jb->head_seq[stream] = start_seq;
   jb->delay[stream] = playout_delay;
+  jb->delay0[stream] = playout_delay;
+  jb->streak[stream] = 0;
   for (int64_t d = 0; d < jb->depth; ++d) {
     jb->slots[stream * jb->depth + d].occupied = false;
   }
@@ -121,8 +135,27 @@ int lyra_jb_insert(void* h, int64_t stream, int64_t seq,
     return 2;
   }
   if (seq >= head + jb->depth) {
-    ++jb->overflow_drops;
-    return 4;
+    // Far ahead of the playout point.  A lone stray (or hostile) packet
+    // is a counted drop, but a *sustained* run of them means the sender
+    // is real and the schedule is stale — a receiver stall (compile,
+    // pause, migration) or a sender with a different sequence origin.  A
+    // real-time buffer must then resync or the stream is dead forever:
+    // both sides advance 50/s and the gap never closes.  Jump the
+    // playout point to the arriving sequence, re-absorb the configured
+    // playout delay, and file this packet.
+    if (++jb->streak[stream] < kResyncAfter) {
+      ++jb->overflow_drops;
+      return 4;
+    }
+    ++jb->resyncs;
+    jb->head_seq[stream] = seq;
+    jb->delay[stream] = jb->delay0[stream];
+    jb->streak[stream] = 0;
+    for (int64_t d = 0; d < jb->depth; ++d) {
+      jb->slots[stream * jb->depth + d].occupied = false;
+    }
+  } else {
+    jb->streak[stream] = 0;
   }
   Slot& slot = jb->slots[stream * jb->depth + (seq % jb->depth)];
   if (slot.occupied && slot.seq == seq) {
@@ -185,6 +218,10 @@ void lyra_jb_stats2(void* h, int64_t* late, int64_t* dup, int64_t* overflow,
                     int64_t* inactive) {
   lyra_jb_stats(h, late, dup, overflow);
   *inactive = static_cast<JitterBuffer*>(h)->inactive_drops;
+}
+
+int64_t lyra_jb_resyncs(void* h) {
+  return static_cast<JitterBuffer*>(h)->resyncs;
 }
 
 }  // extern "C"

@@ -45,6 +45,7 @@ int64_t lyra_jb_collect(void* h, uint8_t* out, uint8_t* received,
                         uint8_t* sizes);
 void lyra_jb_stats2(void* h, int64_t* late, int64_t* dup, int64_t* overflow,
                     int64_t* inactive);
+int64_t lyra_jb_resyncs(void* h);
 }
 
 namespace {
@@ -235,6 +236,12 @@ void lyra_pump_jb_stats(void* h, int64_t* late, int64_t* dup,
   auto* p = static_cast<UdpPump*>(h);
   std::lock_guard<std::mutex> lock(p->mu);
   lyra_jb_stats2(p->jb, late, dup, overflow, inactive);
+}
+
+int64_t lyra_pump_jb_resyncs(void* h) {
+  auto* p = static_cast<UdpPump*>(h);
+  std::lock_guard<std::mutex> lock(p->mu);
+  return lyra_jb_resyncs(p->jb);
 }
 
 // Copies the first `rows` last-seen uplink sources (network byte order)

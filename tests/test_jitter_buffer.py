@@ -156,3 +156,36 @@ def test_insert_after_remove_is_a_counted_drop():
     rc = jb.insert(0, 1, b"y" * 8)
     assert rc == 5
     assert jb.stats()["inactive_drops"] == 1
+
+
+def test_resync_after_sustained_overflow(jb):
+    """A receiver stall (or a sender with a different sequence origin)
+    leaves arriving seqs permanently past the playout window; after 3
+    consecutive overflow inserts the stream's schedule jumps to the
+    arriving sequence (re-absorbing the playout delay) instead of dying
+    forever.  A lone stray far-future packet stays a counted drop."""
+    jb.add_stream(0, playout_delay=1)
+    assert jb.insert(0, 0, b"a" * 8) == 0
+    jb.collect()  # absorbs the playout delay
+    pkts, received, _ = jb.collect()
+    assert received[0] and pkts[0, 0] == ord("a")
+
+    # One stray far-future packet, then normal traffic: no resync.
+    assert jb.insert(0, 500, b"x" * 8) == 4
+    assert jb.insert(0, 2, b"b" * 8) == 0  # in-window resets the streak
+    assert jb.stats()["resyncs"] == 0
+
+    # Sustained overflow (an advancing sender the schedule lost): the
+    # third consecutive far-future insert resyncs and is FILED.
+    assert jb.insert(0, 1000, b"p" * 8) == 4
+    assert jb.insert(0, 1001, b"q" * 8) == 4
+    assert jb.insert(0, 1002, b"r" * 8) == 0  # resync: accepted
+    assert jb.insert(0, 1003, b"s" * 8) == 0
+    st = jb.stats()
+    assert st["resyncs"] == 1 and st["overflow_drops"] == 3
+    _, received, _ = jb.collect()
+    assert not received[0]  # playout delay re-absorbed after the jump
+    pkts, received, sizes = jb.collect()
+    assert received[0] and pkts[0, 0] == ord("r")  # plays at 1002
+    pkts, received, _ = jb.collect()
+    assert received[0] and pkts[0, 0] == ord("s")
