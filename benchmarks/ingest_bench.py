@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 """Ingest throughput: native UDP pump vs a per-datagram Python loop.
 
 A fleet of N streams produces N x 50 datagrams/s at the decoder's front
@@ -8,15 +10,22 @@ receivers run against kernel socket buffers sized the same; the box has
 ONE host core, so the native number is conservative (the sender thread
 timeshares with the receiver).
 
-Usage:  python benchmarks/ingest_bench.py [n_datagrams]
+--pcm measures the encode relay's front door instead: 640 B PCM hops
+into the native PCM pump (latest-wins staging, udp_pump.cc PcmPump) vs
+the per-datagram Python drain serve_main's python ingest uses.
+
+Usage:  python benchmarks/ingest_bench.py [n_datagrams] [--pcm]
 """
 
 import socket
 import sys
 import time
 
+import numpy as np
+
 from lyra_tpu.tools.jitter_buffer import JitterBuffer
-from lyra_tpu.tools.udp_ingest import HEADER_BYTES, UdpIngest, blast
+from lyra_tpu.tools.udp_ingest import (HEADER_BYTES, PcmIngest, UdpIngest,
+                                       blast)
 
 STREAMS = 8192
 # Deep enough that the default 200k-datagram run (25 seqs/stream) never
@@ -24,6 +33,7 @@ STREAMS = 8192
 # the measurement would mostly time the overflow early-exit.
 DEPTH = 32
 PAYLOAD = 8  # 3.2 kbps packet
+PCM_PAYLOAD = 640  # one 20 ms hop of int16 @16 kHz
 
 
 def _drain_native(n):
@@ -81,10 +91,63 @@ def _drain_python(n):
     return sent, got, t_last - t0
 
 
+def _drain_pcm_native(n):
+    with PcmIngest(STREAMS, PCM_PAYLOAD) as pump:
+        t0 = time.perf_counter()
+        sent = blast(pump.port, n, PCM_PAYLOAD, STREAMS)
+        last, t_last = -1, time.perf_counter()
+        while True:
+            got = pump.stats()["datagrams"]
+            now = time.perf_counter()
+            if got >= sent:
+                t_last = now
+                break
+            if got != last:
+                last, t_last = got, now
+            elif now - t_last > 0.5:
+                break
+            time.sleep(0.01)
+        got = pump.stats()["datagrams"]
+        return sent, got, t_last - t0
+
+
+def _drain_pcm_python(n):
+    """serve_main's --ingest=python encode-relay drain: one recvfrom +
+    frombuffer copy into the audio matrix per datagram."""
+    audio = np.zeros((STREAMS, PCM_PAYLOAD // 2), np.int16)
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 * 1024 * 1024)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(0.5)
+    port = rx.getsockname()[1]
+    t0 = time.perf_counter()
+    sent = blast(port, n, PCM_PAYLOAD, STREAMS)
+    got = 0
+    t_last = time.perf_counter()
+    try:
+        while got < sent:
+            dgram = rx.recvfrom(4096)[0]
+            slot = int.from_bytes(dgram[:2], "big")
+            if len(dgram) != HEADER_BYTES + PCM_PAYLOAD or slot >= STREAMS:
+                continue
+            audio[slot] = np.frombuffer(dgram[HEADER_BYTES:], np.int16)
+            got += 1
+            t_last = time.perf_counter()
+    except socket.timeout:
+        pass
+    rx.close()
+    return sent, got, t_last - t0
+
+
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    for name, fn in (("native pump", _drain_native),
-                     ("python loop", _drain_python)):
+    args = [a for a in sys.argv[1:] if a != "--pcm"]
+    pcm = "--pcm" in sys.argv[1:]
+    n = int(args[0]) if args else 200_000
+    paths = ((("native pcm pump", _drain_pcm_native),
+              ("python pcm loop", _drain_pcm_python)) if pcm else
+             (("native pump", _drain_native),
+              ("python loop", _drain_python)))
+    for name, fn in paths:
         sent, got, dt = fn(n)
         rate = got / dt if dt > 0 else 0.0
         streams_rt = rate / 50.0  # 50 packets/s per real-time stream

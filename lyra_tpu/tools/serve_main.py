@@ -120,11 +120,12 @@ def _serve_encode(args, _on_ready, _stop) -> int:
     16 kHz).  A slot with no fresh PCM for a tick encodes silence and
     counts a pcm_gap — over a real transport, missing mic audio is a loss
     event, unlike the in-process dict tick which refuses it
-    (stream_server.py EncoderServer.tick).  Receive is the per-datagram
-    Python drain: the native pump's receive buffers are sized for codec
-    packets (64 B), not PCM — its batching matters at packet scale, while
-    PCM datagrams are 10x fewer bytes on the wire side than the host link
-    already moves per tick."""
+    (stream_server.py EncoderServer.tick).  --ingest=native drains with
+    the C++ PCM pump (udp_pump.cc PcmPump: recvmmsg batches, latest-hop-
+    wins by sequence, stale drops + origin resync) — the per-datagram
+    Python drain caps the relay near ~800 real-time streams
+    (PERF.md ingest numbers), and only the pump carries the uplink source
+    table that --echo reply routes downlink packets back through."""
     from lyra_tpu.codec.engine import EncoderEngine
     from lyra_tpu.tools.stream_server import EncoderServer
 
@@ -137,16 +138,23 @@ def _serve_encode(args, _on_ready, _stop) -> int:
     enc.add_streams(range(args.capacity))
     hop_bytes = enc.hop_samples * 2
 
-    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 * 1024 * 1024)
-    rx.bind(("0.0.0.0", args.port))
-    rx.setblocking(False)
-    port = rx.getsockname()[1]
-    tx = _make_tx(args, args.capacity)
+    pcm = rx = None
+    if args.ingest == "native":
+        from lyra_tpu.tools.udp_ingest import PcmIngest
+
+        pcm = PcmIngest(args.capacity, hop_bytes, args.port)
+        port = pcm.port
+    else:
+        rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 * 1024 * 1024)
+        rx.bind(("0.0.0.0", args.port))
+        rx.setblocking(False)
+        port = rx.getsockname()[1]
+    tx = _make_tx(args, args.capacity, pcm)
 
     print(f"encoding {args.capacity} streams on UDP :{port} "
-          f"(bitrate={args.bitrate}, echo={args.echo or 'none'})",
-          flush=True)
+          f"(bitrate={args.bitrate}, ingest={args.ingest}, "
+          f"echo={args.echo or 'none'})", flush=True)
     if _on_ready is not None:
         _on_ready(port)
 
@@ -166,45 +174,61 @@ def _serve_encode(args, _on_ready, _stop) -> int:
             next_tick = max(next_tick, time.perf_counter()) + 0.02
             t0 = time.perf_counter()
 
-            while True:
-                try:
-                    dgram, _ = rx.recvfrom(4096)
-                except BlockingIOError:
-                    break
-                slot = int.from_bytes(dgram[:2], "big")
-                if len(dgram) != _HDR + hop_bytes or slot >= args.capacity:
-                    malformed += 1  # counted transport event, never fatal
-                    continue
-                audio[slot] = np.frombuffer(dgram[_HDR:], np.int16)
-                fresh[slot] = True
-                datagrams += 1
+            if pcm is not None:
+                fresh = pcm.collect_into(audio)
+            else:
+                fresh[:] = False
+                while True:
+                    try:
+                        dgram, _ = rx.recvfrom(4096)
+                    except BlockingIOError:
+                        break
+                    slot = int.from_bytes(dgram[:2], "big")
+                    if (len(dgram) != _HDR + hop_bytes
+                            or slot >= args.capacity):
+                        malformed += 1  # counted event, never fatal
+                        continue
+                    audio[slot] = np.frombuffer(dgram[_HDR:], np.int16)
+                    fresh[slot] = True
+                    datagrams += 1
 
             audio[~fresh] = 0  # lost mic hops encode as silence
             pcm_gaps += int(args.capacity - fresh.sum())
-            fresh[:] = False
             out = enc.tick_wire_async(audio)
             tick_ms.append((time.perf_counter() - t0) * 1e3)
             if out is None:
                 continue  # pipeline priming
             wire, sizes = out
             if tx is not None:
+                if args.echo == "reply":
+                    tx.route_from_pump(pcm)
                 tx.send(wire, sizes, ticks)
             ticks += 1
 
             if time.perf_counter() >= next_report:
                 next_report += args.report_every
                 lat = np.array(tick_ms[-256:])
+                if pcm is not None:
+                    st = pcm.stats()
+                    datagrams, malformed = (st["datagrams"],
+                                            st["malformed_drops"])
+                    extra = f" stale={st['stale_drops']}"
+                else:
+                    extra = ""
                 print(f"ticks={ticks} tick_ms p50={np.median(lat):.1f} "
                       f"p95={np.percentile(lat, 95):.1f} (budget 20.0) "
-                      f"datagrams={datagrams} malformed={malformed} "
-                      f"pcm_gaps={pcm_gaps}", flush=True)
+                      f"datagrams={datagrams} malformed={malformed}"
+                      f"{extra} pcm_gaps={pcm_gaps}", flush=True)
     except KeyboardInterrupt:
         pass
     finally:
         enc.flush_wire_async()
-        rx.close()
         if tx is not None:
-            tx.close()
+            tx.close()  # before the pump: reply egress borrows its fd
+        if pcm is not None:
+            pcm.close()
+        if rx is not None:
+            rx.close()
     lat = np.array(tick_ms) if tick_ms else np.zeros(1)
     print(f"encoded {ticks} ticks; tick_ms p50={np.median(lat):.1f} "
           f"p95={np.percentile(lat, 95):.1f}", flush=True)
@@ -374,9 +398,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                    metavar="HOST:PORT|reply|none",
                    help="Where downlink datagrams go (same 6 B header). "
                         "'reply' routes each slot back to its last uplink "
-                        "source — the real-MCU shape (decode/bridge modes "
-                        "with native ingest+egress).  Default: none "
-                        "(stats only).")
+                        "source — the real-MCU shape (any mode, native "
+                        "ingest+egress).  Default: none (stats only).")
     p.add_argument("--report_every", type=float, default=1.0)
     p.add_argument("--mode", choices=("decode", "encode", "bridge"),
                    default="decode",
@@ -400,12 +423,9 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
 
     if args.echo == "reply":
         # Refused before any model/engine construction: the reply route
-        # table lives in the native pump and the downlink must leave from
+        # table lives in the native pump (packet pump for decode/bridge,
+        # PCM pump for the encode relay) and the downlink must leave from
         # its socket.
-        if args.mode == "encode":
-            p.error("--echo reply needs an ingest pump with uplink "
-                    "sources; the encode relay's inbound PCM drain has "
-                    "none (use decode or bridge mode)")
         if args.ingest != "native" or args.egress != "native":
             p.error("--echo reply needs --ingest native and --egress "
                     "native (the uplink source table lives in the native "

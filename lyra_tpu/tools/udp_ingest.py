@@ -133,15 +133,110 @@ class UdpIngest:
                 "resyncs": int(self._lib.lyra_pump_jb_resyncs(self._h))}
 
 
+class PcmIngest:
+    """Native UDP ingest for the encode relay: one fixed-size PCM hop per
+    datagram (6 B header + `payload_bytes` of int16 samples), freshest hop
+    wins per slot.
+
+    Mic audio wants no playout queue — the relay grid-aligns its own ticks
+    and a superseded hop is worthless — so instead of a jitter buffer the
+    pump keeps a per-slot latest-by-sequence staging row.  An older hop
+    arriving after a newer one is a counted stale drop; a slot whose sender
+    restarted at a lower sequence origin resyncs after 3 consecutive stale
+    datagrams (the jitter buffer's recovery rule).  `collect_into()` once
+    per tick fills the caller's audio matrix in place and reports which
+    rows are fresh.  Reply routing works exactly as on the packet pump:
+    the egress can ride this pump's socket (`UdpEgress.on_pump`) and sync
+    its destination table from the accepted-uplink sources
+    (`route_from_pump`)."""
+
+    def __init__(self, capacity: int, payload_bytes: int, port: int = 0):
+        """Binds 0.0.0.0:`port` (0 = ephemeral, read `self.port`) and
+        starts the native receiver thread.  `payload_bytes` is exact —
+        datagrams of any other size are malformed drops."""
+        lib = native.load()
+        if lib is None:
+            raise RuntimeError("native library unavailable; build native/")
+        self._lib = lib
+        self._h = lib.lyra_pcm_pump_create(port, capacity, payload_bytes)
+        if not self._h:
+            raise ValueError(
+                f"PCM pump failed (bad capacity {capacity} / payload "
+                f"{payload_bytes}, or port {port} unavailable)")
+        self.port = lib.lyra_pump_port(self._h)
+        self.capacity = capacity
+        self.payload_bytes = payload_bytes
+
+    def close(self) -> None:
+        """Stop the receiver thread and close the socket (idempotent)."""
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.lyra_pump_destroy(h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _check_open(self):
+        if not getattr(self, "_h", None):
+            raise RuntimeError("PCM pump is closed")
+
+    def collect_into(self, audio: np.ndarray) -> np.ndarray:
+        """One tick: copy each fresh slot's latest hop into the matching
+        row of `audio` (any dtype, row stride = payload_bytes, C-contiguous)
+        and clear its fresh flag.  Rows with nothing fresh are left
+        untouched — the caller decides what a silent tick means (serve_main
+        zeroes them).  Returns fresh [capacity] bool."""
+        self._check_open()
+        if (not audio.flags.c_contiguous or not audio.flags.writeable
+                or audio.nbytes != self.capacity * self.payload_bytes):
+            raise ValueError(
+                f"audio must be writable C-contiguous with "
+                f"{self.capacity}x{self.payload_bytes} bytes, got "
+                f"{audio.shape} {audio.dtype}")
+        fresh = np.zeros(self.capacity, np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        self._lib.lyra_pcm_pump_collect(
+            self._h, audio.ctypes.data_as(u8p), fresh.ctypes.data_as(u8p))
+        return fresh.astype(bool)
+
+    def reset_slot(self, slot: int) -> None:
+        """Slot churn: clear the slot's sequence clock, pending hop, and
+        reply route so the next occupant inherits nothing."""
+        self._check_open()
+        if self._lib.lyra_pcm_pump_reset_slot(self._h, slot):
+            raise ValueError(f"bad stream slot {slot}")
+
+    def stats(self) -> dict:
+        """datagrams = well-formed (accepted + stale); malformed_drops =
+        wrong size / truncated / slot out of range; stale_drops =
+        superseded-by-sequence; resyncs = sequence-origin adoptions."""
+        self._check_open()
+        counters = [ctypes.c_int64() for _ in range(4)]
+        self._lib.lyra_pcm_pump_stats(self._h, *map(ctypes.byref, counters))
+        return {"datagrams": counters[0].value,
+                "malformed_drops": counters[1].value,
+                "stale_drops": counters[2].value,
+                "resyncs": counters[3].value}
+
+
 def blast(port: int, n: int, payload_size: int, streams: int,
           seq0: int = 0) -> int:
     """Benchmark sender: `n` datagrams to 127.0.0.1:`port`, round-robin
     over `streams` slots, batched with sendmmsg so ingest measurements
-    aren't limited by a Python sender.  Returns datagrams actually sent."""
+    aren't limited by a Python sender.  Payloads up to the UDP maximum
+    (PCM-hop-sized payloads drive the PCM pump).  Returns datagrams
+    actually sent."""
     lib = native.load()
     if lib is None:
         raise RuntimeError("native library unavailable; build native/")
-    sent = lib.lyra_pump_blast(port, n, payload_size, streams, seq0)
+    sent = lib.lyra_pump_blast2(port, n, payload_size, streams, seq0)
     if sent < 0:
         raise ValueError("bad blast args (payload too large or streams<=0)")
     return sent

@@ -70,6 +70,16 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_pump_max_datagram.restype = ctypes.c_int
     lib.lyra_pump_blast.argtypes = [ctypes.c_int, i64, i64, i64, i64]
     lib.lyra_pump_blast.restype = i64
+    lib.lyra_pump_blast2.argtypes = [ctypes.c_int, i64, i64, i64, i64]
+    lib.lyra_pump_blast2.restype = i64
+    lib.lyra_pcm_pump_create.argtypes = [ctypes.c_int, i64, i64]
+    lib.lyra_pcm_pump_create.restype = vp
+    lib.lyra_pcm_pump_collect.argtypes = [vp, u8p, u8p]
+    lib.lyra_pcm_pump_collect.restype = i64
+    lib.lyra_pcm_pump_stats.argtypes = [vp, i64p, i64p, i64p, i64p]
+    lib.lyra_pcm_pump_stats.restype = None
+    lib.lyra_pcm_pump_reset_slot.argtypes = [vp, i64]
+    lib.lyra_pcm_pump_reset_slot.restype = ctypes.c_int
     lib.lyra_egress_create.argtypes = [i64]
     lib.lyra_egress_create.restype = vp
     lib.lyra_egress_destroy.argtypes = [vp]

@@ -1,24 +1,34 @@
-// Native UDP ingest pump for the Lyra-TPU serving runtime.
+// Native UDP ingest pumps for the Lyra-TPU serving runtime.
 //
 // At fleet scale the transport side is per-packet work the batched device
-// tick never sees: tens of thousands of streams x 50 packets/s is millions
+// tick never sees: tens of thousands of streams x 50 datagrams/s is millions
 // of datagrams per second, far past what a per-datagram Python loop can
-// drain.  This component owns the socket end to end in C++: a receiver
+// drain.  These components own the socket end to end in C++: a receiver
 // thread batch-drains the socket with recvmmsg, parses the wire header
 // (2 B stream slot + 4 B sequence, big-endian — the layout
-// examples/udp_call.py established), and files payloads straight into the
-// native jitter buffer (jitter_buffer.cc) under one lock per batch.  The
+// examples/udp_call.py established), and files payloads natively.  The
 // serving loop only ever sees the dense per-tick collect() matrix.
 //
-// The reference has no transport layer at all (its decoder CLI reads a
-// file and simulates loss, lyra/cli_example/decoder_main_lib.cc:86-219);
-// like the jitter buffer this is the deployment-scale equivalent, native
-// because it runs per packet.
+// Two pumps share the machinery (PumpBase):
+//  - UdpPump: codec packets -> the native jitter buffer (jitter_buffer.cc),
+//    the decode/bridge uplink.  Payloads are at most 23 B.
+//  - PcmPump: fixed-size PCM hops -> a latest-wins-by-sequence per-slot
+//    staging matrix, the encode-relay uplink.  Mic audio wants the freshest
+//    hop, not a playout queue: an older hop arriving after a newer one is a
+//    stale drop (the hop it would replace already superseded it), and a
+//    slot whose sender restarted at a lower sequence origin resyncs after
+//    kResyncRun consecutive stale datagrams — the same recovery rule as the
+//    jitter buffer's overflow resync.
 //
-// Concurrency: the pump's mutex serializes the receiver thread against
-// collect/add_stream/remove_stream, which MUST therefore go through the
-// pump (lyra_pump_*) rather than the raw lyra_jb_* calls while the pump
-// is running.
+// The reference has no transport layer at all (its CLIs read files and
+// simulate loss, lyra/cli_example/decoder_main_lib.cc:86-219); like the
+// jitter buffer this is the deployment-scale equivalent, native because it
+// runs per packet.
+//
+// Concurrency: each pump's mutex serializes the receiver thread against
+// collect/admission/stats, which MUST therefore go through the pump
+// (lyra_pump_* / lyra_pcm_pump_*) rather than raw lyra_jb_* calls while the
+// pump is running.
 
 #include <arpa/inet.h>
 #include <netinet/in.h>
@@ -53,6 +63,13 @@ namespace {
 constexpr int kHeaderBytes = 6;   // 2 B slot + 4 B seq, big-endian
 constexpr int kBatch = 256;       // datagrams per recvmmsg call
 constexpr int kMaxDatagram = 64;  // header + widest Lyra packet (23 B)
+// Largest UDP payload over IPv4 (65535 - 20 IP - 8 UDP); the PCM pump's
+// per-datagram buffers are sized from the hop it carries, bounded by this.
+constexpr int kUdpMax = 65507;
+// Consecutive stale datagrams on one slot before the PCM pump adopts the
+// incoming sequence origin (sender restart) — mirrors the jitter buffer's
+// 3-overflow resync rule.
+constexpr int kResyncRun = 3;
 
 // Last-seen uplink source per slot (the 2-byte wire slot field bounds the
 // table).  Reply routing (lyra_egress_route_from_pump, udp_egress.cc)
@@ -66,30 +83,47 @@ struct SlotSource {
   uint8_t known = 0;
 };
 
-struct UdpPump {
-  void* jb = nullptr;
+// Per-datagram verdict from a pump's handler (under the batch lock).
+enum class Verdict {
+  kAccepted,   // filed; learn the reply route from this datagram
+  kDropped,    // well-formed but not filed (late/dup/stale/...); counted
+  kMalformed,  // wrong shape for this pump; never filed
+};
+
+// State shared by both pump kinds.  Handles returned to callers are always
+// PumpBase*, so the base accessors (port/fd/copy_sources/destroy) work on
+// either; kind dispatches the rest.
+struct PumpBase {
+  int kind;  // 0 = jitter-buffer (codec packet) pump, 1 = PCM pump
   int fd = -1;
   int port = 0;
-  std::mutex mu;  // receiver thread vs collect/admission
+  std::mutex mu;  // receiver thread vs collect/admission/stats
   std::thread receiver;
   std::atomic<bool> stop{false};
   // stats (mu-guarded)
-  int64_t datagrams = 0;       // well-formed datagrams filed into the buffer
-  int64_t malformed_drops = 0; // shorter than the header, or kernel-truncated
-                               // past kMaxDatagram (MSG_TRUNC) — filing a
-                               // truncated payload would decode as garbage
-  int64_t insert_drops = 0;    // filed but dropped by the jitter buffer
-                               // (late/dup/overflow/inactive — its counters
-                               // hold the breakdown)
+  int64_t datagrams = 0;       // well-formed datagrams (accepted + dropped)
+  int64_t malformed_drops = 0; // shorter than the header, kernel-truncated
+                               // past the buffer (MSG_TRUNC), or the wrong
+                               // shape for this pump — filing one would
+                               // decode as garbage
+  int64_t drops = 0;           // well-formed but not filed; the pump kind's
+                               // own counters hold the breakdown
   std::vector<SlotSource> sources = std::vector<SlotSource>(kMaxSlots);
 
-  void Run() {
-    std::vector<uint8_t> bufs(kBatch * kMaxDatagram);
+  explicit PumpBase(int k) : kind(k) {}
+
+  // Batch-drains the socket until stop.  `handle(slot, seq, payload, len)`
+  // runs under the batch lock and returns the datagram's verdict; the loop
+  // owns the shared counters and the accepted-only route learning.
+  template <typename F>
+  void RunLoop(int max_datagram, F&& handle) {
+    std::vector<uint8_t> bufs(static_cast<size_t>(kBatch) * max_datagram);
     sockaddr_in srcs[kBatch];
     mmsghdr msgs[kBatch];
     iovec iovs[kBatch];
     for (int i = 0; i < kBatch; ++i) {
-      iovs[i] = {bufs.data() + i * kMaxDatagram, kMaxDatagram};
+      iovs[i] = {bufs.data() + static_cast<size_t>(i) * max_datagram,
+                 static_cast<size_t>(max_datagram)};
       std::memset(&msgs[i], 0, sizeof(msgs[i]));
       msgs[i].msg_hdr.msg_iov = &iovs[i];
       msgs[i].msg_hdr.msg_iovlen = 1;
@@ -106,7 +140,7 @@ struct UdpPump {
       if (n <= 0) continue;
       std::lock_guard<std::mutex> lock(mu);
       for (int i = 0; i < n; ++i) {
-        const uint8_t* d = bufs.data() + i * kMaxDatagram;
+        const uint8_t* d = bufs.data() + static_cast<size_t>(i) * max_datagram;
         const int len = static_cast<int>(msgs[i].msg_len);
         if (len < kHeaderBytes ||
             (msgs[i].msg_hdr.msg_flags & MSG_TRUNC) != 0) {
@@ -116,15 +150,20 @@ struct UdpPump {
         const int64_t slot = (int64_t{d[0]} << 8) | d[1];
         const int64_t seq = (int64_t{d[2]} << 24) | (int64_t{d[3]} << 16) |
                             (int64_t{d[4]} << 8) | d[5];
+        const Verdict v =
+            handle(slot, seq, d + kHeaderBytes, len - kHeaderBytes);
+        if (v == Verdict::kMalformed) {
+          ++malformed_drops;
+          continue;
+        }
         ++datagrams;
-        if (lyra_jb_insert(jb, slot, seq, d + kHeaderBytes,
-                           len - kHeaderBytes) != 0) {
-          ++insert_drops;  // counted transport event, never fatal
+        if (v == Verdict::kDropped) {
+          ++drops;  // counted transport event, never fatal
         } else if (msgs[i].msg_hdr.msg_namelen >= sizeof(sockaddr_in) &&
                    srcs[i].sin_family == AF_INET) {
-          // Learn the reply route only from datagrams the jitter buffer
-          // accepted (active slot, in-window sequence): rejected traffic
-          // (inactive/late/dup/overflow) must not repoint a slot's
+          // Learn the reply route only from datagrams the pump accepted
+          // (active slot, in-window/fresh sequence): rejected traffic
+          // (inactive/late/dup/stale/overflow) must not repoint a slot's
           // downlink.  Note this is plain-RTP-grade trust — an on-path or
           // guessing sender that lands a valid (slot, seq) still steers
           // the route; deployments that need more wrap the transport in
@@ -139,16 +178,58 @@ struct UdpPump {
   }
 };
 
-}  // namespace
+struct UdpPump : PumpBase {
+  UdpPump() : PumpBase(0) {}
+  void* jb = nullptr;
 
-extern "C" {
+  void Run() {
+    RunLoop(kMaxDatagram, [this](int64_t slot, int64_t seq,
+                                 const uint8_t* payload, int len) {
+      return lyra_jb_insert(jb, slot, seq, payload, len) == 0
+                 ? Verdict::kAccepted
+                 : Verdict::kDropped;
+    });
+  }
+};
 
-// Binds 0.0.0.0:port (port 0 = ephemeral; read back with lyra_pump_port)
-// and starts the receiver thread.  Returns nullptr on socket failure.
-void* lyra_pump_create(void* jb, int port) {
-  if (jb == nullptr) return nullptr;
+// Encode-relay uplink: one fixed-size PCM hop per datagram, freshest hop
+// wins per slot.  No playout queue — the relay grid-aligns ticks itself
+// and a superseded mic hop is worthless (tools/serve_main.py encode mode).
+struct PcmPump : PumpBase {
+  PcmPump() : PumpBase(1) {}
+  int64_t capacity = 0;
+  int64_t payload = 0;                 // exact bytes per hop
+  std::vector<uint8_t> staging;        // [capacity * payload], latest hop
+  std::vector<uint8_t> fresh;          // [capacity], new since last collect
+  std::vector<int64_t> last_seq;       // [capacity], -1 = never spoke
+  std::vector<int32_t> stale_run;      // consecutive stale drops per slot
+  int64_t resyncs = 0;                 // sequence-origin adoptions
+
+  void Run() {
+    RunLoop(kHeaderBytes + static_cast<int>(payload),
+            [this](int64_t slot, int64_t seq, const uint8_t* data, int len) {
+      // A hop is all-or-nothing: a short datagram is not "a quieter hop",
+      // it is garbage, so anything but the exact size is malformed.
+      if (len != payload || slot >= capacity) return Verdict::kMalformed;
+      if (last_seq[slot] >= 0 && seq <= last_seq[slot]) {
+        if (++stale_run[slot] < kResyncRun) return Verdict::kDropped;
+        ++resyncs;  // sender restarted at a lower origin: adopt its clock
+      }
+      stale_run[slot] = 0;
+      last_seq[slot] = seq;
+      std::memcpy(&staging[static_cast<size_t>(slot * payload)], data,
+                  static_cast<size_t>(payload));
+      fresh[static_cast<size_t>(slot)] = 1;
+      return Verdict::kAccepted;
+    });
+  }
+};
+
+// Binds 0.0.0.0:port (0 = ephemeral); returns the fd or -1, with the bound
+// port written back through *bound_port.
+int OpenSocket(int port, int* bound_port) {
   int fd = socket(AF_INET, SOCK_DGRAM, 0);
-  if (fd < 0) return nullptr;
+  if (fd < 0) return -1;
   int rcvbuf = 8 * 1024 * 1024;  // burst headroom: ~100k queued datagrams
   setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
   sockaddr_in addr{};
@@ -157,42 +238,138 @@ void* lyra_pump_create(void* jb, int port) {
   addr.sin_port = htons(static_cast<uint16_t>(port));
   if (bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
     close(fd);
-    return nullptr;
+    return -1;
   }
   socklen_t alen = sizeof(addr);
   getsockname(fd, reinterpret_cast<sockaddr*>(&addr), &alen);
-  auto* p = new UdpPump;
-  p->jb = jb;
-  p->fd = fd;
-  p->port = ntohs(addr.sin_port);
-  p->receiver = std::thread([p] { p->Run(); });
-  return p;
+  *bound_port = ntohs(addr.sin_port);
+  return fd;
 }
 
-int lyra_pump_port(void* h) { return static_cast<UdpPump*>(h)->port; }
+// Batched loopback sender shared by the bench entry points below.
+int64_t BlastImpl(int port, int64_t n, int64_t payload_size, int64_t streams,
+                  int64_t seq0, int64_t max_payload) {
+  if (streams <= 0 || payload_size < 0 || payload_size > max_payload) {
+    return -1;
+  }
+  int fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return -1;
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  addr.sin_port = htons(static_cast<uint16_t>(port));
+  const int dlen = kHeaderBytes + static_cast<int>(payload_size);
+  std::vector<uint8_t> bufs(static_cast<size_t>(kBatch) * dlen, 0);
+  mmsghdr msgs[kBatch];
+  iovec iovs[kBatch];
+  for (int i = 0; i < kBatch; ++i) {
+    iovs[i] = {bufs.data() + static_cast<size_t>(i) * dlen,
+               static_cast<size_t>(dlen)};
+    std::memset(&msgs[i], 0, sizeof(msgs[i]));
+    msgs[i].msg_hdr.msg_name = &addr;
+    msgs[i].msg_hdr.msg_namelen = sizeof(addr);
+    msgs[i].msg_hdr.msg_iov = &iovs[i];
+    msgs[i].msg_hdr.msg_iovlen = 1;
+  }
+  int64_t sent = 0;
+  while (sent < n) {
+    const int want = static_cast<int>(std::min<int64_t>(kBatch, n - sent));
+    for (int i = 0; i < want; ++i) {
+      uint8_t* d = bufs.data() + static_cast<size_t>(i) * dlen;
+      const int64_t k = sent + i;
+      const int64_t slot = k % streams;
+      const int64_t seq = seq0 + k / streams;
+      d[0] = static_cast<uint8_t>(slot >> 8);
+      d[1] = static_cast<uint8_t>(slot);
+      d[2] = static_cast<uint8_t>(seq >> 24);
+      d[3] = static_cast<uint8_t>(seq >> 16);
+      d[4] = static_cast<uint8_t>(seq >> 8);
+      d[5] = static_cast<uint8_t>(seq);
+    }
+    int done = sendmmsg(fd, msgs, want, 0);
+    if (done <= 0) break;  // ENOBUFS etc.: report what actually went out
+    sent += done;
+  }
+  close(fd);
+  return sent;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Binds 0.0.0.0:port (port 0 = ephemeral; read back with lyra_pump_port)
+// and starts the receiver thread.  Returns nullptr on socket failure.
+void* lyra_pump_create(void* jb, int port) {
+  if (jb == nullptr) return nullptr;
+  auto* p = new UdpPump;
+  p->fd = OpenSocket(port, &p->port);
+  if (p->fd < 0) {
+    delete p;
+    return nullptr;
+  }
+  p->jb = jb;
+  p->receiver = std::thread([p] { p->Run(); });
+  return static_cast<PumpBase*>(p);
+}
+
+// PCM pump: `payload` is the exact bytes per hop (e.g. 640 for a 20 ms
+// 16 kHz int16 hop); datagrams of any other size are malformed drops.
+void* lyra_pcm_pump_create(int port, int64_t capacity, int64_t payload) {
+  if (capacity <= 0 || capacity > kMaxSlots || payload <= 0 ||
+      payload > kUdpMax - kHeaderBytes) {
+    return nullptr;
+  }
+  auto* p = new PcmPump;
+  p->fd = OpenSocket(port, &p->port);
+  if (p->fd < 0) {
+    delete p;
+    return nullptr;
+  }
+  p->capacity = capacity;
+  p->payload = payload;
+  p->staging.assign(static_cast<size_t>(capacity * payload), 0);
+  p->fresh.assign(static_cast<size_t>(capacity), 0);
+  p->last_seq.assign(static_cast<size_t>(capacity), -1);
+  p->stale_run.assign(static_cast<size_t>(capacity), 0);
+  p->receiver = std::thread([p] { p->Run(); });
+  return static_cast<PumpBase*>(p);
+}
+
+int lyra_pump_port(void* h) { return static_cast<PumpBase*>(h)->port; }
 
 // The pump's socket fd, for reply-mode egress on the same socket
 // (lyra_egress_create_on_pump, udp_egress.cc): downlink must leave from
 // the port the uplink was addressed to or NAT'd callers never see it.
-int lyra_pump_get_fd(void* h) { return static_cast<UdpPump*>(h)->fd; }
+// Works on either pump kind.
+int lyra_pump_get_fd(void* h) { return static_cast<PumpBase*>(h)->fd; }
 
-// Largest datagram the receive buffers hold (header + payload); callers
-// validate their packet_size against this at construction, loudly.
+// Largest datagram the codec-packet pump's receive buffers hold (header +
+// payload); callers validate their packet_size against this at
+// construction, loudly.  (The PCM pump sizes its buffers from `payload`.)
 int lyra_pump_max_datagram(void) { return kMaxDatagram; }
 
+// Stops the receiver thread, closes the socket, frees the pump (either
+// kind).  A jitter buffer fed by a codec pump stays valid and
+// single-thread-usable.
 void lyra_pump_destroy(void* h) {
-  auto* p = static_cast<UdpPump*>(h);
+  auto* p = static_cast<PumpBase*>(h);
   p->stop.store(true);
   if (p->receiver.joinable()) p->receiver.join();
   close(p->fd);
-  delete p;
+  if (p->kind == 0) {
+    delete static_cast<UdpPump*>(p);
+  } else {
+    delete static_cast<PcmPump*>(p);
+  }
 }
 
 // Locked pass-throughs: the only safe way to touch the jitter buffer while
 // the receiver thread is live.
 int lyra_pump_add_stream(void* h, int64_t stream, int64_t start_seq,
                          int64_t playout_delay) {
-  auto* p = static_cast<UdpPump*>(h);
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 0) return -1;
   std::lock_guard<std::mutex> lock(p->mu);
   // A slot changing hands must not inherit the previous occupant's reply
   // route: downlink for the new participant would leak to the departed
@@ -200,32 +377,35 @@ int lyra_pump_add_stream(void* h, int64_t stream, int64_t start_seq,
   if (stream >= 0 && stream < kMaxSlots) {
     p->sources[static_cast<size_t>(stream)] = SlotSource{};
   }
-  return lyra_jb_add_stream(p->jb, stream, start_seq, playout_delay);
+  return lyra_jb_add_stream(static_cast<UdpPump*>(p)->jb, stream, start_seq,
+                            playout_delay);
 }
 
 int lyra_pump_remove_stream(void* h, int64_t stream) {
-  auto* p = static_cast<UdpPump*>(h);
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 0) return -1;
   std::lock_guard<std::mutex> lock(p->mu);
   if (stream >= 0 && stream < kMaxSlots) {
     p->sources[static_cast<size_t>(stream)] = SlotSource{};  // see add
   }
-  return lyra_jb_remove_stream(p->jb, stream);
+  return lyra_jb_remove_stream(static_cast<UdpPump*>(p)->jb, stream);
 }
 
 int64_t lyra_pump_collect(void* h, uint8_t* out, uint8_t* received,
                           uint8_t* sizes) {
-  auto* p = static_cast<UdpPump*>(h);
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 0) return -1;
   std::lock_guard<std::mutex> lock(p->mu);
-  return lyra_jb_collect(p->jb, out, received, sizes);
+  return lyra_jb_collect(static_cast<UdpPump*>(p)->jb, out, received, sizes);
 }
 
 void lyra_pump_stats(void* h, int64_t* datagrams, int64_t* malformed_drops,
                      int64_t* insert_drops) {
-  auto* p = static_cast<UdpPump*>(h);
+  auto* p = static_cast<PumpBase*>(h);
   std::lock_guard<std::mutex> lock(p->mu);
   *datagrams = p->datagrams;
   *malformed_drops = p->malformed_drops;
-  *insert_drops = p->insert_drops;
+  *insert_drops = p->drops;
 }
 
 // Locked jitter-buffer drop breakdown: the jb counters are plain int64s
@@ -233,24 +413,83 @@ void lyra_pump_stats(void* h, int64_t* datagrams, int64_t* malformed_drops,
 // lyra_jb_stats2 while the pump is live would be a data race.
 void lyra_pump_jb_stats(void* h, int64_t* late, int64_t* dup,
                         int64_t* overflow, int64_t* inactive) {
-  auto* p = static_cast<UdpPump*>(h);
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 0) {
+    *late = *dup = *overflow = *inactive = -1;
+    return;
+  }
   std::lock_guard<std::mutex> lock(p->mu);
-  lyra_jb_stats2(p->jb, late, dup, overflow, inactive);
+  lyra_jb_stats2(static_cast<UdpPump*>(p)->jb, late, dup, overflow, inactive);
 }
 
 int64_t lyra_pump_jb_resyncs(void* h) {
-  auto* p = static_cast<UdpPump*>(h);
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 0) return -1;
   std::lock_guard<std::mutex> lock(p->mu);
-  return lyra_jb_resyncs(p->jb);
+  return lyra_jb_resyncs(static_cast<UdpPump*>(p)->jb);
+}
+
+// Copies each fresh slot's latest hop into out[slot * payload ...] and its
+// flag into fresh[slot], then clears the fresh flags (a hop is delivered to
+// exactly one tick).  Rows that are not fresh are left untouched — the
+// caller decides whether stale rows mean silence (serve_main zeroes them).
+// Returns the number of fresh slots, or -1 on the wrong pump kind.
+int64_t lyra_pcm_pump_collect(void* h, uint8_t* out, uint8_t* fresh) {
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 1) return -1;
+  auto* pp = static_cast<PcmPump*>(p);
+  std::lock_guard<std::mutex> lock(pp->mu);
+  int64_t n = 0;
+  for (int64_t s = 0; s < pp->capacity; ++s) {
+    fresh[s] = pp->fresh[static_cast<size_t>(s)];
+    if (fresh[s]) {
+      std::memcpy(out + s * pp->payload,
+                  &pp->staging[static_cast<size_t>(s * pp->payload)],
+                  static_cast<size_t>(pp->payload));
+      pp->fresh[static_cast<size_t>(s)] = 0;
+      ++n;
+    }
+  }
+  return n;
+}
+
+void lyra_pcm_pump_stats(void* h, int64_t* datagrams, int64_t* malformed,
+                         int64_t* stale_drops, int64_t* resyncs) {
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 1) {
+    *datagrams = *malformed = *stale_drops = *resyncs = -1;
+    return;
+  }
+  auto* pp = static_cast<PcmPump*>(p);
+  std::lock_guard<std::mutex> lock(pp->mu);
+  *datagrams = pp->datagrams;
+  *malformed = pp->malformed_drops;
+  *stale_drops = pp->drops;
+  *resyncs = pp->resyncs;
+}
+
+// Slot churn on the encode relay: the next occupant must not inherit the
+// previous caller's sequence clock, pending hop, or reply route.
+int lyra_pcm_pump_reset_slot(void* h, int64_t slot) {
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 1) return -1;
+  auto* pp = static_cast<PcmPump*>(p);
+  if (slot < 0 || slot >= pp->capacity) return -1;
+  std::lock_guard<std::mutex> lock(pp->mu);
+  pp->last_seq[static_cast<size_t>(slot)] = -1;
+  pp->stale_run[static_cast<size_t>(slot)] = 0;
+  pp->fresh[static_cast<size_t>(slot)] = 0;
+  pp->sources[static_cast<size_t>(slot)] = SlotSource{};
+  return 0;
 }
 
 // Copies the first `rows` last-seen uplink sources (network byte order)
 // under the pump lock; `known[i]`=0 means slot i has never spoken.
 // Returns how many of the copied rows are known.  Reply routing's bulk
-// read — see lyra_egress_route_from_pump (udp_egress.cc).
+// read — see lyra_egress_route_from_pump (udp_egress.cc).  Either kind.
 int64_t lyra_pump_copy_sources(void* h, int64_t rows, uint32_t* ip_be,
                                uint16_t* port_be, uint8_t* known) {
-  auto* p = static_cast<UdpPump*>(h);
+  auto* p = static_cast<PumpBase*>(h);
   if (rows < 0 || rows > kMaxSlots) return -1;
   std::lock_guard<std::mutex> lock(p->mu);
   int64_t n = 0;
@@ -271,49 +510,16 @@ int64_t lyra_pump_copy_sources(void* h, int64_t rows, uint32_t* ip_be,
 // actually sent.
 int64_t lyra_pump_blast(int port, int64_t n, int64_t payload_size,
                         int64_t streams, int64_t seq0) {
-  if (streams <= 0 || payload_size < 0 ||
-      payload_size > kMaxDatagram - kHeaderBytes) {
-    return -1;
-  }
-  int fd = socket(AF_INET, SOCK_DGRAM, 0);
-  if (fd < 0) return -1;
-  sockaddr_in addr{};
-  addr.sin_family = AF_INET;
-  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
-  addr.sin_port = htons(static_cast<uint16_t>(port));
-  const int dlen = kHeaderBytes + static_cast<int>(payload_size);
-  std::vector<uint8_t> bufs(kBatch * dlen, 0);
-  mmsghdr msgs[kBatch];
-  iovec iovs[kBatch];
-  for (int i = 0; i < kBatch; ++i) {
-    iovs[i] = {bufs.data() + i * dlen, static_cast<size_t>(dlen)};
-    std::memset(&msgs[i], 0, sizeof(msgs[i]));
-    msgs[i].msg_hdr.msg_name = &addr;
-    msgs[i].msg_hdr.msg_namelen = sizeof(addr);
-    msgs[i].msg_hdr.msg_iov = &iovs[i];
-    msgs[i].msg_hdr.msg_iovlen = 1;
-  }
-  int64_t sent = 0;
-  while (sent < n) {
-    const int want = static_cast<int>(std::min<int64_t>(kBatch, n - sent));
-    for (int i = 0; i < want; ++i) {
-      uint8_t* d = bufs.data() + i * dlen;
-      const int64_t k = sent + i;
-      const int64_t slot = k % streams;
-      const int64_t seq = seq0 + k / streams;
-      d[0] = static_cast<uint8_t>(slot >> 8);
-      d[1] = static_cast<uint8_t>(slot);
-      d[2] = static_cast<uint8_t>(seq >> 24);
-      d[3] = static_cast<uint8_t>(seq >> 16);
-      d[4] = static_cast<uint8_t>(seq >> 8);
-      d[5] = static_cast<uint8_t>(seq);
-    }
-    int done = sendmmsg(fd, msgs, want, 0);
-    if (done <= 0) break;  // ENOBUFS etc.: report what actually went out
-    sent += done;
-  }
-  close(fd);
-  return sent;
+  return BlastImpl(port, n, payload_size, streams, seq0,
+                   kMaxDatagram - kHeaderBytes);
+}
+
+// Same sender without the codec-packet size cap (bounded by the UDP
+// maximum), for PCM-hop-sized payloads against the PCM pump.
+int64_t lyra_pump_blast2(int port, int64_t n, int64_t payload_size,
+                         int64_t streams, int64_t seq0) {
+  return BlastImpl(port, n, payload_size, streams, seq0,
+                   kUdpMax - kHeaderBytes);
 }
 
 }  // extern "C"

@@ -311,10 +311,12 @@ def test_serve_main_end_to_end(model_path):
         echo_rx.close()
 
 
-def test_serve_main_encode_relay(model_path):
+@pytest.mark.parametrize("ingest", ["native", "python"])
+def test_serve_main_encode_relay(model_path, ingest):
     """The encode relay in-process: PCM hops over UDP in, lyra packets out
     at the configured bitrate; a slot with no fresh PCM is a counted gap,
-    not an error."""
+    not an error.  Both receive paths: the native PCM pump (latest hop
+    wins, C++ recvmmsg) and the per-datagram Python drain."""
     import socket
     import threading
     import time
@@ -334,7 +336,7 @@ def test_serve_main_encode_relay(model_path):
         argv=["--mode", "encode", "--capacity", "2", "--seconds", "0",
               "--bitrate", "3200", "--max_bitrate", "3200",
               "--model_path", model_path, "--report_every", "30",
-              "--echo", f"127.0.0.1:{echo_port}"],
+              "--ingest", ingest, "--echo", f"127.0.0.1:{echo_port}"],
         _on_ready=lambda port: (port_box.update(port=port), ready.set()),
         _stop=stop))
     th.start()
@@ -366,6 +368,60 @@ def test_serve_main_encode_relay(model_path):
         th.join(timeout=120)
         assert not th.is_alive(), "encode loop failed to stop"
         echo_rx.close()
+
+
+def test_serve_main_encode_reply_routing(model_path):
+    """--echo reply on the encode relay: each slot's packets go back to
+    the socket its PCM uplink came from, leaving from the PCM pump's own
+    port (the NAT 5-tuple), with no --echo destination configured."""
+    import socket
+    import threading
+    import time
+
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    port_box = {}
+    ready = threading.Event()
+    stop = threading.Event()
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--mode", "encode", "--capacity", "2", "--seconds", "0",
+              "--bitrate", "3200", "--max_bitrate", "3200",
+              "--model_path", model_path, "--report_every", "30",
+              "--ingest", "native", "--egress", "native", "--echo",
+              "reply"],
+        _on_ready=lambda port: (port_box.update(port=port), ready.set()),
+        _stop=stop))
+    th.start()
+    try:
+        assert ready.wait(60), "encode server never bound its port"
+        caller = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        caller.bind(("127.0.0.1", 0))
+        caller.settimeout(0.05)
+        t = np.arange(320) / 16000.0
+        hop = (8000 * np.sin(2 * np.pi * 330 * t)).astype(np.int16)
+
+        got = src = None
+        deadline = time.time() + 180  # first tick compiles the program
+        seq = 0
+        while got is None and time.time() < deadline:
+            caller.sendto((1).to_bytes(2, "big") + seq.to_bytes(4, "big")
+                          + hop.tobytes(), ("127.0.0.1", port_box["port"]))
+            seq += 1
+            try:
+                got, src = caller.recvfrom(4096)
+            except socket.timeout:
+                pass
+        assert got is not None, "no reply packet within the deadline"
+        assert src[1] == port_box["port"]  # left from the uplink socket
+        assert int.from_bytes(got[:2], "big") == 1
+        assert len(got) == 6 + config.packet_size(64)
+        assert pkt.unpack_indices(got[6:]).shape == (16,)
+        caller.close()
+    finally:
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive(), "encode loop failed to stop"
 
 
 def test_serve_main_duplex_chain(model_path):

@@ -126,8 +126,18 @@ def test_blast_feeds_the_pump():
         pkts, received, sizes = pump.collect()
         assert received.all() and (sizes == 8).all()
 
-        with pytest.raises(ValueError):
-            blast(pump.port, 1, payload_size=999, streams=streams)
+        # A payload past the codec pump's receive buffer is legal to send
+        # (the PCM pump takes hop-sized payloads) but lands kernel-
+        # truncated here: a counted malformed drop, never filed.
+        assert blast(pump.port, 1, payload_size=999, streams=streams) == 1
+        deadline = time.time() + 5.0
+        while (pump.stats()["malformed_drops"] < 1
+               and time.time() < deadline):
+            time.sleep(0.01)
+        assert pump.stats()["malformed_drops"] == 1
+
+        with pytest.raises(ValueError):  # past the UDP maximum
+            blast(pump.port, 1, payload_size=70000, streams=streams)
 
 
 def test_pump_admission_churn_under_load():
@@ -380,3 +390,158 @@ def test_egress_on_pump_sends_from_the_pump_port():
         assert dgram[6:] == b"\x01" * 4
         eg.close()  # before the pump: it borrows the pump's fd
         caller.close()
+
+
+# ---------------------------------------------------------------------------
+# PCM pump (the encode relay's native ingest: latest hop wins per slot)
+
+
+def _pcm_dgram(slot: int, seq: int, val: int, n: int = 8) -> bytes:
+    return _dgram(slot, seq, np.full(n, val, np.int16).tobytes())
+
+
+def _wait_pcm(pump, n, timeout=5.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pump.stats()["datagrams"] >= n:
+            return
+        time.sleep(0.005)
+    raise AssertionError(
+        f"pcm pump saw {pump.stats()['datagrams']} datagrams, wanted {n}")
+
+
+def test_pcm_pump_latest_wins_and_counts_drops():
+    """Freshest hop per slot wins; a superseded (older-sequence) hop is a
+    stale drop, a wrong-size hop or out-of-range slot is malformed, and
+    collect_into only touches fresh rows and clears flags on delivery."""
+    from lyra_tpu.tools.udp_ingest import PcmIngest
+
+    with PcmIngest(4, 16) as pump:  # 8 int16 samples per hop
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for d in (_pcm_dgram(0, 1, 100), _pcm_dgram(1, 5, 200),
+                  _pcm_dgram(1, 4, 150),       # stale: 5 already landed
+                  _pcm_dgram(2, 7, 300, n=7),  # short hop: malformed
+                  _pcm_dgram(9, 1, 1)):        # slot past capacity
+            tx.sendto(d, ("127.0.0.1", pump.port))
+        tx.close()
+        _wait_pcm(pump, 3)
+
+        audio = np.full((4, 8), -7, np.int16)
+        fresh = pump.collect_into(audio)
+        assert list(fresh) == [True, True, False, False]
+        assert audio[0, 0] == 100 and audio[1, 0] == 200
+        assert audio[2, 0] == -7  # non-fresh rows are left untouched
+        assert pump.stats() == {"datagrams": 3, "malformed_drops": 2,
+                                "stale_drops": 1, "resyncs": 0}
+        # A hop is delivered to exactly one tick.
+        assert not pump.collect_into(audio).any()
+
+
+def test_pcm_pump_resyncs_after_stale_run():
+    """A sender restarting at a lower sequence origin must not be deaf
+    forever: after 3 consecutive stale hops the pump adopts the new
+    origin (the jitter buffer's overflow-resync rule, PCM flavor)."""
+    from lyra_tpu.tools.udp_ingest import PcmIngest
+
+    with PcmIngest(2, 16) as pump:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        tx.sendto(_pcm_dgram(0, 1000, 1), ("127.0.0.1", pump.port))
+        _wait_pcm(pump, 1)
+        for seq, val in ((1, 9), (2, 10), (3, 11)):  # restarted sender
+            tx.sendto(_pcm_dgram(0, seq, val), ("127.0.0.1", pump.port))
+        tx.close()
+        _wait_pcm(pump, 4)
+        audio = np.zeros((2, 8), np.int16)
+        fresh = pump.collect_into(audio)
+        assert fresh[0] and audio[0, 0] == 11  # seqs 1,2 dropped; 3 lands
+        st = pump.stats()
+        assert st["resyncs"] == 1 and st["stale_drops"] == 2
+
+
+def test_pcm_pump_reset_slot_clears_clock_and_route():
+    """Slot churn on the encode relay: the next occupant must inherit
+    neither the sequence clock, nor a pending hop, nor the reply route."""
+    from lyra_tpu.tools.udp_egress import UdpEgress
+    from lyra_tpu.tools.udp_ingest import PcmIngest
+
+    with PcmIngest(2, 16) as pump:
+        caller = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        caller.bind(("127.0.0.1", 0))
+        caller.settimeout(0.5)
+        caller.sendto(_pcm_dgram(0, 500, 1), ("127.0.0.1", pump.port))
+        _wait_pcm(pump, 1)
+        eg = UdpEgress(2)
+        assert eg.route_from_pump(pump) == 1
+
+        pump.reset_slot(0)
+        assert eg.route_from_pump(pump) == 0  # route died with the churn
+        audio = np.zeros((2, 8), np.int16)
+        assert not pump.collect_into(audio).any()  # pending hop cleared
+
+        # Sequence clock restarts at zero without burning the resync run.
+        caller.sendto(_pcm_dgram(0, 0, 77), ("127.0.0.1", pump.port))
+        _wait_pcm(pump, 2)
+        fresh = pump.collect_into(audio)
+        assert fresh[0] and audio[0, 0] == 77
+        assert pump.stats()["stale_drops"] == 0
+        eg.close()
+        caller.close()
+
+
+def test_pcm_pump_reply_routing_round_trip():
+    """The encode relay's reply shape: egress rides the PCM pump's socket
+    and routes each slot's packets back to its last uplink source."""
+    from lyra_tpu.tools.udp_egress import UdpEgress
+    from lyra_tpu.tools.udp_ingest import PcmIngest
+
+    with PcmIngest(2, 16) as pump:
+        caller = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        caller.bind(("127.0.0.1", 0))
+        caller.settimeout(2.0)
+        caller.sendto(_pcm_dgram(1, 0, 5), ("127.0.0.1", pump.port))
+        _wait_pcm(pump, 1)
+        eg = UdpEgress.on_pump(pump, 2)
+        assert eg.route_from_pump(pump) == 1
+        wire = np.arange(2 * 4, dtype=np.uint8).reshape(2, 4)
+        assert eg.send(wire, np.array([0, 4], np.int32), seq=3) == 1
+        dgram, src = caller.recvfrom(2048)
+        assert src[1] == pump.port  # reply leaves from the uplink socket
+        assert int.from_bytes(dgram[:2], "big") == 1
+        assert dgram[6:] == bytes(wire[1])
+        eg.close()  # before the pump: it borrows the pump's fd
+        caller.close()
+
+
+def test_pcm_pump_validation_is_loud():
+    """Bad geometry / misuse fails at the call site, never silently."""
+    from lyra_tpu.tools.udp_ingest import PcmIngest
+
+    for capacity, payload in ((0, 16), (2, 0), (2, 70000)):
+        with pytest.raises(ValueError, match="PCM pump"):
+            PcmIngest(capacity, payload)
+    pump = PcmIngest(2, 16)
+    with pytest.raises(ValueError, match="C-contiguous"):
+        pump.collect_into(np.zeros((2, 4), np.int16))  # wrong byte count
+    with pytest.raises(ValueError, match="bad stream slot"):
+        pump.reset_slot(5)
+    pump.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        pump.collect_into(np.zeros((2, 8), np.int16))
+
+
+def test_blast_drives_pcm_payload_sizes():
+    """The native bench sender handles PCM-hop payloads (past the codec
+    pump's 58-byte cap) — the egress bench's sender-side twin."""
+    from lyra_tpu.tools.udp_ingest import PcmIngest, blast
+
+    with PcmIngest(4, 640) as pump:  # a real 16 kHz hop: 320 int16
+        assert blast(pump.port, 200, 640, 4, seq0=0) == 200
+        deadline = time.time() + 5
+        audio = np.zeros((4, 320), np.int16)
+        while time.time() < deadline:
+            if pump.collect_into(audio).sum() == 4:
+                break
+            time.sleep(0.01)
+        else:
+            raise AssertionError("blast hops never landed on all slots")
+        assert pump.stats()["malformed_drops"] == 0
