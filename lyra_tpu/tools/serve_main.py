@@ -132,7 +132,7 @@ def _serve_encode(args, _on_ready, _stop) -> int:
     enc = EncoderServer(
         args.capacity,
         engine=_maybe_shard(
-            EncoderEngine(model_path=args.model_path,
+            EncoderEngine(args.sample_rate_hz, model_path=args.model_path,
                           max_bitrate=args.max_bitrate), args.devices),
         bitrate=args.bitrate)
     enc.add_streams(range(args.capacity))
@@ -385,6 +385,14 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "drops (3200 compiles the smallest program).")
     p.add_argument("--playout_delay", type=int, default=2,
                    help="Jitter-buffer delay in 20 ms ticks.")
+    p.add_argument("--sample_rate_hz", type=int, default=16000,
+                   choices=(8000, 16000, 32000, 48000),
+                   help="External PCM rate (decode: emitted hops; encode: "
+                        "inbound hops — datagram size follows).  The "
+                        "engine resamples to the 16 kHz internal rate on "
+                        "device (reference: lyra/lyra_config.h:56-57).  "
+                        "Bridge I/O is packets both ways, so only 16000 "
+                        "is meaningful there.")
     p.add_argument("--ingest", choices=("native", "python"),
                    default="native",
                    help="native: C++ recvmmsg pump (15x the ingest rate); "
@@ -430,6 +438,10 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
             p.error("--echo reply needs --ingest native and --egress "
                     "native (the uplink source table lives in the native "
                     "pump, and downlink must leave from its socket)")
+    if args.mode == "bridge" and args.sample_rate_hz != 16000:
+        p.error("--sample_rate_hz applies to PCM endpoints; bridge mode "
+                "is packets in, packets out (decode/mix/encode run at the "
+                "16 kHz internal rate)")
     if args.mode == "encode":
         return _serve_encode(args, _on_ready, _stop)
     if args.mode == "bridge":
@@ -438,7 +450,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     from lyra_tpu.codec.engine import DecoderEngine
 
     dec = DecoderServer(args.capacity, engine=_maybe_shard(
-        DecoderEngine(model_path=args.model_path, emit_dtype="int16",
+        DecoderEngine(args.sample_rate_hz, model_path=args.model_path,
+                      emit_dtype="int16",
                       max_bitrate=args.max_bitrate), args.devices))
     jb = JitterBuffer(args.capacity, config.packet_size(184),
                       depth=args.playout_delay + 6)

@@ -370,6 +370,67 @@ def test_serve_main_encode_relay(model_path, ingest):
         echo_rx.close()
 
 
+def test_serve_main_external_rate_relay(model_path):
+    """--sample_rate_hz on the encode relay: inbound hops are external-
+    rate-sized (8 kHz → 160 int16 samples), the engine resamples to
+    16 kHz on device, and the native PCM pump's datagram size follows.
+    Bridge mode refuses the flag — its I/O is packets both ways."""
+    import socket
+    import threading
+    import time
+
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    with pytest.raises(SystemExit):
+        serve_main.main(["--mode", "bridge", "--sample_rate_hz", "8000",
+                         "--model_path", model_path])
+
+    echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    echo_rx.bind(("127.0.0.1", 0))
+    echo_rx.settimeout(0.05)
+    echo_port = echo_rx.getsockname()[1]
+
+    port_box = {}
+    ready = threading.Event()
+    stop = threading.Event()
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--mode", "encode", "--capacity", "2", "--seconds", "0",
+              "--bitrate", "3200", "--max_bitrate", "3200",
+              "--sample_rate_hz", "8000", "--model_path", model_path,
+              "--report_every", "30", "--ingest", "native",
+              "--echo", f"127.0.0.1:{echo_port}"],
+        _on_ready=lambda port: (port_box.update(port=port), ready.set()),
+        _stop=stop))
+    th.start()
+    try:
+        assert ready.wait(60), "encode server never bound its port"
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        t = np.arange(160) / 8000.0  # one 20 ms hop at the external rate
+        hop = (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+
+        got = None
+        deadline = time.time() + 180
+        seq = 0
+        while got is None and time.time() < deadline:
+            tx.sendto((0).to_bytes(2, "big") + seq.to_bytes(4, "big")
+                      + hop.tobytes(), ("127.0.0.1", port_box["port"]))
+            seq += 1
+            try:
+                got = echo_rx.recvfrom(4096)[0]
+            except socket.timeout:
+                pass
+        tx.close()
+        assert got is not None, "no packet relayed within the deadline"
+        assert len(got) == 6 + config.packet_size(64)
+        assert pkt.unpack_indices(got[6:]).shape == (16,)
+    finally:
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive(), "encode loop failed to stop"
+        echo_rx.close()
+
+
 def test_serve_main_encode_reply_routing(model_path):
     """--echo reply on the encode relay: each slot's packets go back to
     the socket its PCM uplink came from, leaving from the PCM pump's own
