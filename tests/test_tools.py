@@ -685,7 +685,9 @@ def test_serve_main_bridge_sharded_over_mesh(model_path):
 def test_serve_main_bridge_reply_routing(model_path):
     """--echo reply: each caller's downlink comes back to the socket their
     uplink left from (per-slot reply routing via the native pump's source
-    table); encode mode refuses the flag loudly."""
+    table); without a native pump to hold that table the flag is refused
+    loudly.  (Encode mode routes replies too, via the PCM pump —
+    test_serve_main_encode_reply_routing.)"""
     import socket
     import threading
     import time
@@ -693,11 +695,11 @@ def test_serve_main_bridge_reply_routing(model_path):
     from lyra_tpu import packet as pkt
     from lyra_tpu.tools import serve_main
 
-    # Both bad flag combinations are refused at parse time, before any
-    # model/engine construction.
+    # Python-ingest reply is refused at parse time in every mode, before
+    # any model/engine construction.
     with pytest.raises(SystemExit):
         serve_main.main(["--mode", "encode", "--echo", "reply",
-                         "--model_path", model_path])
+                         "--ingest", "python", "--model_path", model_path])
     with pytest.raises(SystemExit):
         serve_main.main(["--mode", "bridge", "--echo", "reply",
                          "--ingest", "python", "--capacity", "4",
