@@ -1,0 +1,41 @@
+# lyra_tpu build/test gate. `make check` is the CI entry point
+# (.github/workflows/ci.yml invokes the same targets), runnable locally on
+# any box with the baked-in Python deps.
+#
+# The reference gates on build only (/root/reference/.github/workflows/
+# ci.yml); this gate also runs the full CPU test suite and the driver
+# entry-point compile checks.
+
+PYTHON ?= python
+SHARD ?= all
+
+.PHONY: check native test test-shard goldens entry clean
+
+check: native test entry
+
+native:
+	$(MAKE) -C native
+
+# Full CPU suite (~25 min single-process). CI shards it via `make
+# test-shard SHARD=<name>` using ci/shards.json.
+test: native
+	$(PYTHON) -m pytest tests/ -q
+
+test-shard: native
+	$(PYTHON) -m pytest -q $$($(PYTHON) -c "import json; print(' '.join(json.load(open('ci/shards.json'))['shards']['$(SHARD)']))")
+
+# Fast wire-format / parity subset (~2 min): bitstream + kernel goldens.
+goldens: native
+	$(PYTHON) -m pytest -q tests/test_packet.py tests/test_golden_packets.py \
+	  tests/test_config.py tests/test_resampler.py tests/test_ci_shards.py
+
+# Driver entry points: single-chip jittable forward + 8-virtual-device
+# multi-chip dryrun (CPU mesh).
+entry:
+	XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+	LYRA_TPU_PLATFORM=cpu $(PYTHON) -c "import __graft_entry__ as g; import jax; \
+	  g.dryrun_multichip(8); print('dryrun ok'); \
+	  fn, args = g.entry(); jax.block_until_ready(jax.jit(fn)(*args)); print('entry ok')"
+
+clean:
+	$(MAKE) -C native clean
