@@ -11,7 +11,13 @@ payload zero-copy from the matrix) vs the Python `sendto` loop.  The
 receiver socket is deliberately never drained: the kernel drops at the
 receive buffer, which does not change the sender-side cost being measured.
 
+--threads=N also times MultiEgress (striped workers, each its own socket,
+sendmmsg in parallel from a thread pool — ctypes releases the GIL).  On a
+1-core box the stripes timeshare; on an N-core host each rides its own
+core, so host downlink capacity is measured-per-core x cores.
+
 Usage:  python benchmarks/egress_bench.py [streams] [ticks] [payload]
+        [--threads=N]
 """
 
 import socket
@@ -19,9 +25,13 @@ import time
 
 import numpy as np
 
-from lyra_tpu.tools.udp_egress import UdpEgress
+from lyra_tpu.tools.udp_egress import MultiEgress, UdpEgress
 
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
+THREADS = 0
+for a in sys.argv[1:]:
+    if a.startswith("--threads="):
+        THREADS = int(a.split("=", 1)[1])
 STREAMS = int(args[0]) if args else 8192
 TICKS = int(args[1]) if len(args) > 1 else 25
 PAYLOAD = int(args[2]) if len(args) > 2 else 8  # 3.2 kbps packet
@@ -71,3 +81,17 @@ print(f"  native egress      : {dt_nat * 1e3:8.2f} ms/tick  "
       f"{pps_nat:10,.0f} pkts/s  ({pps_nat / 50:,.0f} real-time streams)  "
       f"[{dt_py / dt_nat:.1f}x]")
 print(f"  native stats: {st}")
+
+if THREADS:
+    meg = MultiEgress(STREAMS, threads=THREADS, dest=("127.0.0.1", port))
+    meg.send(wire, sizes, 0)  # warm the path (and the pool)
+    t0 = time.perf_counter()
+    sent_m = sum(meg.send(wire, sizes, t) for t in range(TICKS))
+    dt_m = (time.perf_counter() - t0) / TICKS
+    stm = meg.stats()
+    meg.close()
+    pps_m = sent_m / (dt_m * TICKS)
+    print(f"  multi x{THREADS} egress   : {dt_m * 1e3:8.2f} ms/tick  "
+          f"{pps_m:10,.0f} pkts/s  ({pps_m / 50:,.0f} real-time streams)  "
+          f"[{dt_nat / dt_m:.2f}x vs 1-thread]")
+    print(f"  multi stats: {stm}")

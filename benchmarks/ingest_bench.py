@@ -14,7 +14,13 @@ timeshares with the receiver).
 into the native PCM pump (latest-wins staging, udp_pump.cc PcmPump) vs
 the per-datagram Python drain serve_main's python ingest uses.
 
-Usage:  python benchmarks/ingest_bench.py [n_datagrams] [--pcm]
+--shards=N runs the SO_REUSEPORT shard group instead of one pump, with a
+multi-source blaster so the kernel's flow hash actually distributes.  On
+a 1-core box the group measures ~the single pump (all receiver threads
+timeshare one core); on an N-core serving host each shard rides its own
+core, so host capacity is measured-per-core x cores.
+
+Usage:  python benchmarks/ingest_bench.py [n_datagrams] [--pcm] [--shards=N]
 """
 
 import socket
@@ -36,6 +42,25 @@ PAYLOAD = 8  # 3.2 kbps packet
 PCM_PAYLOAD = 640  # one 20 ms hop of int16 @16 kHz
 
 
+def _settle(pump, sent, t0):
+    """Progress-based stop: the kernel may shed under overload, so wait
+    until the filed count stops advancing, then report what was actually
+    processed over the active window."""
+    last, t_last = -1, time.perf_counter()
+    while True:
+        got = pump.stats()["datagrams"]
+        now = time.perf_counter()
+        if got >= sent:
+            t_last = now
+            break
+        if got != last:
+            last, t_last = got, now
+        elif now - t_last > 0.5:
+            break
+        time.sleep(0.01)
+    return sent, pump.stats()["datagrams"], t_last - t0
+
+
 def _drain_native(n):
     jb = JitterBuffer(capacity=STREAMS, packet_size=23, depth=DEPTH)
     with UdpIngest(jb) as pump:
@@ -43,23 +68,38 @@ def _drain_native(n):
             pump.add_stream(s)
         t0 = time.perf_counter()
         sent = blast(pump.port, n, PAYLOAD, STREAMS)
-        # Progress-based stop: the kernel may shed under overload, so wait
-        # until the filed count stops advancing, then report what was
-        # actually processed over the active window.
-        last, t_last = -1, time.perf_counter()
-        while True:
-            got = pump.stats()["datagrams"]
-            now = time.perf_counter()
-            if got >= sent:
-                t_last = now
-                break
-            if got != last:
-                last, t_last = got, now
-            elif now - t_last > 0.5:
-                break
-            time.sleep(0.01)
-        got = pump.stats()["datagrams"]
-        return sent, got, t_last - t0
+        return _settle(pump, sent, t0)
+
+
+def _drain_sharded(n, shards):
+    from lyra_tpu.tools.udp_ingest import ShardedUdpIngest
+
+    with ShardedUdpIngest(capacity=STREAMS, packet_size=23, depth=DEPTH,
+                          shards=shards) as group:
+        for s in range(STREAMS):
+            group.add_stream(s)
+        t0 = time.perf_counter()
+        # One source per shard-sized slice keeps flows distributed without
+        # paying per-datagram source churn; 4x shards gives the hash room.
+        sent = blast(group.port, n, PAYLOAD, STREAMS, sources=4 * shards)
+        sent_ret = _settle(group, sent, t0)
+        per = [s.stats()["datagrams"] for s in group.shards]
+        print(f"  shard datagram split: {per}", flush=True)
+        return sent_ret
+
+
+def _drain_pcm_sharded(n, shards):
+    from lyra_tpu.tools.udp_ingest import ShardedPcmIngest
+
+    with ShardedPcmIngest(capacity=STREAMS, payload_bytes=PCM_PAYLOAD,
+                          shards=shards) as group:
+        t0 = time.perf_counter()
+        sent = blast(group.port, n, PCM_PAYLOAD, STREAMS,
+                     sources=4 * shards)
+        sent_ret = _settle(group, sent, t0)
+        per = [s.stats()["datagrams"] for s in group.shards]
+        print(f"  shard datagram split: {per}", flush=True)
+        return sent_ret
 
 
 def _drain_python(n):
@@ -95,20 +135,7 @@ def _drain_pcm_native(n):
     with PcmIngest(STREAMS, PCM_PAYLOAD) as pump:
         t0 = time.perf_counter()
         sent = blast(pump.port, n, PCM_PAYLOAD, STREAMS)
-        last, t_last = -1, time.perf_counter()
-        while True:
-            got = pump.stats()["datagrams"]
-            now = time.perf_counter()
-            if got >= sent:
-                t_last = now
-                break
-            if got != last:
-                last, t_last = got, now
-            elif now - t_last > 0.5:
-                break
-            time.sleep(0.01)
-        got = pump.stats()["datagrams"]
-        return sent, got, t_last - t0
+        return _settle(pump, sent, t0)
 
 
 def _drain_pcm_python(n):
@@ -140,13 +167,28 @@ def _drain_pcm_python(n):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--pcm"]
-    pcm = "--pcm" in sys.argv[1:]
+    shards = 0
+    args = []
+    pcm = False
+    for a in sys.argv[1:]:
+        if a == "--pcm":
+            pcm = True
+        elif a.startswith("--shards="):
+            shards = int(a.split("=", 1)[1])
+        else:
+            args.append(a)
     n = int(args[0]) if args else 200_000
-    paths = ((("native pcm pump", _drain_pcm_native),
-              ("python pcm loop", _drain_pcm_python)) if pcm else
-             (("native pump", _drain_native),
-              ("python loop", _drain_python)))
+    if shards:
+        name = f"sharded {'pcm ' if pcm else ''}group x{shards}"
+        fn = ((lambda n: _drain_pcm_sharded(n, shards)) if pcm else
+              (lambda n: _drain_sharded(n, shards)))
+        paths = ((name, fn),)
+    elif pcm:
+        paths = (("native pcm pump", _drain_pcm_native),
+                 ("python pcm loop", _drain_pcm_python))
+    else:
+        paths = (("native pump", _drain_native),
+                 ("python loop", _drain_python))
     for name, fn in paths:
         sent, got, dt = fn(n)
         rate = got / dt if dt > 0 else 0.0

@@ -82,3 +82,36 @@ class JitterBuffer:
                 "overflow_drops": over.value,
                 "inactive_drops": inactive.value,
                 "resyncs": int(self._lib.lyra_jb_resyncs(self._h))}
+
+    def set_adaptive(self, min_delay: int, max_delay: int,
+                     window: int = 100) -> None:
+        """Enable adaptive playout delay: every `window` ticks each
+        stream's delay grows toward observed lateness or shrinks after
+        sustained excess cushion, within [min_delay, max_delay] (see
+        native/jitter_buffer.cc).  Streams keep their add_stream delay as
+        the starting point.  While a pump owns this buffer, call the
+        pump's set_adaptive instead (locking)."""
+        if self._lib.lyra_jb_set_adaptive(self._h, min_delay, max_delay,
+                                          window):
+            raise ValueError(
+                f"bad adaptive bounds [{min_delay}, {max_delay}] "
+                f"(need 0 <= min <= max < depth {self.depth}) or "
+                f"window {window} <= 0")
+
+    def adapt_stats(self) -> dict:
+        """Decision counters + the fleet's current latency position
+        (per-active-slot playout delay min/max/mean, in 20 ms ticks)."""
+        vals = [ctypes.c_int64() for _ in range(6)]
+        self._lib.lyra_jb_adapt_stats(self._h, *map(ctypes.byref, vals))
+        grows, shrinks, dmin, dmax, dsum, active = (v.value for v in vals)
+        return {"grows": grows, "shrinks": shrinks,
+                "delay_min": dmin, "delay_max": dmax,
+                "delay_mean": (dsum / active) if active else 0.0,
+                "active_streams": active}
+
+    def delay(self, stream: int) -> int:
+        """Current playout delay (ticks) for one slot."""
+        d = int(self._lib.lyra_jb_delay(self._h, stream))
+        if d < 0:
+            raise ValueError(f"bad stream slot {stream}")
+        return d

@@ -31,9 +31,13 @@ HEADER_BYTES = 6  # 2 B slot + 4 B seq, big-endian
 
 
 class UdpIngest:
-    def __init__(self, jb: JitterBuffer, port: int = 0):
+    def __init__(self, jb: JitterBuffer, port: int = 0, *, _shard_of=None):
         """Binds 0.0.0.0:`port` (0 = ephemeral, read `self.port`) and
-        starts the native receiver thread over `jb`."""
+        starts the native receiver thread over `jb`.  `_shard_of` is the
+        ShardedUdpIngest constructor's seam: the founding shard passes
+        `()`, followers pass the founder, and the pump then binds with
+        SO_REUSEPORT and (for followers) shares the founder's
+        source-freshness clock."""
         lib = native.load()
         if lib is None:
             raise RuntimeError("native library unavailable; build native/")
@@ -48,7 +52,11 @@ class UdpIngest:
                 f"pump's max payload {max_payload}")
         self._lib = lib
         self._jb = jb  # keepalive: the pump thread dereferences its handle
-        self._h = lib.lyra_pump_create(jb._h, port)
+        if _shard_of is None:
+            self._h = lib.lyra_pump_create(jb._h, port)
+        else:
+            leader = _shard_of._h if _shard_of != () else None
+            self._h = lib.lyra_pump_create_shard(jb._h, port, leader)
         if not self._h:
             raise RuntimeError(f"UDP pump failed to bind port {port}")
         self.port = lib.lyra_pump_port(self._h)
@@ -132,6 +140,30 @@ class UdpIngest:
                 "inactive_drops": inactive.value,
                 "resyncs": int(self._lib.lyra_pump_jb_resyncs(self._h))}
 
+    def set_adaptive(self, min_delay: int, max_delay: int,
+                     window: int = 100) -> None:
+        """Adaptive playout delay (JitterBuffer.set_adaptive) configured
+        under the pump lock."""
+        self._check_open()
+        if self._lib.lyra_pump_set_adaptive(self._h, min_delay, max_delay,
+                                            window):
+            raise ValueError(
+                f"bad adaptive bounds [{min_delay}, {max_delay}] / "
+                f"window {window}")
+
+    def adapt_stats(self) -> dict:
+        """Adaptive-delay decisions + current latency position, read under
+        the pump lock (JitterBuffer.adapt_stats contract)."""
+        self._check_open()
+        vals = [ctypes.c_int64() for _ in range(6)]
+        self._lib.lyra_pump_jb_adapt_stats(self._h,
+                                           *map(ctypes.byref, vals))
+        grows, shrinks, dmin, dmax, dsum, active = (v.value for v in vals)
+        return {"grows": grows, "shrinks": shrinks,
+                "delay_min": dmin, "delay_max": dmax,
+                "delay_mean": (dsum / active) if active else 0.0,
+                "active_streams": active}
+
 
 class PcmIngest:
     """Native UDP ingest for the encode relay: one fixed-size PCM hop per
@@ -150,15 +182,22 @@ class PcmIngest:
     its destination table from the accepted-uplink sources
     (`route_from_pump`)."""
 
-    def __init__(self, capacity: int, payload_bytes: int, port: int = 0):
+    def __init__(self, capacity: int, payload_bytes: int, port: int = 0, *,
+                 _shard_of=None):
         """Binds 0.0.0.0:`port` (0 = ephemeral, read `self.port`) and
         starts the native receiver thread.  `payload_bytes` is exact —
-        datagrams of any other size are malformed drops."""
+        datagrams of any other size are malformed drops.  `_shard_of` as
+        on UdpIngest (ShardedPcmIngest's constructor seam)."""
         lib = native.load()
         if lib is None:
             raise RuntimeError("native library unavailable; build native/")
         self._lib = lib
-        self._h = lib.lyra_pcm_pump_create(port, capacity, payload_bytes)
+        if _shard_of is None:
+            self._h = lib.lyra_pcm_pump_create(port, capacity, payload_bytes)
+        else:
+            leader = _shard_of._h if _shard_of != () else None
+            self._h = lib.lyra_pcm_pump_create_shard(
+                port, capacity, payload_bytes, leader)
         if not self._h:
             raise ValueError(
                 f"PCM pump failed (bad capacity {capacity} / payload "
@@ -226,17 +265,245 @@ class PcmIngest:
                 "resyncs": counters[3].value}
 
 
+class _ShardGroupBase:
+    """Shared plumbing for SO_REUSEPORT ingest shard groups.
+
+    A group is N pumps — each with its own buffer and lock — bound to ONE
+    port with SO_REUSEPORT: the kernel hashes every flow (caller 4-tuple)
+    to one member socket, so a caller's datagrams always land on the same
+    shard and the per-packet hot path never crosses shards.  On a
+    multi-core host each receiver thread rides its own core; the per-tick
+    merge back into one dense matrix is a single native call
+    (lyra_pump_collect_merged / lyra_pcm_pump_collect_merged).  The
+    reference is single-threaded per codec instance by design
+    (reference: lyra/tflite_model_wrapper.cc:51); this is the serving-host
+    scale-out of the transport tier the batched device engine needs fed.
+    """
+
+    def __init__(self, shards):
+        if not shards:
+            raise ValueError("a shard group needs at least one shard")
+        self._shards = shards
+        self.num_shards = len(shards)
+        self.port = shards[0].port
+        self.capacity = shards[0].capacity
+        self._handles = (ctypes.c_void_p * len(shards))(
+            *[s._h for s in shards])
+
+    @property
+    def shards(self):
+        """The member pumps (e.g. for per-shard reply egress)."""
+        return list(self._shards)
+
+    def close(self) -> None:
+        for s in self._shards:
+            s.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _check_open(self):
+        for s in self._shards:
+            s._check_open()
+
+    def copy_sources_owned(self):
+        """Merged reply-source table: per slot the freshest uplink source
+        across shards (shared stamp clock), with `owner[i]` = shard index
+        that heard it last (-1 = never spoke).  → (ip_be u32, port_be u16,
+        known bool, owner i32), each [capacity]."""
+        self._check_open()
+        lib = self._shards[0]._lib
+        cap = self.capacity
+        ip = np.zeros(cap, np.uint32)
+        port = np.zeros(cap, np.uint16)
+        known = np.zeros(cap, np.uint8)
+        owner = np.zeros(cap, np.int32)
+        n = lib.lyra_pump_copy_sources_owned(
+            self._handles, self.num_shards, cap,
+            ip.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            port.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            known.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            owner.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if n < 0:
+            raise RuntimeError("merged source read failed")
+        return ip, port, known.astype(bool), owner
+
+
+class ShardedUdpIngest(_ShardGroupBase):
+    """Codec-packet ingest shard group: N (jitter buffer, pump) pairs on
+    one SO_REUSEPORT port.  Same collect/admission/stats contract as a
+    single UdpIngest; every shard's jitter buffer is advanced by every
+    collect so a flow migrating shards (NAT rebind) stays on the group's
+    playout clock."""
+
+    def __init__(self, capacity: int, packet_size: int, depth: int = 8,
+                 shards: int = 2, port: int = 0):
+        if shards < 1:
+            raise ValueError(f"need at least 1 shard, got {shards}")
+        members = []
+        founder = None
+        try:
+            for _ in range(shards):
+                jb = JitterBuffer(capacity, packet_size, depth)
+                member = UdpIngest(
+                    jb, port if founder is None else founder.port,
+                    _shard_of=(() if founder is None else founder))
+                members.append(member)
+                founder = founder or member
+        except Exception:
+            for m in members:
+                m.close()
+            raise
+        super().__init__(members)
+        self.packet_size = packet_size
+
+    def add_stream(self, stream: int, start_seq: int = 0,
+                   playout_delay: int = 0) -> None:
+        """Admission goes to every shard — which shard a caller's flow
+        hashes to is the kernel's choice, so all must be ready."""
+        for s in self._shards:
+            s.add_stream(stream, start_seq, playout_delay)
+
+    def remove_stream(self, stream: int) -> None:
+        for s in self._shards:
+            s.remove_stream(stream)
+
+    def collect(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One tick, merged across shards (one native call): → (packets
+        [capacity, packet_size] u8, received [capacity] bool,
+        sizes [capacity] u8)."""
+        self._check_open()
+        out = np.zeros((self.capacity, self.packet_size), np.uint8)
+        received = np.zeros(self.capacity, np.uint8)
+        sizes = np.zeros(self.capacity, np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = self._shards[0]._lib.lyra_pump_collect_merged(
+            self._handles, self.num_shards, self.capacity, self.packet_size,
+            out.ctypes.data_as(u8p), received.ctypes.data_as(u8p),
+            sizes.ctypes.data_as(u8p))
+        if n < 0:
+            raise RuntimeError("merged collect failed (mixed pump kinds?)")
+        return out, received.astype(bool), sizes
+
+    def stats(self) -> dict:
+        """Summed pump counters across shards."""
+        totals: dict = {}
+        for s in self._shards:
+            for k, v in s.stats().items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
+    def jb_stats(self) -> dict:
+        """Summed jitter-buffer drop counters across shards."""
+        totals: dict = {}
+        for s in self._shards:
+            for k, v in s.jb_stats().items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
+    def set_adaptive(self, min_delay: int, max_delay: int,
+                     window: int = 100) -> None:
+        """Adaptive playout delay on every shard's buffer.  A slot's flow
+        lives on one shard, so only that shard observes its margins and
+        adapts its delay; the others see a silent sender (no decision)."""
+        for s in self._shards:
+            s.set_adaptive(min_delay, max_delay, window)
+
+    def adapt_stats(self) -> dict:
+        """Group adaptive stats.  delay_min/max span shards; delay_mean is
+        NOT meaningful group-wide (every shard tracks every admitted slot,
+        but only a slot's home shard adapts it), so it is omitted."""
+        totals = {"grows": 0, "shrinks": 0}
+        dmin, dmax = [], []
+        for s in self._shards:
+            st = s.adapt_stats()
+            totals["grows"] += st["grows"]
+            totals["shrinks"] += st["shrinks"]
+            dmin.append(st["delay_min"])
+            dmax.append(st["delay_max"])
+        totals["delay_min"] = min(dmin)
+        totals["delay_max"] = max(dmax)
+        return totals
+
+
+class ShardedPcmIngest(_ShardGroupBase):
+    """PCM-hop ingest shard group (encode-relay uplink): N PcmPumps on one
+    SO_REUSEPORT port, merged latest-wins staging per tick."""
+
+    def __init__(self, capacity: int, payload_bytes: int, shards: int = 2,
+                 port: int = 0):
+        if shards < 1:
+            raise ValueError(f"need at least 1 shard, got {shards}")
+        members = []
+        founder = None
+        try:
+            for _ in range(shards):
+                member = PcmIngest(
+                    capacity, payload_bytes,
+                    port if founder is None else founder.port,
+                    _shard_of=(() if founder is None else founder))
+                members.append(member)
+                founder = founder or member
+        except Exception:
+            for m in members:
+                m.close()
+            raise
+        super().__init__(members)
+        self.payload_bytes = payload_bytes
+
+    def collect_into(self, audio: np.ndarray) -> np.ndarray:
+        """One merged tick: fill fresh rows of `audio` in place (contract
+        of PcmIngest.collect_into), first staging shard wins a slot, all
+        shards' fresh flags clear.  Returns fresh [capacity] bool."""
+        self._check_open()
+        if (not audio.flags.c_contiguous or not audio.flags.writeable
+                or audio.nbytes != self.capacity * self.payload_bytes):
+            raise ValueError(
+                f"audio must be writable C-contiguous with "
+                f"{self.capacity}x{self.payload_bytes} bytes, got "
+                f"{audio.shape} {audio.dtype}")
+        fresh = np.zeros(self.capacity, np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = self._shards[0]._lib.lyra_pcm_pump_collect_merged(
+            self._handles, self.num_shards,
+            audio.ctypes.data_as(u8p), fresh.ctypes.data_as(u8p))
+        if n < 0:
+            raise RuntimeError("merged PCM collect failed")
+        return fresh.astype(bool)
+
+    def reset_slot(self, slot: int) -> None:
+        for s in self._shards:
+            s.reset_slot(slot)
+
+    def stats(self) -> dict:
+        totals: dict = {}
+        for s in self._shards:
+            for k, v in s.stats().items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
+
 def blast(port: int, n: int, payload_size: int, streams: int,
-          seq0: int = 0) -> int:
+          seq0: int = 0, sources: int = 1) -> int:
     """Benchmark sender: `n` datagrams to 127.0.0.1:`port`, round-robin
     over `streams` slots, batched with sendmmsg so ingest measurements
     aren't limited by a Python sender.  Payloads up to the UDP maximum
-    (PCM-hop-sized payloads drive the PCM pump).  Returns datagrams
-    actually sent."""
+    (PCM-hop-sized payloads drive the PCM pump).  `sources` > 1 rotates
+    that many sender sockets with per-slot affinity (slot ≡ source mod
+    `sources`) so a SO_REUSEPORT shard group actually sees multiple flows
+    — one source socket is one flow and would land on one shard.  Returns
+    datagrams actually sent."""
     lib = native.load()
     if lib is None:
         raise RuntimeError("native library unavailable; build native/")
-    sent = lib.lyra_pump_blast2(port, n, payload_size, streams, seq0)
+    if sources == 1:
+        sent = lib.lyra_pump_blast2(port, n, payload_size, streams, seq0)
+    else:
+        sent = lib.lyra_pump_blast_multi(port, n, payload_size, streams,
+                                         seq0, sources)
     if sent < 0:
         raise ValueError("bad blast args (payload too large or streams<=0)")
     return sent

@@ -48,6 +48,18 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_jb_stats2.restype = None
     lib.lyra_jb_resyncs.argtypes = [vp]
     lib.lyra_jb_resyncs.restype = i64
+    lib.lyra_jb_set_adaptive.argtypes = [vp, i64, i64, i64]
+    lib.lyra_jb_set_adaptive.restype = ctypes.c_int
+    lib.lyra_jb_adapt_stats.argtypes = [vp, i64p, i64p, i64p, i64p, i64p,
+                                        i64p]
+    lib.lyra_jb_adapt_stats.restype = None
+    lib.lyra_jb_delay.argtypes = [vp, i64]
+    lib.lyra_jb_delay.restype = i64
+    lib.lyra_pump_set_adaptive.argtypes = [vp, i64, i64, i64]
+    lib.lyra_pump_set_adaptive.restype = ctypes.c_int
+    lib.lyra_pump_jb_adapt_stats.argtypes = [vp, i64p, i64p, i64p, i64p,
+                                             i64p, i64p]
+    lib.lyra_pump_jb_adapt_stats.restype = None
     lib.lyra_pump_jb_resyncs.argtypes = [vp]
     lib.lyra_pump_jb_resyncs.restype = i64
     lib.lyra_pump_create.argtypes = [vp, ctypes.c_int]
@@ -101,6 +113,31 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_pump_get_fd.restype = ctypes.c_int
     lib.lyra_egress_create_on_pump.argtypes = [vp, i64]
     lib.lyra_egress_create_on_pump.restype = vp
+    # SO_REUSEPORT shard groups (multi-core transport tier).
+    vpp = ctypes.POINTER(vp)
+    lib.lyra_pump_create_shard.argtypes = [vp, ctypes.c_int, vp]
+    lib.lyra_pump_create_shard.restype = vp
+    lib.lyra_pcm_pump_create_shard.argtypes = [ctypes.c_int, i64, i64, vp]
+    lib.lyra_pcm_pump_create_shard.restype = vp
+    lib.lyra_pump_collect_merged.argtypes = [vpp, ctypes.c_int, i64, i64,
+                                             u8p, u8p, u8p]
+    lib.lyra_pump_collect_merged.restype = i64
+    lib.lyra_pcm_pump_collect_merged.argtypes = [vpp, ctypes.c_int, u8p, u8p]
+    lib.lyra_pcm_pump_collect_merged.restype = i64
+    lib.lyra_pump_copy_sources_owned.argtypes = [
+        vpp, ctypes.c_int, i64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint16), u8p, i32p]
+    lib.lyra_pump_copy_sources_owned.restype = i64
+    lib.lyra_pump_blast_multi.argtypes = [ctypes.c_int, i64, i64, i64, i64,
+                                          ctypes.c_int]
+    lib.lyra_pump_blast_multi.restype = i64
+    lib.lyra_egress_send_range.argtypes = [vp, u8p, i32p, i64, i64, i64,
+                                           i64, i64, ctypes.c_int]
+    lib.lyra_egress_send_range.restype = i64
+    lib.lyra_egress_route_from_table.argtypes = [
+        vp, i64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint16), u8p]
+    lib.lyra_egress_route_from_table.restype = i64
     return lib
 
 

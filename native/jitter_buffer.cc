@@ -15,6 +15,24 @@
 // Concurrency model: single writer thread per buffer (or external locking).
 // All functions are O(1) per packet.
 
+// Adaptive playout delay (opt-in via lyra_jb_set_adaptive): per slot the
+// buffer tracks the arrival margin of every insert — how many ticks of
+// cushion the packet had before being too late (seq - head_seq; negative
+// = it WAS late).  Every `window` ticks it decides per slot:
+//   - window-min margin < 0  → grow the playout delay by the observed
+//     lateness (bounded by max_delay), realized as a pause: the slot
+//     emits nothing for the added ticks (PLC conceals) and every later
+//     packet plays that much later but safer.
+//   - window-min margin >= 2 for kShrinkVotes consecutive windows → the
+//     cushion was never needed: shrink by one tick (bounded by
+//     min_delay), realized as a one-packet skip (playout jumps 20 ms;
+//     cheaper than carrying permanent latency).
+// Decisions and the current per-slot delay are exposed in stats so an
+// operator can see the buffer's latency position, not just drop counts.
+// The reference has no transport; the PLC machine this protects is
+// reference: lyra/lyra_decoder.cc:228-315.
+
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -25,6 +43,12 @@ struct Slot {
   bool occupied = false;
   int64_t seq = -1;
 };
+
+// Sentinel: no insert observed this window (sender silent) — no decision.
+constexpr int64_t kNoMargin = INT64_MAX;
+// Consecutive all-comfortable windows before giving back a tick of delay:
+// shrinking is a deliberate playout jump, so it must be earned.
+constexpr int64_t kShrinkVotes = 3;
 
 // Consecutive overflow inserts on one stream before its playout point
 // resyncs to the arriving sequence.  >1 so a single stray (or hostile)
@@ -49,7 +73,49 @@ struct JitterBuffer {
   int64_t late_drops = 0, dup_drops = 0, overflow_drops = 0;
   int64_t inactive_drops = 0;
   int64_t resyncs = 0;
+  // adaptive playout (all zero = disabled, the static-depth default)
+  int64_t ad_min = 0, ad_max = 0, ad_window = 0;
+  std::vector<int64_t> margin_min;    // per stream, window min arrival margin
+  std::vector<int64_t> win_left;      // per stream, ticks left in window
+  std::vector<int64_t> shrink_votes;  // consecutive shrinkable windows
+  int64_t grows = 0, shrinks = 0;     // delay decisions taken
 };
+
+// End-of-window decision for one stream (see the header comment).
+void AdaptDecide(JitterBuffer* jb, int64_t s) {
+  const int64_t margin = jb->margin_min[s];
+  jb->margin_min[s] = kNoMargin;
+  if (margin == kNoMargin) {  // silent sender: no evidence either way
+    jb->shrink_votes[s] = 0;
+    return;
+  }
+  if (margin < 0) {
+    jb->shrink_votes[s] = 0;
+    const int64_t grow =
+        std::min(-margin, jb->ad_max - jb->delay0[s]);
+    if (grow > 0) {
+      jb->delay0[s] += grow;
+      jb->delay[s] += grow;  // pause now; PLC conceals the added ticks
+      ++jb->grows;
+    }
+    return;
+  }
+  if (margin >= 2 && jb->delay0[s] > jb->ad_min) {
+    if (++jb->shrink_votes[s] >= kShrinkVotes) {
+      jb->shrink_votes[s] = 0;
+      --jb->delay0[s];
+      // Realize the shrink as a one-packet skip: clear and step over the
+      // next due sequence so playout jumps 20 ms forward.
+      const int64_t head = jb->head_seq[s];
+      Slot& skipped = jb->slots[s * jb->depth + (head % jb->depth)];
+      if (skipped.occupied && skipped.seq == head) skipped.occupied = false;
+      jb->head_seq[s] = head + 1;
+      ++jb->shrinks;
+    }
+    return;
+  }
+  jb->shrink_votes[s] = 0;
+}
 
 }  // namespace
 
@@ -73,7 +139,31 @@ void* lyra_jb_create(int64_t capacity, int64_t packet_size, int64_t depth) {
   jb->delay0.assign(capacity, 0);
   jb->streak.assign(capacity, 0);
   jb->active.assign(capacity, 0);
+  jb->margin_min.assign(capacity, kNoMargin);
+  jb->win_left.assign(capacity, 0);
+  jb->shrink_votes.assign(capacity, 0);
   return jb;
+}
+
+// Enable adaptive playout delay: every `window` ticks each stream's delay
+// may grow (late packets observed) or shrink (sustained excess cushion)
+// within [min_delay, max_delay].  Streams keep their add_stream
+// playout_delay as the starting point.  While a pump owns this buffer use
+// lyra_pump_set_adaptive instead (locking).  Returns 0 ok, 1 bad bounds.
+int lyra_jb_set_adaptive(void* h, int64_t min_delay, int64_t max_delay,
+                         int64_t window) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  if (min_delay < 0 || max_delay < min_delay || max_delay >= jb->depth ||
+      window <= 0) {
+    return 1;
+  }
+  jb->ad_min = min_delay;
+  jb->ad_max = max_delay;
+  jb->ad_window = window;
+  std::fill(jb->margin_min.begin(), jb->margin_min.end(), kNoMargin);
+  std::fill(jb->win_left.begin(), jb->win_left.end(), window);
+  std::fill(jb->shrink_votes.begin(), jb->shrink_votes.end(), 0);
+  return 0;
 }
 
 void lyra_jb_destroy(void* h) { delete static_cast<JitterBuffer*>(h); }
@@ -96,6 +186,9 @@ int lyra_jb_add_stream(void* h, int64_t stream, int64_t start_seq,
   jb->delay[stream] = playout_delay;
   jb->delay0[stream] = playout_delay;
   jb->streak[stream] = 0;
+  jb->margin_min[stream] = kNoMargin;
+  jb->win_left[stream] = jb->ad_window;
+  jb->shrink_votes[stream] = 0;
   for (int64_t d = 0; d < jb->depth; ++d) {
     jb->slots[stream * jb->depth + d].occupied = false;
   }
@@ -130,6 +223,12 @@ int lyra_jb_insert(void* h, int64_t stream, int64_t seq,
     return 5;
   }
   const int64_t head = jb->head_seq[stream];
+  if (jb->ad_window > 0) {
+    // Arrival margin: ticks of cushion before this packet is too late
+    // (negative = it was).  The window minimum drives AdaptDecide.
+    jb->margin_min[stream] =
+        std::min(jb->margin_min[stream], seq - head);
+  }
   if (seq < head) {
     ++jb->late_drops;
     return 2;
@@ -184,6 +283,10 @@ int64_t lyra_jb_collect(void* h, uint8_t* out, uint8_t* received,
     received[s] = 0;
     sizes_out[s] = 0;
     if (!jb->active[s]) continue;
+    if (jb->ad_window > 0 && --jb->win_left[s] <= 0) {
+      AdaptDecide(jb, s);
+      jb->win_left[s] = jb->ad_window;
+    }
     if (jb->delay[s] > 0) {  // still filling the playout buffer
       --jb->delay[s];
       continue;
@@ -222,6 +325,37 @@ void lyra_jb_stats2(void* h, int64_t* late, int64_t* dup, int64_t* overflow,
 
 int64_t lyra_jb_resyncs(void* h) {
   return static_cast<JitterBuffer*>(h)->resyncs;
+}
+
+// Adaptive-delay decision counters plus the fleet's current latency
+// position: min / max / sum of per-active-slot playout delay (sum / active
+// = mean added latency in ticks; all zero when no slot is active).
+void lyra_jb_adapt_stats(void* h, int64_t* grows, int64_t* shrinks,
+                         int64_t* delay_min, int64_t* delay_max,
+                         int64_t* delay_sum, int64_t* active_streams) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  *grows = jb->grows;
+  *shrinks = jb->shrinks;
+  *delay_min = 0;
+  *delay_max = 0;
+  *delay_sum = 0;
+  *active_streams = 0;
+  bool first = true;
+  for (int64_t s = 0; s < jb->capacity; ++s) {
+    if (!jb->active[s]) continue;
+    ++*active_streams;
+    *delay_sum += jb->delay0[s];
+    if (first || jb->delay0[s] < *delay_min) *delay_min = jb->delay0[s];
+    if (first || jb->delay0[s] > *delay_max) *delay_max = jb->delay0[s];
+    first = false;
+  }
+}
+
+// Current playout delay (ticks) for one slot, or -1 on a bad slot.
+int64_t lyra_jb_delay(void* h, int64_t stream) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  if (stream < 0 || stream >= jb->capacity) return -1;
+  return jb->delay0[stream];
 }
 
 }  // extern "C"

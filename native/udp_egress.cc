@@ -120,16 +120,28 @@ int lyra_egress_set_dest(void* h, int64_t slot, const char* ip, int port) {
   return 0;
 }
 
-// One tick's fan-out: for every slot with sizes[slot] > 0 and a
-// destination, send header + wire[slot, :sizes[slot]].  `wire` is row-major
-// [rows, stride]; `seq` stamps every header.  Returns datagrams handed to
-// the kernel, or -1 if any size exceeds `stride` (caller geometry bug —
-// nothing is sent for that call).
-int64_t lyra_egress_send(void* h, const uint8_t* wire, const int32_t* sizes,
-                         int64_t rows, int64_t stride, int64_t seq) {
+// One tick's fan-out over the row range [row0, row1): for every slot with
+// sizes[slot] > 0 and a destination, send header + wire[slot,
+// :sizes[slot]].  `wire` is row-major [rows, stride]; `seq` stamps every
+// header.  Row indices are absolute (the wire header carries the real slot
+// id), so a striped multi-core send is N egress objects — each with its
+// own socket and stats, single-threaded by contract — sending disjoint
+// ranges of one matrix concurrently (ctypes releases the GIL around the
+// call).  `count_unrouted` = 0 skips active-but-unrouted rows silently:
+// the owner-partitioned reply path (lyra_pump_copy_sources_owned) routes
+// every slot on exactly one shard egress, so on the others the same slot
+// is someone else's row, not a drop.  Returns datagrams handed to the
+// kernel, or -1 on bad geometry (nothing sent for that call).
+int64_t lyra_egress_send_range(void* h, const uint8_t* wire,
+                               const int32_t* sizes, int64_t rows,
+                               int64_t stride, int64_t seq, int64_t row0,
+                               int64_t row1, int count_unrouted) {
   auto* e = static_cast<UdpEgress*>(h);
-  if (rows < 0 || rows > static_cast<int64_t>(e->dests.size())) return -1;
-  for (int64_t i = 0; i < rows; ++i) {
+  if (rows < 0 || rows > static_cast<int64_t>(e->dests.size()) ||
+      row0 < 0 || row1 > rows || row0 > row1) {
+    return -1;
+  }
+  for (int64_t i = row0; i < row1; ++i) {
     if (sizes[i] > stride) return -1;  // would send bytes past the row
   }
   uint8_t headers[kBatch][kHeaderBytes];
@@ -150,10 +162,10 @@ int64_t lyra_egress_send(void* h, const uint8_t* wire, const int32_t* sizes,
     }
     n = 0;
   };
-  for (int64_t i = 0; i < rows; ++i) {
+  for (int64_t i = row0; i < row1; ++i) {
     if (sizes[i] <= 0) continue;  // inactive slot, not a drop
     if (!e->has_dest[static_cast<size_t>(i)]) {
-      ++e->no_dest_drops;
+      if (count_unrouted) ++e->no_dest_drops;
       continue;
     }
     uint8_t* hd = headers[n];
@@ -176,6 +188,44 @@ int64_t lyra_egress_send(void* h, const uint8_t* wire, const int32_t* sizes,
   flush();
   e->sent += sent_total;
   return sent_total;
+}
+
+int64_t lyra_egress_send(void* h, const uint8_t* wire, const int32_t* sizes,
+                         int64_t rows, int64_t stride, int64_t seq) {
+  return lyra_egress_send_range(h, wire, sizes, rows, stride, seq, 0, rows,
+                                /*count_unrouted=*/1);
+}
+
+// Authoritative bulk routing from a caller-supplied table: slots with
+// routed[i] != 0 get ip_be[i]:port_be[i] (network byte order), all others
+// lose any route they had (same churn-safety rule as route_from_pump).
+// This is how the owner-partitioned reply path programs each shard's
+// egress: the caller masks the merged source table
+// (lyra_pump_copy_sources_owned) down to owner == shard before the call.
+// Returns slots routed, or -1 on bad rows.
+int64_t lyra_egress_route_from_table(void* h, int64_t rows,
+                                     const uint32_t* ip_be,
+                                     const uint16_t* port_be,
+                                     const uint8_t* routed) {
+  auto* e = static_cast<UdpEgress*>(h);
+  if (rows < 0 || rows > static_cast<int64_t>(e->dests.size())) return -1;
+  int64_t n = 0;
+  for (int64_t i = 0; i < rows; ++i) {
+    if (!routed[i]) {
+      e->has_dest[static_cast<size_t>(i)] = 0;
+      continue;
+    }
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = ip_be[i];
+    addr.sin_port = port_be[i];
+    e->dests[static_cast<size_t>(i)] = addr;
+    e->has_dest[static_cast<size_t>(i)] = 1;
+    ++n;
+  }
+  // Rows past the table (rows < capacity) keep their routes — the caller
+  // passes the full capacity in practice; anything else is intentional.
+  return n;
 }
 
 // udp_pump.cc (same shared library).

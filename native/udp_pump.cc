@@ -56,6 +56,11 @@ int64_t lyra_jb_collect(void* h, uint8_t* out, uint8_t* received,
 void lyra_jb_stats2(void* h, int64_t* late, int64_t* dup, int64_t* overflow,
                     int64_t* inactive);
 int64_t lyra_jb_resyncs(void* h);
+int lyra_jb_set_adaptive(void* h, int64_t min_delay, int64_t max_delay,
+                         int64_t window);
+void lyra_jb_adapt_stats(void* h, int64_t* grows, int64_t* shrinks,
+                         int64_t* delay_min, int64_t* delay_max,
+                         int64_t* delay_sum, int64_t* active_streams);
 }
 
 namespace {
@@ -81,6 +86,12 @@ struct SlotSource {
   uint32_t ip_be = 0;   // network byte order
   uint16_t port_be = 0; // network byte order
   uint8_t known = 0;
+  // Monotonic freshness stamp.  Within one pump it orders route learning;
+  // across a SO_REUSEPORT shard group all pumps share one counter
+  // (lyra_pump_share_stamp) so merged readers can pick the shard that
+  // heard a slot most recently — a migrated flow (NAT rebind hashing to a
+  // new shard) must win over its stale twin.
+  int64_t stamp = 0;
 };
 
 // Per-datagram verdict from a pump's handler (under the batch lock).
@@ -109,6 +120,10 @@ struct PumpBase {
   int64_t drops = 0;           // well-formed but not filed; the pump kind's
                                // own counters hold the breakdown
   std::vector<SlotSource> sources = std::vector<SlotSource>(kMaxSlots);
+  // Freshness clock for source learning: points at this pump's own counter
+  // unless the pump joined a shard group (lyra_pump_share_stamp).
+  std::atomic<int64_t> own_stamp{0};
+  std::atomic<int64_t>* stamp_clock = &own_stamp;
 
   explicit PumpBase(int k) : kind(k) {}
 
@@ -172,6 +187,7 @@ struct PumpBase {
           s.ip_be = srcs[i].sin_addr.s_addr;
           s.port_be = srcs[i].sin_port;
           s.known = 1;
+          s.stamp = stamp_clock->fetch_add(1, std::memory_order_relaxed) + 1;
         }
       }
     }
@@ -226,12 +242,23 @@ struct PcmPump : PumpBase {
 };
 
 // Binds 0.0.0.0:port (0 = ephemeral); returns the fd or -1, with the bound
-// port written back through *bound_port.
-int OpenSocket(int port, int* bound_port) {
+// port written back through *bound_port.  With `reuseport` the socket
+// joins (or founds) the port's SO_REUSEPORT group: the kernel hashes each
+// datagram's 4-tuple across the group's sockets, so one flow always lands
+// on one socket — the multi-core sharding primitive (every member of a
+// group must set the flag, including the first to bind).
+int OpenSocket(int port, int* bound_port, bool reuseport = false) {
   int fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (fd < 0) return -1;
   int rcvbuf = 8 * 1024 * 1024;  // burst headroom: ~100k queued datagrams
   setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+  if (reuseport) {
+    int one = 1;
+    if (setsockopt(fd, SOL_SOCKET, SO_REUSEPORT, &one, sizeof(one)) != 0) {
+      close(fd);
+      return -1;
+    }
+  }
   sockaddr_in addr{};
   addr.sin_family = AF_INET;
   addr.sin_addr.s_addr = htonl(INADDR_ANY);
@@ -299,7 +326,32 @@ int64_t BlastImpl(int port, int64_t n, int64_t payload_size, int64_t streams,
 extern "C" {
 
 // Binds 0.0.0.0:port (port 0 = ephemeral; read back with lyra_pump_port)
-// and starts the receiver thread.  Returns nullptr on socket failure.
+// and starts the receiver thread.  With a non-null `leader` the pump joins
+// the leader's SO_REUSEPORT shard group: the kernel hashes each flow to
+// one member socket, and all members share one source-freshness clock so
+// merged readers (lyra_pump_copy_sources_owned) can tell which shard heard
+// a slot last.  Found the group by creating the first shard with
+// leader == nullptr (it binds with SO_REUSEPORT and keeps its own clock);
+// pass that founder as every follower's leader.  Returns nullptr on
+// failure (socket, or the port's group is owned by non-reuseport binds).
+void* lyra_pump_create_shard(void* jb, int port, void* leader) {
+  if (jb == nullptr) return nullptr;
+  auto* p = new UdpPump;
+  auto* lead = static_cast<PumpBase*>(leader);
+  // Group members all need the flag, including the founder: bind the
+  // founder with SO_REUSEPORT too by treating it as its own leader for
+  // socket options only (clock stays its own).
+  p->fd = OpenSocket(port, &p->port, /*reuseport=*/true);
+  if (p->fd < 0) {
+    delete p;
+    return nullptr;
+  }
+  if (lead != nullptr) p->stamp_clock = lead->stamp_clock;
+  p->jb = jb;
+  p->receiver = std::thread([p] { p->Run(); });
+  return static_cast<PumpBase*>(p);
+}
+
 void* lyra_pump_create(void* jb, int port) {
   if (jb == nullptr) return nullptr;
   auto* p = new UdpPump;
@@ -315,6 +367,32 @@ void* lyra_pump_create(void* jb, int port) {
 
 // PCM pump: `payload` is the exact bytes per hop (e.g. 640 for a 20 ms
 // 16 kHz int16 hop); datagrams of any other size are malformed drops.
+// `leader` as in lyra_pump_create_shard (pass nullptr for a standalone
+// pump bound without SO_REUSEPORT via lyra_pcm_pump_create).
+void* lyra_pcm_pump_create_shard(int port, int64_t capacity, int64_t payload,
+                                 void* leader) {
+  if (capacity <= 0 || capacity > kMaxSlots || payload <= 0 ||
+      payload > kUdpMax - kHeaderBytes) {
+    return nullptr;
+  }
+  auto* p = new PcmPump;
+  auto* lead = static_cast<PumpBase*>(leader);
+  p->fd = OpenSocket(port, &p->port, /*reuseport=*/true);
+  if (p->fd < 0) {
+    delete p;
+    return nullptr;
+  }
+  if (lead != nullptr) p->stamp_clock = lead->stamp_clock;
+  p->capacity = capacity;
+  p->payload = payload;
+  p->staging.assign(static_cast<size_t>(capacity * payload), 0);
+  p->fresh.assign(static_cast<size_t>(capacity), 0);
+  p->last_seq.assign(static_cast<size_t>(capacity), -1);
+  p->stale_run.assign(static_cast<size_t>(capacity), 0);
+  p->receiver = std::thread([p] { p->Run(); });
+  return static_cast<PumpBase*>(p);
+}
+
 void* lyra_pcm_pump_create(int port, int64_t capacity, int64_t payload) {
   if (capacity <= 0 || capacity > kMaxSlots || payload <= 0 ||
       payload > kUdpMax - kHeaderBytes) {
@@ -429,6 +507,31 @@ int64_t lyra_pump_jb_resyncs(void* h) {
   return lyra_jb_resyncs(static_cast<UdpPump*>(p)->jb);
 }
 
+// Locked adaptive-delay controls (see jitter_buffer.cc): the only safe way
+// to configure/read adaptation while the receiver thread is live.
+int lyra_pump_set_adaptive(void* h, int64_t min_delay, int64_t max_delay,
+                           int64_t window) {
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 0) return -1;
+  std::lock_guard<std::mutex> lock(p->mu);
+  return lyra_jb_set_adaptive(static_cast<UdpPump*>(p)->jb, min_delay,
+                              max_delay, window);
+}
+
+void lyra_pump_jb_adapt_stats(void* h, int64_t* grows, int64_t* shrinks,
+                              int64_t* delay_min, int64_t* delay_max,
+                              int64_t* delay_sum, int64_t* active_streams) {
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 0) {
+    *grows = *shrinks = *delay_min = *delay_max = *delay_sum =
+        *active_streams = -1;
+    return;
+  }
+  std::lock_guard<std::mutex> lock(p->mu);
+  lyra_jb_adapt_stats(static_cast<UdpPump*>(p)->jb, grows, shrinks,
+                      delay_min, delay_max, delay_sum, active_streams);
+}
+
 // Copies each fresh slot's latest hop into out[slot * payload ...] and its
 // flag into fresh[slot], then clears the fresh flags (a hop is delivered to
 // exactly one tick).  Rows that are not fresh are left untouched — the
@@ -520,6 +623,211 @@ int64_t lyra_pump_blast2(int port, int64_t n, int64_t payload_size,
                          int64_t streams, int64_t seq0) {
   return BlastImpl(port, n, payload_size, streams, seq0,
                    kUdpMax - kHeaderBytes);
+}
+
+// ---- SO_REUSEPORT shard-group readers ---------------------------------------
+//
+// A shard group is N pumps on one port, each with its own jitter buffer /
+// staging matrix and its own lock: the kernel's flow hash gives every
+// caller a home shard, so the per-packet hot path never crosses shards.
+// The per-tick readers below merge the group back into the single dense
+// matrix the device step consumes.  They lock shards one at a time (never
+// two at once — no ordering hazard) and are the ONLY safe way to drain a
+// group: every shard's jitter buffer must advance every tick or a shard's
+// playout clock would drift from the group's.
+
+// Merged codec-packet collect over `n` shard pumps.  Per slot the first
+// shard holding the due packet wins (slots live on one shard per flow;
+// overlap only happens the tick a migrated flow's old shard still had a
+// queued packet).  Outputs follow the lyra_jb_collect contract.  Returns
+// packets received, or -1 on a wrong-kind handle.
+int64_t lyra_pump_collect_merged(void** pumps, int n, int64_t capacity,
+                                 int64_t packet_size, uint8_t* out,
+                                 uint8_t* received, uint8_t* sizes) {
+  std::memset(received, 0, static_cast<size_t>(capacity));
+  std::memset(sizes, 0, static_cast<size_t>(capacity));
+  std::vector<uint8_t> s_out(static_cast<size_t>(capacity * packet_size));
+  std::vector<uint8_t> s_recv(static_cast<size_t>(capacity));
+  std::vector<uint8_t> s_size(static_cast<size_t>(capacity));
+  int64_t total = 0;
+  for (int k = 0; k < n; ++k) {
+    auto* p = static_cast<PumpBase*>(pumps[k]);
+    if (p->kind != 0) return -1;
+    uint8_t* dst = (k == 0) ? out : s_out.data();
+    uint8_t* rcv = (k == 0) ? received : s_recv.data();
+    uint8_t* siz = (k == 0) ? sizes : s_size.data();
+    {
+      std::lock_guard<std::mutex> lock(p->mu);
+      lyra_jb_collect(static_cast<UdpPump*>(p)->jb, dst, rcv, siz);
+    }
+    if (k == 0) {
+      for (int64_t i = 0; i < capacity; ++i) total += received[i];
+      continue;
+    }
+    for (int64_t i = 0; i < capacity; ++i) {
+      if (!s_recv[static_cast<size_t>(i)] || received[i]) continue;
+      received[i] = 1;
+      sizes[i] = s_size[static_cast<size_t>(i)];
+      if (sizes[i] > 0) {
+        std::memcpy(out + i * packet_size,
+                    s_out.data() + i * packet_size, sizes[i]);
+      }
+      ++total;
+    }
+  }
+  return total;
+}
+
+// Merged PCM collect over `n` shard pumps: per slot the freshest-arrival
+// shard's hop wins when several staged one this tick (shards share the
+// group stamp clock only for *sources*; for hops the first shard wins —
+// a slot staging on two shards at once is the one-tick migration overlap,
+// where either hop is at most one sequence stale).  Returns fresh slots,
+// or -1 on a wrong-kind handle.
+int64_t lyra_pcm_pump_collect_merged(void** pumps, int n, uint8_t* out,
+                                     uint8_t* fresh) {
+  int64_t total = 0;
+  int64_t capacity = 0;
+  std::vector<uint8_t> s_fresh;
+  for (int k = 0; k < n; ++k) {
+    auto* p = static_cast<PumpBase*>(pumps[k]);
+    if (p->kind != 1) return -1;
+    auto* pp = static_cast<PcmPump*>(p);
+    if (k == 0) {
+      capacity = pp->capacity;
+      total = lyra_pcm_pump_collect(pumps[0], out, fresh);
+      if (total < 0) return -1;
+      s_fresh.resize(static_cast<size_t>(capacity));
+      continue;
+    }
+    if (pp->capacity != capacity) return -1;
+    std::lock_guard<std::mutex> lock(pp->mu);
+    for (int64_t s = 0; s < capacity; ++s) {
+      if (!pp->fresh[static_cast<size_t>(s)]) continue;
+      if (!fresh[s]) {
+        std::memcpy(out + s * pp->payload,
+                    &pp->staging[static_cast<size_t>(s * pp->payload)],
+                    static_cast<size_t>(pp->payload));
+        fresh[s] = 1;
+        ++total;
+      }
+      pp->fresh[static_cast<size_t>(s)] = 0;  // delivered or superseded
+    }
+  }
+  return total;
+}
+
+// Merged reply-source read over `n` shard pumps: per slot the source with
+// the freshest group stamp wins (the shard that heard the slot last), and
+// owner[i] reports which shard that was (-1 = never spoke).  Reply egress
+// then partitions the downlink by owner so each slot's reply leaves from
+// the socket its uplink arrived on (the NAT-valid 5-tuple).  Returns known
+// slots, or -1 on bad rows.
+int64_t lyra_pump_copy_sources_owned(void** pumps, int n, int64_t rows,
+                                     uint32_t* ip_be, uint16_t* port_be,
+                                     uint8_t* known, int32_t* owner) {
+  if (rows < 0 || rows > kMaxSlots) return -1;
+  std::vector<int64_t> best(static_cast<size_t>(rows), 0);
+  std::memset(known, 0, static_cast<size_t>(rows));
+  for (int64_t i = 0; i < rows; ++i) owner[i] = -1;
+  std::vector<SlotSource> scratch(static_cast<size_t>(rows));
+  for (int k = 0; k < n; ++k) {
+    auto* p = static_cast<PumpBase*>(pumps[k]);
+    {
+      std::lock_guard<std::mutex> lock(p->mu);
+      std::copy(p->sources.begin(), p->sources.begin() + rows,
+                scratch.begin());
+    }
+    for (int64_t i = 0; i < rows; ++i) {
+      const SlotSource& s = scratch[static_cast<size_t>(i)];
+      if (!s.known || (known[i] && s.stamp <= best[static_cast<size_t>(i)])) {
+        continue;
+      }
+      ip_be[i] = s.ip_be;
+      port_be[i] = s.port_be;
+      known[i] = 1;
+      owner[i] = k;
+      best[static_cast<size_t>(i)] = s.stamp;
+    }
+  }
+  int64_t total = 0;
+  for (int64_t i = 0; i < rows; ++i) total += known[i];
+  return total;
+}
+
+// Blast variant for shard-group benches: rotates `nsrc` source sockets
+// with per-slot affinity (socket = slot % nsrc), so the receiver's
+// SO_REUSEPORT flow hash actually distributes the load the way `nsrc`
+// independent callers would — one sender socket always hashes every
+// datagram to the same shard, which would bench a group as one pump.
+int64_t lyra_pump_blast_multi(int port, int64_t n, int64_t payload_size,
+                              int64_t streams, int64_t seq0, int nsrc) {
+  if (nsrc <= 0 || nsrc > 1024 || streams <= 0 || payload_size < 0 ||
+      payload_size > kUdpMax - kHeaderBytes) {
+    return -1;
+  }
+  std::vector<int> fds(static_cast<size_t>(nsrc), -1);
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  addr.sin_port = htons(static_cast<uint16_t>(port));
+  for (int i = 0; i < nsrc; ++i) {
+    fds[static_cast<size_t>(i)] = socket(AF_INET, SOCK_DGRAM, 0);
+    if (fds[static_cast<size_t>(i)] < 0) {
+      for (int j = 0; j < i; ++j) close(fds[static_cast<size_t>(j)]);
+      return -1;
+    }
+  }
+  const int dlen = kHeaderBytes + static_cast<int>(payload_size);
+  std::vector<uint8_t> bufs(static_cast<size_t>(kBatch) * dlen, 0);
+  mmsghdr msgs[kBatch];
+  iovec iovs[kBatch];
+  for (int i = 0; i < kBatch; ++i) {
+    iovs[i] = {bufs.data() + static_cast<size_t>(i) * dlen,
+               static_cast<size_t>(dlen)};
+    std::memset(&msgs[i], 0, sizeof(msgs[i]));
+    msgs[i].msg_hdr.msg_name = &addr;
+    msgs[i].msg_hdr.msg_namelen = sizeof(addr);
+    msgs[i].msg_hdr.msg_iov = &iovs[i];
+    msgs[i].msg_hdr.msg_iovlen = 1;
+  }
+  // Send order: per sequence round, per source socket, that source's
+  // affine slots (slot ≡ src mod nsrc) in sendmmsg batches — one fd per
+  // batch, one flow per slot, consecutive sequences per slot.
+  int64_t sent = 0;
+  bool backpressure = false;
+  for (int64_t r = 0; sent < n && !backpressure; ++r) {
+    const int64_t seq = seq0 + r;
+    for (int src = 0; src < nsrc && sent < n && !backpressure; ++src) {
+      for (int64_t s = src; s < streams && sent < n;) {
+        int want = 0;
+        while (want < kBatch && s < streams && sent + want < n) {
+          uint8_t* d = bufs.data() + static_cast<size_t>(want) * dlen;
+          d[0] = static_cast<uint8_t>(s >> 8);
+          d[1] = static_cast<uint8_t>(s);
+          d[2] = static_cast<uint8_t>(seq >> 24);
+          d[3] = static_cast<uint8_t>(seq >> 16);
+          d[4] = static_cast<uint8_t>(seq >> 8);
+          d[5] = static_cast<uint8_t>(seq);
+          s += nsrc;
+          ++want;
+        }
+        if (want == 0) break;
+        int done = sendmmsg(fds[static_cast<size_t>(src)], msgs, want, 0);
+        if (done <= 0) {  // ENOBUFS etc.: report what actually went out
+          backpressure = true;
+          break;
+        }
+        sent += done;
+        if (done < want) {  // partial batch: the rest of it is lost traffic
+          backpressure = true;
+          break;
+        }
+      }
+    }
+  }
+  for (int i = 0; i < nsrc; ++i) close(fds[static_cast<size_t>(i)]);
+  return sent;
 }
 
 }  // extern "C"

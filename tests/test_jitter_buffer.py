@@ -189,3 +189,88 @@ def test_resync_after_sustained_overflow(jb):
     assert received[0] and pkts[0, 0] == ord("r")  # plays at 1002
     pkts, received, _ = jb.collect()
     assert received[0] and pkts[0, 0] == ord("s")
+
+
+# ---------------------------------------------------------------------------
+# Adaptive playout delay (native/jitter_buffer.cc AdaptDecide)
+
+
+def test_adaptive_grows_by_observed_lateness():
+    """Late packets in a window grow the slot's playout delay by the worst
+    observed lateness (bounded), realized as a concealment pause — later
+    packets of the same tardiness then land in time."""
+    jb = JitterBuffer(capacity=2, packet_size=23, depth=16)
+    jb.set_adaptive(0, 8, window=10)
+    jb.add_stream(0, start_seq=0, playout_delay=0)
+    for _ in range(5):
+        jb.collect()  # head -> 5
+    assert jb.insert(0, 2, b"x" * 8) == 2  # 3 ticks late: still a drop
+    for _ in range(5):  # window closes
+        jb.collect()
+    st = jb.adapt_stats()
+    assert st["grows"] == 1 and jb.delay(0) == 3  # grew by the lateness
+    assert st["delay_max"] == 3 and st["active_streams"] == 1
+    # The grow is a pause: the next 3 ticks emit nothing even with data.
+    head = 10
+    assert jb.insert(0, head, b"y" * 8) == 0
+    for _ in range(3):
+        _, received, _ = jb.collect()
+        assert not received[0]
+    _, received, _ = jb.collect()
+    assert received[0]  # …and then the same packet plays, now safely
+
+
+def test_adaptive_shrinks_to_minimum_needed_cushion():
+    """Sustained excess cushion is given back one tick per 3 windows,
+    converging to the smallest delay whose window-min margin stays < 2 —
+    the latency the jitter actually requires, not the configured guess."""
+    jb = JitterBuffer(capacity=1, packet_size=23, depth=16)
+    jb.set_adaptive(0, 8, window=5)
+    jb.add_stream(0, start_seq=0, playout_delay=4)
+    received_total = 0
+    for t in range(70):  # punctual sender: seq t at tick t
+        assert jb.insert(0, t, b"z" * 8) == 0
+        _, received, _ = jb.collect()
+        received_total += int(received[0])
+    st = jb.adapt_stats()
+    assert jb.delay(0) == 1, f"did not converge: {st}"
+    assert st["shrinks"] == 3 and st["grows"] == 0
+    # A shrink tick skips one packet but still plays the next (the jump is
+    # in content, not output); only the initial 4 pause ticks were silent.
+    assert received_total == 70 - 4
+
+
+def test_adaptive_off_by_default_and_bounds_are_loud():
+    jb = JitterBuffer(capacity=1, packet_size=23, depth=8)
+    jb.add_stream(0, playout_delay=2)
+    for t in range(30):
+        jb.insert(0, t, b"a" * 8)
+        jb.collect()
+    assert jb.delay(0) == 2  # static depth: nothing moved
+    assert jb.adapt_stats()["grows"] == 0
+
+    with pytest.raises(ValueError, match="adaptive"):
+        jb.set_adaptive(3, 2, window=10)  # min > max
+    with pytest.raises(ValueError, match="adaptive"):
+        jb.set_adaptive(0, 8, window=10)  # max >= depth
+    with pytest.raises(ValueError, match="adaptive"):
+        jb.set_adaptive(0, 4, window=0)
+    with pytest.raises(ValueError, match="bad stream slot"):
+        jb.delay(9)
+
+
+def test_adaptive_grow_is_bounded_and_silent_windows_decide_nothing():
+    jb = JitterBuffer(capacity=1, packet_size=23, depth=8)
+    jb.set_adaptive(1, 3, window=4)
+    jb.add_stream(0, start_seq=0, playout_delay=1)
+    for _ in range(20):
+        jb.collect()  # silent sender: many windows, no decisions
+    assert jb.adapt_stats() == {"grows": 0, "shrinks": 0, "delay_min": 1,
+                                "delay_max": 1, "delay_mean": 1.0,
+                                "active_streams": 1}
+    # Catastrophic lateness grows only to the bound.
+    jb.insert(0, 0, b"x" * 8)  # head is 20: 20 ticks late
+    for _ in range(4):
+        jb.collect()
+    assert jb.delay(0) == 3  # clamped at max_delay
+    assert jb.adapt_stats()["grows"] == 1

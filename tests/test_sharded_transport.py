@@ -1,0 +1,280 @@
+"""Multi-core transport tier tests: SO_REUSEPORT ingest shard groups and
+striped/owner-partitioned egress.
+
+A shard group is N pumps on ONE port; the kernel hashes each caller's flow
+to one member socket, so per-packet work never crosses shards and each
+receiver thread can ride its own core.  These tests pin the merge-back
+semantics (one dense tick matrix, one playout clock), flow distribution,
+admission fan-out, and the reply path's owner partitioning.  The reference
+is single-threaded per codec instance by design (reference:
+lyra/tflite_model_wrapper.cc:51); this tier is the serving-host scale-out
+needed to feed the batched device engine.
+"""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from lyra_tpu.tools.jitter_buffer import JitterBuffer
+from lyra_tpu.tools.udp_egress import MultiEgress, ShardedReplyEgress, UdpEgress
+from lyra_tpu.tools.udp_ingest import (
+    PcmIngest,
+    ShardedPcmIngest,
+    ShardedUdpIngest,
+    UdpIngest,
+    blast,
+)
+
+
+def _dgram(slot: int, seq: int, payload: bytes) -> bytes:
+    return slot.to_bytes(2, "big") + seq.to_bytes(4, "big") + payload
+
+
+def _wait_stat(obj, key, n, timeout=5.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if obj.stats()[key] >= n:
+            return
+        time.sleep(0.005)
+    raise AssertionError(f"{key}={obj.stats()[key]}, wanted {n}")
+
+
+def test_sharded_ingest_merges_like_a_single_buffer():
+    """The same event stream through a 2-shard group and through direct
+    jitter-buffer inserts drains identically: merged collect is one dense
+    tick with the group's single playout clock, wherever the kernel hashed
+    each flow."""
+    events = [  # (slot, seq, payload) — reorder on 1, dup on 0, loss on 2
+        (0, 0, b"\x01" * 8), (1, 1, b"\x12" * 8), (1, 0, b"\x11" * 8),
+        (0, 0, b"\x01" * 8), (2, 1, b"\x22" * 8),
+    ]
+    direct = JitterBuffer(capacity=4, packet_size=23, depth=8)
+    for s in range(3):
+        direct.add_stream(s)
+    for slot, seq, payload in events:
+        direct.insert(slot, seq, payload)
+
+    with ShardedUdpIngest(capacity=4, packet_size=23, depth=8,
+                          shards=2) as group:
+        assert group.num_shards == 2
+        for s in range(3):
+            group.add_stream(s)
+        # One socket per slot: each slot is one flow, as in deployment.
+        socks = {s: socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+                 for s in range(3)}
+        for slot, seq, payload in events:
+            socks[slot].sendto(_dgram(slot, seq, payload),
+                               ("127.0.0.1", group.port))
+        for sock in socks.values():
+            sock.close()
+        _wait_stat(group, "datagrams", len(events))
+
+        for _ in range(3):
+            pkts_g, recv_g, sizes_g = group.collect()
+            pkts_d, recv_d, sizes_d = direct.collect()
+            np.testing.assert_array_equal(recv_g, recv_d)
+            np.testing.assert_array_equal(sizes_g, sizes_d)
+            np.testing.assert_array_equal(pkts_g, pkts_d)
+        # The duplicate came from the same socket = same flow = same shard,
+        # so per-shard dedup catches it exactly like the single buffer.
+        assert group.stats()["insert_drops"] == 1
+        assert group.jb_stats()["dup_drops"] == 1
+
+
+def test_sharded_ingest_distributes_flows_across_shards():
+    """Many distinct flows must actually spread over the group's sockets —
+    the property the whole tier exists for.  (With 64 flows on 2 shards a
+    one-sided hash has probability 2^-63.)"""
+    streams = 64
+    with ShardedUdpIngest(capacity=streams, packet_size=23, depth=32,
+                          shards=2) as group:
+        for s in range(streams):
+            group.add_stream(s)
+        sent = blast(group.port, streams * 8, payload_size=8,
+                     streams=streams, sources=streams)
+        assert sent == streams * 8
+        _wait_stat(group, "datagrams", int(sent * 0.9), timeout=10.0)
+        per_shard = [s.stats()["datagrams"] for s in group.shards]
+        assert all(n > 0 for n in per_shard), (
+            f"kernel hashed every flow to one shard: {per_shard}")
+        # Drain: every slot's packets come out in order through the merge.
+        got = np.zeros(streams, np.int64)
+        for _ in range(40):
+            _, received, sizes = group.collect()
+            got += received
+        assert got.min() >= 6  # loopback may shed a little under load
+        assert group.stats()["malformed_drops"] == 0
+
+
+def test_sharded_admission_reaches_every_shard():
+    """A slot must be admitted on all shards (the kernel picks its home),
+    and removal must silence it everywhere."""
+    with ShardedUdpIngest(capacity=4, packet_size=23, depth=8,
+                          shards=3) as group:
+        group.add_stream(0)
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        tx.sendto(_dgram(0, 0, b"a" * 8), ("127.0.0.1", group.port))
+        _wait_stat(group, "datagrams", 1)
+        _, received, _ = group.collect()
+        assert received[0]
+
+        group.remove_stream(0)
+        tx.sendto(_dgram(0, 1, b"b" * 8), ("127.0.0.1", group.port))
+        deadline = time.time() + 5
+        while group.stats()["insert_drops"] < 1 and time.time() < deadline:
+            time.sleep(0.005)
+        assert group.jb_stats()["inactive_drops"] == 1
+        _, received, _ = group.collect()
+        assert not received.any()
+        tx.close()
+
+
+def test_sharded_pcm_ingest_merges_latest_wins():
+    """PCM shard group: merged collect delivers each slot's freshest hop
+    once, staleness is counted per flow's home shard, and reset_slot
+    clears every shard."""
+    with ShardedPcmIngest(capacity=4, payload_bytes=16, shards=2) as group:
+        socks = {s: socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+                 for s in range(3)}
+        for slot, seq, val in ((0, 1, 100), (1, 5, 200), (1, 4, 150),
+                               (2, 2, 300)):
+            socks[slot].sendto(
+                _dgram(slot, seq, np.full(8, val, np.int16).tobytes()),
+                ("127.0.0.1", group.port))
+        for sock in socks.values():
+            sock.close()
+        _wait_stat(group, "datagrams", 4)
+
+        audio = np.full((4, 8), -7, np.int16)
+        fresh = group.collect_into(audio)
+        assert list(fresh) == [True, True, True, False]
+        assert audio[0, 0] == 100 and audio[1, 0] == 200
+        assert audio[2, 0] == 300 and audio[3, 0] == -7
+        assert group.stats()["stale_drops"] == 1
+        assert not group.collect_into(audio).any()  # delivered once
+
+        group.reset_slot(1)
+        assert not group.collect_into(audio).any()
+
+
+def test_sharded_reply_egress_owner_partitioned_round_trip():
+    """Reply routing over a shard group: each slot's downlink is sent by
+    exactly one worker (the shard that heard its uplink last), from the
+    group's shared port, and silent slots are counted once group-wide."""
+    streams = 8
+    with ShardedUdpIngest(capacity=streams, packet_size=23, depth=8,
+                          shards=2) as group:
+        for s in range(streams):
+            group.add_stream(s)
+        callers = []
+        for s in range(streams - 1):  # slot 7 never speaks
+            sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            sock.bind(("127.0.0.1", 0))
+            sock.settimeout(2.0)
+            sock.sendto(_dgram(s, 0, bytes([s]) * 8),
+                        ("127.0.0.1", group.port))
+            callers.append(sock)
+        _wait_stat(group, "datagrams", streams - 1)
+
+        with ShardedReplyEgress(group) as reply:
+            assert reply.route_from_group() == streams - 1
+            ip, port, known, owner = group.copy_sources_owned()
+            assert known[: streams - 1].all() and not known[streams - 1]
+            assert set(owner[: streams - 1]) <= {0, 1}
+            assert owner[streams - 1] == -1
+
+            wire = np.arange(streams * 4, dtype=np.uint8).reshape(streams, 4)
+            sizes = np.full(streams, 4, np.int32)
+            n = reply.send(wire, sizes, seq=3)
+            assert n == streams - 1  # slot 7 active but unheard
+            assert reply.no_route_drops == 1
+            for s, sock in enumerate(callers):
+                dgram, src = sock.recvfrom(2048)
+                assert src[1] == group.port  # the NAT-mapped 5-tuple
+                assert int.from_bytes(dgram[:2], "big") == s
+                assert dgram[6:] == bytes(wire[s])
+                # Exactly once: no second datagram for this caller.
+                sock.settimeout(0.05)
+                with pytest.raises(socket.timeout):
+                    sock.recvfrom(2048)
+            st = reply.stats()
+            assert st["sent"] == streams - 1 and st["no_route_drops"] == 1
+        for sock in callers:
+            sock.close()
+
+
+def test_multi_egress_stripes_cover_every_row_once():
+    """Striped multi-core egress: N workers send disjoint row ranges with
+    absolute slot headers; every active routed slot goes out exactly once
+    and stats aggregate across workers."""
+    capacity = 7
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2.0)
+    with MultiEgress(capacity, threads=3,
+                     dest=("127.0.0.1", rx.getsockname()[1])) as eg:
+        wire = np.arange(capacity * 5, dtype=np.uint8).reshape(capacity, 5)
+        sizes = np.array([5, 0, 5, 5, 5, 5, 5], np.int32)
+        n = eg.send(wire, sizes, seq=11)
+        assert n == 6
+        got = {}
+        while len(got) < 6:
+            d = rx.recvfrom(2048)[0]
+            slot = int.from_bytes(d[:2], "big")
+            assert slot not in got, f"slot {slot} sent twice"
+            assert int.from_bytes(d[2:6], "big") == 11
+            got[slot] = d[6:]
+        assert set(got) == {0, 2, 3, 4, 5, 6}
+        for slot, payload in got.items():
+            assert payload == bytes(wire[slot])
+        assert eg.stats()["sent"] == 6
+        with pytest.raises(ValueError):
+            eg.send(wire, np.full(capacity, 6, np.int32), 0)  # > stride
+    rx.close()
+
+    with pytest.raises(ValueError, match="at least 1"):
+        MultiEgress(4, threads=0)
+    with pytest.raises(ValueError, match="at least 1 shard"):
+        ShardedUdpIngest(4, 23, shards=0)
+
+
+def test_send_range_boundaries_and_unrouted_silence():
+    """send_range row windows are honored exactly, and count_unrouted=False
+    suppresses no-dest accounting (the reply path's contract)."""
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(1.0)
+    eg = UdpEgress(4)
+    eg.set_dest(1, "127.0.0.1", rx.getsockname()[1])
+    wire = np.ones((4, 4), np.uint8)
+    sizes = np.full(4, 4, np.int32)
+    # Rows [2, 4): slot 1 is outside the window — nothing sent, and the
+    # unrouted active rows 2,3 are skipped silently.
+    assert eg.send_range(wire, sizes, 0, 2, 4, count_unrouted=False) == 0
+    assert eg.stats()["no_dest_drops"] == 0
+    # Rows [0, 2): slot 1 goes out; row 0 unrouted is counted this time.
+    assert eg.send_range(wire, sizes, 0, 0, 2, count_unrouted=True) == 1
+    assert eg.stats()["no_dest_drops"] == 1
+    assert int.from_bytes(rx.recvfrom(2048)[0][:2], "big") == 1
+    with pytest.raises(ValueError, match="bad row range"):
+        eg.send_range(wire, sizes, 0, 3, 2)
+    with pytest.raises(ValueError, match="bad row range"):
+        eg.send_range(wire, sizes, 0, 0, 5)
+    eg.close()
+    rx.close()
+
+
+def test_single_shard_group_degenerates_to_single_pump():
+    """shards=1 must behave exactly like one pump (the group machinery
+    adds nothing but the merge call)."""
+    with ShardedUdpIngest(capacity=2, packet_size=23, depth=8,
+                          shards=1) as group:
+        group.add_stream(0)
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        tx.sendto(_dgram(0, 0, b"q" * 8), ("127.0.0.1", group.port))
+        tx.close()
+        _wait_stat(group, "datagrams", 1)
+        pkts, received, sizes = group.collect()
+        assert received[0] and sizes[0] == 8 and pkts[0, 0] == ord("q")
