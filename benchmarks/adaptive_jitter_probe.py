@@ -1,0 +1,93 @@
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+"""Adaptive vs static jitter-buffer playout delay under bursty delay jitter.
+
+The question the adaptive buffer answers: what playout delay should a slot
+carry?  Static depth is a guess — too low drops late packets (PLC conceals,
+quality pays), too high taxes every packet with latency.  The adaptive
+buffer (native/jitter_buffer.cc AdaptDecide) measures each slot's arrival
+margins and moves the delay to what the network actually needs.
+
+Protocol: a punctual 50 Hz sender; network delay is 0 ticks in the good
+state and uniform[2, J] ticks during Gilbert bursts (state machine as the
+reference's loss model, reference: lyra/gilbert_model.cc:26-78 — here
+modulating delay, not loss).  Each policy runs the same arrival schedule;
+we report late-drop rate, shrink skips, and the time-weighted mean playout
+delay (the latency actually paid).
+
+Usage: python benchmarks/adaptive_jitter_probe.py [ticks] [max_jitter]
+"""
+
+import sys
+
+import numpy as np
+
+from lyra_tpu.tools.jitter_buffer import JitterBuffer
+
+
+def arrival_schedule(ticks, max_jitter, seed=7,
+                     p_bad=0.05, p_recover=0.25):
+    """(arrive_tick, seq) pairs: Gilbert-modulated delay spikes for the
+    first 60% of the run, then a calm network — the nonstationary case
+    where a static depth must be wrong at one end (pay latency forever, or
+    drop through every burst) and an adaptive one tracks the need."""
+    rng = np.random.RandomState(seed)
+    arrivals = []
+    bad = False
+    bursty_until = int(ticks * 0.6)
+    for t in range(ticks):
+        if t < bursty_until:
+            bad = (rng.uniform() < (1 - p_recover)) if bad else (
+                rng.uniform() < p_bad)
+        else:
+            bad = False
+        d = rng.randint(2, max_jitter + 1) if bad else 0
+        arrivals.append((t + d, t))
+    return sorted(arrivals)
+
+
+def run(policy, ticks, max_jitter, schedule):
+    jb = JitterBuffer(capacity=1, packet_size=23, depth=32)
+    if policy == "adaptive":
+        jb.set_adaptive(0, 16, window=50)
+        jb.add_stream(0, playout_delay=0)
+    else:
+        jb.add_stream(0, playout_delay=int(policy))
+    by_tick = {}
+    for arrive, seq in schedule:
+        by_tick.setdefault(arrive, []).append(seq)
+    received = 0
+    delay_sum = 0
+    for t in range(ticks + max_jitter + 1):
+        for seq in by_tick.get(t, ()):
+            jb.insert(0, seq, b"x" * 8)
+        _, r, _ = jb.collect()
+        received += int(r[0])
+        delay_sum += jb.delay(0)
+    st = jb.stats()
+    ad = jb.adapt_stats()
+    n = ticks + max_jitter + 1
+    return {"received": received, "late": st["late_drops"],
+            "skips": ad["shrinks"], "grows": ad["grows"],
+            "mean_delay": delay_sum / n,
+            "end_delay": jb.delay(0)}
+
+
+def main():
+    ticks = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    max_jitter = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    schedule = arrival_schedule(ticks, max_jitter)
+    print(f"{ticks} ticks, delay spikes uniform[2,{max_jitter}] in Gilbert "
+          f"bursts (5% entry, 25% recovery)")
+    print(f"{'policy':>10} {'late drops':>11} {'skips':>6} "
+          f"{'mean delay':>11} {'end delay':>10} {'received':>9}")
+    for policy in ["0", "1", "2", "3", "5", "adaptive"]:
+        r = run(policy, ticks, max_jitter, schedule)
+        label = policy if policy == "adaptive" else f"static {policy}"
+        print(f"{label:>10} {r['late']:>11} {r['skips']:>6} "
+              f"{r['mean_delay']:>11.2f} {r['end_delay']:>10} "
+              f"{r['received']:>9}")
+
+
+if __name__ == "__main__":
+    main()

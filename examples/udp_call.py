@@ -56,7 +56,18 @@ def main(argv=None) -> int:
     p.add_argument("--loss", type=float, default=0.1,
                    help="Probability a datagram is dropped before send.")
     p.add_argument("--playout_delay", type=int, default=2,
-                   help="Jitter-buffer depth in ticks.")
+                   help="Jitter-buffer playout delay in ticks.")
+    p.add_argument("--jitter_ticks", type=int, default=0,
+                   help="Simulate bursty network delay: during Gilbert "
+                        "bursts (5%% entry, 25%% recovery) datagrams are "
+                        "held back uniform[2, J] ticks before the send.")
+    p.add_argument("--adaptive", default=None, metavar="MIN:MAX[:WINDOW]",
+                   help="Adaptive jitter-buffer playout delay within "
+                        "[MIN, MAX] ticks, deciding every WINDOW ticks "
+                        "(default 50): grows on observed lateness, gives "
+                        "back sustained excess cushion.  A/B vs static "
+                        "--playout_delay: benchmarks/adaptive_jitter_probe"
+                        ".py has the measured tradeoff.")
     p.add_argument("--realtime", action="store_true",
                    help="Pace ticks on the 20 ms wall-clock grid.")
     p.add_argument("--ingest", choices=("python", "native"),
@@ -79,8 +90,11 @@ def main(argv=None) -> int:
     from lyra_tpu.codec.engine import DecoderEngine, EncoderEngine
     enc = EncoderServer(cap, engine=EncoderEngine(rate), bitrate=args.bitrate)
     dec = DecoderServer(cap, engine=DecoderEngine(rate))
+    ad_max = (int(args.adaptive.split(":")[1])
+              if args.adaptive is not None else 0)
     jb = JitterBuffer(cap, config.packet_size(184),
-                      depth=args.playout_delay + 6)
+                      depth=max(args.playout_delay, ad_max,
+                                args.jitter_ticks) + 6)
     pump = rx = None
     if args.ingest == "native":
         from lyra_tpu.tools.udp_ingest import UdpIngest
@@ -89,6 +103,10 @@ def main(argv=None) -> int:
         addr = ("127.0.0.1", pump.port)
     rates = (3200, 6000, 9200) if args.mixed else (args.bitrate,)
     ingest = pump or jb
+    if args.adaptive is not None:
+        parts = [int(x) for x in args.adaptive.split(":")]
+        window = parts[2] if len(parts) > 2 else 50
+        ingest.set_adaptive(parts[0], parts[1], window)
     for c in range(cap):
         enc.add_stream(c, bitrate=rates[c % len(rates)])
         ingest.add_stream(dec.add_stream(c),
@@ -107,6 +125,18 @@ def main(argv=None) -> int:
     decoded = [[] for _ in range(cap)]
     sent = lost = 0
     next_tick = time.perf_counter()
+    # --jitter_ticks: datagrams held back by a Gilbert-modulated number of
+    # ticks before the send (tick -> [(slot, seq, pkt)]); one burst state
+    # per caller, as each caller is its own network path.
+    held = {}
+    net_bad = [False] * cap
+
+    def network_delay(c):
+        if args.jitter_ticks <= 0:
+            return 0
+        net_bad[c] = (rng.uniform() < 0.75) if net_bad[c] else (
+            rng.uniform() < 0.05)
+        return rng.randint(2, args.jitter_ticks + 1) if net_bad[c] else 0
 
     for t in range(ticks):
         if args.realtime:
@@ -137,9 +167,17 @@ def main(argv=None) -> int:
                     continue
                 pkt = (c.to_bytes(2, "big") + seq.to_bytes(4, "big")
                        + bytes(wire[c, : sizes[c]]))
+                d = network_delay(c)
+                if d > 0:
+                    held.setdefault(t + d, []).append((c, seq, pkt))
+                    continue
                 tx.sendto(pkt, addr)
                 send_wall[(c, seq)] = time.perf_counter()
                 sent += 1
+        for c, seq, pkt in held.pop(t, ()):
+            tx.sendto(pkt, addr)  # a delayed datagram finally arriving
+            send_wall[(c, seq)] = time.perf_counter()
+            sent += 1
 
         if pump is None:
             # Drain the receiver socket into the jitter buffer.
@@ -188,6 +226,8 @@ def main(argv=None) -> int:
         print(f"native ingest: {pump.stats()}")
         pump.close()
     print(f"jitter buffer: {jb.stats()}")
+    if args.adaptive is not None:
+        print(f"adaptive delay: {jb.adapt_stats()}")
     if lat.size:
         print(f"wire-send→playout latency: mean {lat.mean():.1f} ms, "
               f"p95 {np.percentile(lat, 95):.1f} ms over {lat.size} hops"
