@@ -15,7 +15,9 @@ Every slot 0..capacity-1 is admitted at startup (the wire header's slot
 field IS the stream identity, as in examples/udp_call.py); packets for
 slots beyond capacity are counted drops.  One status line prints per
 --report_every seconds: datagram/drop counters and tick-time
-percentiles against the 20 ms real-time budget.
+percentiles against the 20 ms real-time budget.  --stats PATH appends
+the same snapshot as machine-readable JSON lines for an operator
+(plus a final record at shutdown).
 
 Run (CPU works: LYRA_TPU_PLATFORM=cpu):
 
@@ -26,6 +28,7 @@ Run (CPU works: LYRA_TPU_PLATFORM=cpu):
 from __future__ import annotations
 
 import argparse
+import json
 import socket
 import time
 
@@ -36,6 +39,37 @@ from lyra_tpu.tools.jitter_buffer import JitterBuffer
 from lyra_tpu.tools.stream_server import DecoderServer
 
 _HDR = 6  # 2 B slot + 4 B seq, big-endian (examples/udp_call.py layout)
+
+
+class _StatsSink:
+    """Operator-facing stats exit (--stats PATH): one JSON object per
+    line, appended at every --report_every interval plus a final record
+    (``"final": true``) at shutdown.  The human status line on stdout and
+    this sink consume the same snapshot dict, so they can never disagree.
+    The reference has no serving tier to instrument; this is the
+    deployment-grade counterpart of its benchmark CSV exit
+    (reference: lyra/cli_example/benchmark_main.cc output path)."""
+
+    def __init__(self, path: str | None):
+        self._f = open(path, "a", buffering=1) if path else None
+
+    def emit(self, snapshot: dict) -> None:
+        if self._f is not None:
+            self._f.write(json.dumps(snapshot) + "\n")
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
+def _tick_pcts(tick_ms, tail: int | None = 256):
+    """(p50, p95) of the recent tick latencies, rounded for reporting."""
+    lat = np.array(tick_ms[-tail:] if tail else tick_ms)
+    if lat.size == 0:
+        lat = np.zeros(1)
+    return round(float(np.median(lat)), 3), round(
+        float(np.percentile(lat, 95)), 3)
 
 
 class _PySender:
@@ -151,6 +185,20 @@ def _serve_encode(args, _on_ready, _stop) -> int:
         rx.setblocking(False)
         port = rx.getsockname()[1]
     tx = _make_tx(args, args.capacity, pcm)
+    sink = _StatsSink(args.stats)
+
+    def _snapshot(tail):
+        p50, p95 = _tick_pcts(tick_ms, tail)
+        if pcm is not None:
+            ingest_stats = pcm.stats()
+        else:
+            ingest_stats = {"datagrams": datagrams, "malformed": malformed}
+        return {"mode": "encode", "ts": round(time.time(), 3),
+                "ticks": ticks, "tick_ms_p50": p50, "tick_ms_p95": p95,
+                "budget_ms": 20.0, "capacity": args.capacity,
+                "occupied": int(fresh.sum()), "pcm_gaps": pcm_gaps,
+                "ingest": ingest_stats,
+                "egress": (tx.stats() if tx is not None else {})}
 
     print(f"encoding {args.capacity} streams on UDP :{port} "
           f"(bitrate={args.bitrate}, ingest={args.ingest}, "
@@ -207,31 +255,27 @@ def _serve_encode(args, _on_ready, _stop) -> int:
 
             if time.perf_counter() >= next_report:
                 next_report += args.report_every
-                lat = np.array(tick_ms[-256:])
-                if pcm is not None:
-                    st = pcm.stats()
-                    datagrams, malformed = (st["datagrams"],
-                                            st["malformed_drops"])
-                    extra = f" stale={st['stale_drops']}"
-                else:
-                    extra = ""
-                print(f"ticks={ticks} tick_ms p50={np.median(lat):.1f} "
-                      f"p95={np.percentile(lat, 95):.1f} (budget 20.0) "
-                      f"datagrams={datagrams} malformed={malformed}"
-                      f"{extra} pcm_gaps={pcm_gaps}", flush=True)
+                snap = _snapshot(256)
+                sink.emit(snap)
+                print(f"ticks={ticks} tick_ms p50={snap['tick_ms_p50']:.1f} "
+                      f"p95={snap['tick_ms_p95']:.1f} (budget 20.0) "
+                      f"ingest={snap['ingest']} pcm_gaps={pcm_gaps}",
+                      flush=True)
     except KeyboardInterrupt:
         pass
     finally:
         enc.flush_wire_async()
+        snap = {**_snapshot(None), "final": True}
+        sink.emit(snap)
+        sink.close()
         if tx is not None:
             tx.close()  # before the pump: reply egress borrows its fd
         if pcm is not None:
             pcm.close()
         if rx is not None:
             rx.close()
-    lat = np.array(tick_ms) if tick_ms else np.zeros(1)
-    print(f"encoded {ticks} ticks; tick_ms p50={np.median(lat):.1f} "
-          f"p95={np.percentile(lat, 95):.1f}", flush=True)
+    print(f"encoded {ticks} ticks; tick_ms p50={snap['tick_ms_p50']:.1f} "
+          f"p95={snap['tick_ms_p95']:.1f}", flush=True)
     return 0
 
 
@@ -296,6 +340,18 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     for slot in range(args.capacity):
         ingest.add_stream(slot, playout_delay=args.playout_delay)
     tx = _make_tx(args, args.capacity, pump)
+    sink = _StatsSink(args.stats)
+
+    def _snapshot(tail):
+        p50, p95 = _tick_pcts(tick_ms, tail)
+        return {"mode": "bridge", "ts": round(time.time(), 3),
+                "ticks": ticks, "tick_ms_p50": p50, "tick_ms_p95": p95,
+                "budget_ms": 20.0, "capacity": args.capacity,
+                "occupied": occupied, "room_size": args.room_size,
+                "ingest": (pump.stats() if pump is not None else {}),
+                "jb": (pump.jb_stats() if pump is not None else jb.stats()),
+                "egress": (tx.stats() if tx is not None else {}),
+                "bad_packets": int(bridge.bad_packets.sum())}
 
     print(f"bridging {args.capacity} participants in rooms of "
           f"{args.room_size} on UDP :{port} (ingest={args.ingest}, "
@@ -305,6 +361,7 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
 
     tick_ms = []
     ticks = 0
+    occupied = 0
     t_end = (time.perf_counter() + args.seconds) if args.seconds else None
     next_tick = time.perf_counter()
     next_report = next_tick + args.report_every
@@ -328,6 +385,7 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
                 pkts, received, sizes = jb.collect()
             else:
                 pkts, received, sizes = pump.collect()
+            occupied = int(received.sum())
 
             out = bridge.tick_wire_async(pkts, received,
                                          sizes.astype(np.int32))
@@ -343,26 +401,28 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
 
             if time.perf_counter() >= next_report:
                 next_report += args.report_every
-                lat = np.array(tick_ms[-256:])
-                drops = pump.jb_stats() if pump is not None else jb.stats()
-                print(f"ticks={ticks} tick_ms p50={np.median(lat):.1f} "
-                      f"p95={np.percentile(lat, 95):.1f} (budget 20.0) "
-                      f"jb={drops} "
-                      f"bad_packets={int(bridge.bad_packets.sum())}",
+                snap = _snapshot(256)
+                sink.emit(snap)
+                print(f"ticks={ticks} tick_ms p50={snap['tick_ms_p50']:.1f} "
+                      f"p95={snap['tick_ms_p95']:.1f} (budget 20.0) "
+                      f"jb={snap['jb']} "
+                      f"bad_packets={snap['bad_packets']}",
                       flush=True)
     except KeyboardInterrupt:
         pass
     finally:
         bridge.flush_async()
+        snap = {**_snapshot(None), "final": True}
+        sink.emit(snap)
+        sink.close()
         if tx is not None:
             tx.close()  # before the pump: reply egress borrows its fd
         if pump is not None:
             pump.close()
         if rx is not None:
             rx.close()
-    lat = np.array(tick_ms) if tick_ms else np.zeros(1)
-    print(f"bridged {ticks} ticks; tick_ms p50={np.median(lat):.1f} "
-          f"p95={np.percentile(lat, 95):.1f}", flush=True)
+    print(f"bridged {ticks} ticks; tick_ms p50={snap['tick_ms_p50']:.1f} "
+          f"p95={snap['tick_ms_p95']:.1f}", flush=True)
     return 0
 
 
@@ -409,6 +469,12 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "source — the real-MCU shape (any mode, native "
                         "ingest+egress).  Default: none (stats only).")
     p.add_argument("--report_every", type=float, default=1.0)
+    p.add_argument("--stats", default=None, metavar="PATH",
+                   help="Append one JSON line of operator stats per "
+                        "--report_every interval (tick-ms percentiles, "
+                        "occupancy, drop counters by cause, pump/jitter/"
+                        "egress counters) plus a final record "
+                        "('final': true) at shutdown.")
     p.add_argument("--mode", choices=("decode", "encode", "bridge"),
                    default="decode",
                    help="decode: lyra packets in, PCM out.  encode: the "
@@ -473,6 +539,18 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
 
     tx = _make_tx(args, args.capacity, pump)
     pcm_sizes = np.full(args.capacity, dec.hop_samples * 2, np.int32)
+    sink = _StatsSink(args.stats)
+
+    def _snapshot(tail):
+        p50, p95 = _tick_pcts(tick_ms, tail)
+        return {"mode": "decode", "ts": round(time.time(), 3),
+                "ticks": ticks, "tick_ms_p50": p50, "tick_ms_p95": p95,
+                "budget_ms": 20.0, "capacity": args.capacity,
+                "occupied": occupied,
+                "ingest": (pump.stats() if pump is not None else {}),
+                "jb": (pump.jb_stats() if pump is not None else jb.stats()),
+                "egress": (tx.stats() if tx is not None else {}),
+                "bad_packets": int(dec.bad_packets.sum())}
 
     print(f"serving {args.capacity} streams on UDP :{port} "
           f"(ingest={args.ingest}, echo={args.echo or 'none'})", flush=True)
@@ -481,6 +559,7 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
 
     tick_ms = []
     ticks = 0
+    occupied = 0
     t_end = (time.perf_counter() + args.seconds) if args.seconds else None
     next_tick = time.perf_counter()
     next_report = next_tick + args.report_every
@@ -504,6 +583,7 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                 pkts, received, sizes = jb.collect()
             else:
                 pkts, received, sizes = pump.collect()
+            occupied = int(received.sum())
 
             out = dec.tick_wire_async(pkts, received, sizes.astype(np.int32))
             tick_ms.append((time.perf_counter() - t0) * 1e3)
@@ -519,29 +599,28 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
 
             if time.perf_counter() >= next_report:
                 next_report += args.report_every
-                lat = np.array(tick_ms[-256:])
-                ingest_stats = (pump.stats() if pump is not None
-                                else {"datagrams": "n/a"})
-                drops = (pump.jb_stats() if pump is not None
-                         else jb.stats())
-                print(f"ticks={ticks} tick_ms p50={np.median(lat):.1f} "
-                      f"p95={np.percentile(lat, 95):.1f} "
-                      f"(budget 20.0) ingest={ingest_stats} "
-                      f"jb={drops} bad_packets={int(dec.bad_packets.sum())}",
+                snap = _snapshot(256)
+                sink.emit(snap)
+                print(f"ticks={ticks} tick_ms p50={snap['tick_ms_p50']:.1f} "
+                      f"p95={snap['tick_ms_p95']:.1f} "
+                      f"(budget 20.0) ingest={snap['ingest']} "
+                      f"jb={snap['jb']} bad_packets={snap['bad_packets']}",
                       flush=True)
     except KeyboardInterrupt:
         pass
     finally:
         dec.flush_async()
+        snap = {**_snapshot(None), "final": True}
+        sink.emit(snap)
+        sink.close()
         if tx is not None:
             tx.close()  # before the pump: reply egress borrows its fd
         if pump is not None:
             pump.close()
         if rx is not None:
             rx.close()
-    lat = np.array(tick_ms) if tick_ms else np.zeros(1)
-    print(f"served {ticks} ticks; tick_ms p50={np.median(lat):.1f} "
-          f"p95={np.percentile(lat, 95):.1f}", flush=True)
+    print(f"served {ticks} ticks; tick_ms p50={snap['tick_ms_p50']:.1f} "
+          f"p95={snap['tick_ms_p95']:.1f}", flush=True)
     return 0
 
 

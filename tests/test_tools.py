@@ -252,15 +252,21 @@ def test_udp_call_example(tmp_path, monkeypatch, model_path, testdata_path,
     assert (tmp_path / "udpm" / "caller2.wav").exists()
 
 
-def test_serve_main_end_to_end(model_path):
+def test_serve_main_end_to_end(model_path, tmp_path):
     """The serve CLI stood up in-process: real lyra packets over UDP in,
-    decoded PCM hops echoed over UDP out (native ingest path)."""
+    decoded PCM hops echoed over UDP out (native ingest path).  Also the
+    operator stats exit: --stats appends machine-readable JSON lines
+    (tick percentiles, occupancy, drop counters by cause) and a final
+    record at shutdown."""
+    import json
     import socket
     import threading
     import time
 
     from lyra_tpu import packet as pkt
     from lyra_tpu.tools import serve_main
+
+    stats_path = tmp_path / "serve_stats.jsonl"
 
     echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     echo_rx.bind(("127.0.0.1", 0))
@@ -278,7 +284,8 @@ def test_serve_main_end_to_end(model_path):
     th = threading.Thread(target=serve_main.main, kwargs=dict(
         argv=["--capacity", "4", "--seconds", "0", "--max_bitrate", "3200",
               "--model_path", model_path, "--playout_delay", "1",
-              "--echo", f"127.0.0.1:{echo_port}", "--report_every", "30"],
+              "--echo", f"127.0.0.1:{echo_port}", "--report_every", "30",
+              "--stats", str(stats_path)],
         _on_ready=on_ready, _stop=stop))
     th.start()
     try:
@@ -309,6 +316,22 @@ def test_serve_main_end_to_end(model_path):
         th.join(timeout=120)
         assert not th.is_alive(), "serve loop failed to stop"
         echo_rx.close()
+
+    # The stats exit: at least the final shutdown record, every field an
+    # operator needs, all JSON-parseable.
+    records = [json.loads(line)
+               for line in stats_path.read_text().splitlines()]
+    assert records, "no stats records written"
+    final = records[-1]
+    assert final["final"] is True and final["mode"] == "decode"
+    assert final["ticks"] > 0 and final["capacity"] == 4
+    assert final["budget_ms"] == 20.0 and final["tick_ms_p95"] > 0
+    assert 0 <= final["occupied"] <= 4
+    for group, key in (("ingest", "datagrams"), ("jb", "late_drops"),
+                       ("egress", "sent")):
+        assert key in final[group], f"missing {group}.{key}: {final}"
+    assert final["ingest"]["datagrams"] > 0  # we really sent packets
+    assert final["egress"]["sent"] > 0  # and PCM really left the host
 
 
 @pytest.mark.parametrize("ingest", ["native", "python"])
