@@ -29,12 +29,16 @@ goldens: native
 	$(PYTHON) -m pytest -q tests/test_packet.py tests/test_golden_packets.py \
 	  tests/test_config.py tests/test_resampler.py tests/test_ci_shards.py
 
-# Driver entry points: single-chip jittable forward + 8-virtual-device
-# multi-chip dryrun (CPU mesh).
+# Driver entry points: single-chip jittable forward + multi-chip dryrun on
+# the virtual CPU mesh at 8 devices (the driver's shape) AND 32 (pins
+# mesh-size independence: the zero-tensor-collective machine check inside
+# dryrun_multichip must hold at every mesh size, or GSPMD is partitioning
+# the frame path differently as the fleet grows).
 entry:
-	XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+	XLA_FLAGS="--xla_force_host_platform_device_count=32" \
 	LYRA_TPU_PLATFORM=cpu $(PYTHON) -c "import __graft_entry__ as g; import jax; \
-	  g.dryrun_multichip(8); print('dryrun ok'); \
+	  g.dryrun_multichip(8); print('dryrun 8 ok'); \
+	  g.dryrun_multichip(32); print('dryrun 32 ok'); \
 	  fn, args = g.entry(); jax.block_until_ready(jax.jit(fn)(*args)); print('entry ok')"
 
 clean:

@@ -1,0 +1,227 @@
+"""Example: live two-process migration — drain a serving host mid-call
+and resume its streams on a warm standby, measured for audio gaps.
+
+examples/drain_migrate.py proves the snapshot math in one process; this
+is the real deployment shape: two independent `serve_main` host
+PROCESSES (independent batches, DCN-free — SURVEY §5's distributed
+analog), a `FleetRouter` seating callers and orchestrating the
+maintenance move over each host's --control endpoint:
+
+  host A (serving)            host B (warm standby, compiled, ticking)
+      │  uplink packets ◄──────────── callers (this process)
+      │  downlink PCM ──► collector
+      │
+      │  router.migrate("A","B", snap):
+      │    A: drain → snapshot engine state + slot table, stop
+      │    B: restore → swaps the snapshot in at a tick boundary
+      │
+      └─ callers re-aim datagrams at B; wire slots are positional, so
+         nothing else changes.  In-flight packets during the handoff are
+         lost and concealed by PLC (reference: lyra/lyra_decoder.cc:
+         228-315); B's jitter buffer re-syncs to the callers' sequence
+         origin within 3 packets.
+
+Callers send a constant 440 Hz tone, so "audio gap" is crisp: any
+downlink hop with speech-level RMS counts as voice.  The example reports,
+per caller, the longest wall-clock gap between consecutive voice hops
+across the cutover and fails if it exceeds --max_gap_ms.
+
+Run from the repo root (CPU: the two hosts are started sequentially so
+their first-tick compiles never overlap on a small machine):
+
+    LYRA_TPU_PLATFORM=cpu python examples/multihost_migrate.py \
+        --callers 2 --seconds_each 4
+"""
+
+import argparse
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from lyra_tpu.tools.fleet import FleetRouter, HostControl
+
+_HDR = 6  # 2 B slot + 4 B seq, big-endian (the stack's wire header)
+
+
+def _free_udp_port() -> int:
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_host(name: str, data_port: int, ctl_port: int, collector: int,
+                capacity: int, log_dir: str) -> subprocess.Popen:
+    log = open(os.path.join(log_dir, f"host_{name}.log"), "w")
+    return subprocess.Popen(
+        [sys.executable, "-m", "lyra_tpu.tools.serve_main",
+         "--capacity", str(capacity), "--seconds", "0",
+         "--max_bitrate", "3200", "--playout_delay", "1",
+         "--port", str(data_port), "--control", str(ctl_port),
+         "--echo", f"127.0.0.1:{collector}", "--report_every", "60"],
+        stdout=log, stderr=subprocess.STDOUT,
+        cwd=os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--callers", type=int, default=2)
+    p.add_argument("--seconds_each", type=float, default=4.0,
+                   help="Seconds of call before AND after the migration.")
+    p.add_argument("--max_gap_ms", type=float, default=1000.0,
+                   help="Fail if any caller's downlink voice gap across "
+                        "the cutover exceeds this.")
+    p.add_argument("--log_dir", default="/tmp/lyra_tpu_multihost")
+    args = p.parse_args(argv)
+    os.makedirs(args.log_dir, exist_ok=True)
+    cap = args.callers
+
+    # Downlink collector: both hosts echo decoded PCM hops here.
+    col = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    col.bind(("127.0.0.1", 0))
+    col.settimeout(0.05)
+    arrivals = []  # (t_wall, src_port, slot, rms)
+    col_stop = threading.Event()
+
+    def collect():
+        while not col_stop.is_set():
+            try:
+                dgram, src = col.recvfrom(4096)
+            except socket.timeout:
+                continue
+            if len(dgram) < _HDR:
+                continue
+            slot = int.from_bytes(dgram[:2], "big")
+            pcm = np.frombuffer(dgram[_HDR:], np.int16)
+            rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+            arrivals.append((time.perf_counter(), src[1], slot, rms))
+
+    col_thread = threading.Thread(target=collect, daemon=True)
+    col_thread.start()
+
+    ports = {n: (_free_udp_port(), _free_udp_port()) for n in ("A", "B")}
+    procs = {}
+    router = FleetRouter()
+    try:
+        # Sequential startup: one first-tick compile at a time.
+        for name in ("A", "B"):
+            data_port, ctl_port = ports[name]
+            procs[name] = _spawn_host(name, data_port, ctl_port,
+                                      col.getsockname()[1], cap,
+                                      args.log_dir)
+            ctl = HostControl(("127.0.0.1", ctl_port))
+            ctl.wait_ready(180)
+            router.add_host(name, ("127.0.0.1", data_port), ctl, cap,
+                            standby=name == "B")
+            print(f"host {name} ready (data :{data_port}, "
+                  f"control :{ctl_port}"
+                  + (", standby" if name == "B" else "") + ")", flush=True)
+
+        # Seat every caller: B is a warm standby, so they all land on A.
+        seats = {c: router.admit(f"caller{c}") for c in range(cap)}
+        assert all(s[0] == "A" for s in seats.values()), (
+            "expected all callers seated on A")
+
+        # A constant tone encodes to real packets once; replayed each tick.
+        from lyra_tpu.tools.stream_server import EncoderServer
+
+        enc = EncoderServer(cap, bitrate=3200)
+        enc.add_streams(range(cap))
+        t = np.arange(320) / 16000.0
+        tone = np.tile((8000 * np.sin(2 * np.pi * 440 * t))
+                       .astype(np.int16), (cap, 1))
+        packets = [enc.tick({c: tone[c] for c in range(cap)})
+                   for _ in range(8)]  # a few distinct hops to cycle
+
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        ticks_each = int(args.seconds_each / 0.02)
+        seq = 0
+        t_migrate = None
+
+        def send_tick():
+            nonlocal seq
+            cycle = packets[seq % len(packets)]
+            for c in range(cap):
+                _, data_addr, slot = router.locate(f"caller{c}")
+                tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                          + cycle[c], data_addr)
+            seq += 1
+
+        next_tick = time.perf_counter()
+        for _ in range(ticks_each):
+            while time.perf_counter() < next_tick:
+                time.sleep(0.001)
+            next_tick = max(next_tick, time.perf_counter()) + 0.02
+            send_tick()
+
+        snap = os.path.join(tempfile.mkdtemp(dir=args.log_dir), "snapA")
+        t_migrate = time.perf_counter()
+        moved = router.migrate("A", "B", snap)
+        t_migrated = time.perf_counter()
+        print(f"migrated {moved} streams A→B in "
+              f"{(t_migrated - t_migrate) * 1e3:.0f} ms (control drain + "
+              f"restore)", flush=True)
+        procs["A"].wait(timeout=60)  # drain stops A's serve loop
+
+        next_tick = time.perf_counter()
+        for _ in range(ticks_each):
+            while time.perf_counter() < next_tick:
+                time.sleep(0.001)
+            next_tick = max(next_tick, time.perf_counter()) + 0.02
+            send_tick()
+
+        b_stats = router._hosts["B"].control.stats()
+        print(f"host B after cutover: ticks={b_stats['ticks']} "
+              f"occupied={b_stats['occupied']}/{b_stats['capacity']} "
+              f"jb={b_stats['jb']}", flush=True)
+        router._hosts["B"].control.quit()
+        procs["B"].wait(timeout=60)
+    finally:
+        for name, proc in procs.items():
+            if proc.poll() is None:
+                proc.terminate()
+                proc.wait(timeout=30)
+        col_stop.set()
+        col_thread.join(timeout=5)
+        col.close()
+        router.close()
+
+    # Analysis: per caller, the longest gap between consecutive
+    # speech-level downlink hops (tone RMS decodes well above 1000; CNG
+    # and PLC-faded hops sit far below).  The only allowed big gap is the
+    # cutover, and it must stay under --max_gap_ms.
+    failed = False
+    for c in range(cap):
+        voiced = sorted(tt for (tt, _, slot, rms) in arrivals
+                        if slot == c and rms > 1000.0)
+        if len(voiced) < 10:
+            print(f"caller{c}: only {len(voiced)} voice hops — FAIL")
+            failed = True
+            continue
+        pre = sum(1 for tt in voiced if tt < t_migrate)
+        post = len(voiced) - pre
+        gaps = np.diff(voiced) * 1e3
+        cutover_gap = max(gaps)
+        print(f"caller{c}: {pre} voice hops on A, {post} after cutover; "
+              f"max gap {cutover_gap:.0f} ms (cutover), p95 steady-state "
+              f"{np.percentile(gaps, 95):.0f} ms, budget "
+              f"{args.max_gap_ms:.0f} ms")
+        if cutover_gap > args.max_gap_ms or post < 10:
+            failed = True
+    print("MIGRATION " + ("FAILED: audio gap over budget" if failed
+                          else "OK: no audio gap beyond the cutover budget"),
+          flush=True)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,241 @@
+"""Fleet composition: admission routing and drain/migrate across serving
+hosts.
+
+The scaling unit above one chip is DCN-free: every serving host (a
+`serve_main` process, possibly multi-chip via --devices) carries an
+independent batch of streams, so a fleet is composed with *routing*, not
+collectives (SURVEY §5 distributed analog).  This module is the host-side
+control plane for that composition:
+
+- `HostControl` — client for serve_main's --control UDP JSON endpoint
+  (ping / stats / save / restore / drain / quit).  UDP with retries and a
+  request token, so a lost datagram surfaces as a retry, not a hang.
+- `FleetRouter` — slot admission across hosts (a caller asks the fleet
+  for a seat and gets back (host, data address, slot); the wire header's
+  slot field is the stream identity, as everywhere in this stack), plus
+  whole-host maintenance migration: drain host A to a snapshot and resume
+  its calls on a warm standby B without the callers doing anything but
+  re-aiming their datagrams.
+
+The reference is a single-process codec with no serving or fleet tier;
+this is deployment-grade composition on top of the checkpoint machinery
+(utils/checkpoint.py), exercised end-to-end by
+examples/multihost_migrate.py and tests/test_fleet.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import socket
+from typing import Dict, Optional, Tuple
+
+
+class ControlError(RuntimeError):
+    """A control command was answered with ok=false (the host keeps
+    serving its previous state; restore validates before mutating)."""
+
+
+class HostControl:
+    """Client for one serving host's --control endpoint.
+
+    Every request carries a fresh "req" token; replies are matched on it,
+    so a stale reply from a retried earlier request can never be taken
+    for the current one.  `timeout` is per attempt; `retries` attempts
+    total.  Requests are idempotent by design (save/restore overwrite,
+    drain of a stopped host times out) — safe to retry on a silent UDP
+    loss."""
+
+    _req_counter = itertools.count(1)
+
+    def __init__(self, addr: Tuple[str, int], timeout: float = 2.0,
+                 retries: int = 5):
+        self.addr = addr
+        self._timeout = timeout
+        self._retries = retries
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.settimeout(timeout)
+
+    def request(self, cmd: str, **fields) -> dict:
+        """Send {"cmd": cmd, **fields}; return the matched ok reply.
+        Raises ControlError on ok=false, socket.timeout when the host
+        never answers (e.g. already drained)."""
+        req = f"r{next(self._req_counter)}"
+        msg = json.dumps({"cmd": cmd, "req": req, **fields}).encode()
+        last_exc: Optional[Exception] = None
+        for _ in range(self._retries):
+            self._sock.sendto(msg, self.addr)
+            try:
+                while True:
+                    data, _ = self._sock.recvfrom(64 * 1024)
+                    reply = json.loads(data.decode())
+                    if reply.get("req") != req:
+                        continue  # stale reply to an earlier retry
+                    if not reply.get("ok"):
+                        raise ControlError(
+                            f"{cmd} @ {self.addr}: {reply.get('error')}")
+                    return reply
+            except socket.timeout as e:
+                last_exc = e
+        raise socket.timeout(
+            f"no reply to {cmd!r} from {self.addr} after "
+            f"{self._retries} attempts") from last_exc
+
+    def ping(self) -> dict:
+        return self.request("ping")
+
+    def stats(self) -> dict:
+        return self.request("stats")["stats"]
+
+    def save(self, path: str) -> dict:
+        return self.request("save", path=path)
+
+    def restore(self, path: str) -> dict:
+        return self.request("restore", path=path)
+
+    def drain(self, path: str) -> dict:
+        """Snapshot, then the host stops serving (its process exits the
+        serve loop).  The reply arrives before the stop."""
+        return self.request("drain", path=path)
+
+    def quit(self) -> dict:
+        return self.request("quit")
+
+    def wait_ready(self, deadline_s: float = 120.0) -> dict:
+        """Poll ping until the host's serve loop answers (engine
+        construction and first-tick compile happen before the loop starts
+        handling control traffic)."""
+        import time
+
+        t_end = time.monotonic() + deadline_s
+        while True:
+            try:
+                return self.ping()
+            except socket.timeout:
+                if time.monotonic() >= t_end:
+                    raise socket.timeout(
+                        f"host {self.addr} not ready within {deadline_s}s")
+
+    def close(self) -> None:
+        self._sock.close()
+
+
+class _Host:
+    def __init__(self, data_addr, control: HostControl, capacity: int,
+                 standby: bool):
+        self.data_addr = data_addr
+        self.control = control
+        self.capacity = capacity
+        self.standby = standby
+        self.slots: Dict[int, object] = {}  # slot -> stream_id
+
+    @property
+    def free(self) -> int:
+        return self.capacity - len(self.slots)
+
+
+class FleetRouter:
+    """Admission routing over independent serving hosts.
+
+    Placement is least-loaded-first (ties broken by registration order):
+    each admitted stream gets (host_name, data_addr, slot) and the caller
+    aims its uplink datagrams there with that slot in the wire header.
+    The router is pure bookkeeping — the hosts admit every slot at
+    startup (serve_main), so no control traffic is needed per call; the
+    router's job is to hand out non-colliding seats and to know where
+    everyone lives when a host must drain.
+    """
+
+    def __init__(self):
+        self._hosts: Dict[str, _Host] = {}
+        self._streams: Dict[object, Tuple[str, int]] = {}
+
+    def add_host(self, name: str, data_addr: Tuple[str, int],
+                 control: HostControl, capacity: int,
+                 standby: bool = False) -> None:
+        """Register a host.  `standby` keeps it out of the admission pool
+        (a warm spare, compiled and ticking, waiting to receive a drained
+        host's snapshot); migrate() into it flips it active."""
+        if name in self._hosts:
+            raise KeyError(f"host {name!r} already registered")
+        if capacity <= 0:
+            raise ValueError(f"capacity must be positive, got {capacity}")
+        self._hosts[name] = _Host(data_addr, control, capacity, standby)
+
+    def remove_host(self, name: str) -> None:
+        """Deregister a host; refuses while it still carries streams
+        (drain or migrate them first — silently orphaning live calls is
+        exactly the failure this tier exists to prevent)."""
+        host = self._hosts[name]
+        if host.slots:
+            raise RuntimeError(
+                f"host {name!r} still carries {len(host.slots)} streams; "
+                "migrate() or release() them first")
+        del self._hosts[name]
+
+    def hosts(self) -> Dict[str, dict]:
+        return {name: {"data_addr": h.data_addr, "capacity": h.capacity,
+                       "occupied": len(h.slots), "standby": h.standby}
+                for name, h in self._hosts.items()}
+
+    def admit(self, stream_id) -> Tuple[str, Tuple[str, int], int]:
+        """Seat a stream on the least-loaded non-standby host; returns
+        (host_name, data_addr, slot).  Raises when the fleet is full or
+        the stream is already seated."""
+        if stream_id in self._streams:
+            raise KeyError(f"stream {stream_id!r} already admitted")
+        candidates = [h for h in self._hosts.items()
+                      if h[1].free > 0 and not h[1].standby]
+        if not candidates:
+            raise RuntimeError("fleet at capacity")
+        name, host = min(candidates, key=lambda kv: len(kv[1].slots))
+        slot = next(i for i in range(host.capacity) if i not in host.slots)
+        host.slots[slot] = stream_id
+        self._streams[stream_id] = (name, slot)
+        return name, host.data_addr, slot
+
+    def release(self, stream_id) -> None:
+        name, slot = self._streams.pop(stream_id)
+        del self._hosts[name].slots[slot]
+
+    def locate(self, stream_id) -> Tuple[str, Tuple[str, int], int]:
+        name, slot = self._streams[stream_id]
+        return name, self._hosts[name].data_addr, slot
+
+    def migrate(self, src: str, dst: str, snapshot_path: str) -> int:
+        """Maintenance migration: drain `src` (snapshot + stop), restore
+        the snapshot into warm standby `dst`, and re-home the routing
+        table.  Returns how many streams moved.
+
+        The destination must be empty and of the same capacity as the
+        source (the snapshot's slot table is positional — slot k on A
+        becomes slot k on B, so callers keep their wire slot and only
+        re-aim their datagrams at dst's data address; the server-side
+        restore enforces the exact-capacity match).  In-flight packets
+        during
+        the handoff window are lost; the decoder's PLC conceals them,
+        the same contract as network loss (reference:
+        lyra/lyra_decoder.cc:228-315 is what makes this seamless)."""
+        src_h, dst_h = self._hosts[src], self._hosts[dst]
+        if dst_h.slots:
+            raise RuntimeError(
+                f"destination {dst!r} already carries "
+                f"{len(dst_h.slots)} streams")
+        if dst_h.capacity != src_h.capacity:
+            raise RuntimeError(
+                f"snapshot capacity {src_h.capacity} != destination "
+                f"capacity {dst_h.capacity} (positional slot handoff)")
+        src_h.control.drain(snapshot_path)
+        dst_h.control.restore(snapshot_path)
+        moved = 0
+        for slot, sid in src_h.slots.items():
+            dst_h.slots[slot] = sid
+            self._streams[sid] = (dst, slot)
+            moved += 1
+        src_h.slots = {}
+        dst_h.standby = False  # carries live calls now
+        return moved
+
+    def close(self) -> None:
+        for h in self._hosts.values():
+            h.control.close()

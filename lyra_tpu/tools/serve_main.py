@@ -63,6 +63,91 @@ class _StatsSink:
             self._f = None
 
 
+class _Control:
+    """UDP JSON control endpoint (--control PORT): the fleet-management
+    plane of a serving host.  One datagram per command, one JSON reply to
+    the sender; commands are handled at tick boundaries so state is never
+    touched mid-step:
+
+      {"cmd": "ping"}                      -> {"ok": true, "mode": ...}
+      {"cmd": "stats"}                     -> {"ok": true, "stats": {...}}
+      {"cmd": "save", "path": P}           -> snapshot, keep serving
+      {"cmd": "restore", "path": P}        -> swap in a snapshot mid-flight
+                                              (warm-standby handoff)
+      {"cmd": "drain", "path": P}          -> snapshot, then stop serving
+      {"cmd": "quit"}                      -> stop serving
+
+    save/restore/drain flush the async pipeline first (enforced by the
+    servers — an unflushed tick would be silently lost), which skips one
+    downlink hop; PLC covers it on the far end, the same contract as a
+    lost packet.  A failed restore validates before mutating (see
+    stream_server._server_restore), so the host keeps serving its old
+    state and the requester gets the error.  An optional "req" field is
+    echoed back so a UDP client can match replies to requests.
+
+    The reference is a single-process codec with no serving tier; this is
+    the deployment control surface its checkpoint-less design leaves to
+    the app (SURVEY §5 checkpoint/resume)."""
+
+    def __init__(self, port: int):
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind(("0.0.0.0", port))
+        self._sock.setblocking(False)
+        self.port = self._sock.getsockname()[1]
+
+    def poll(self, server, snapshot) -> bool:
+        """Handle queued commands; True means stop serving (drain/quit)."""
+        stop = False
+        while True:
+            try:
+                data, addr = self._sock.recvfrom(64 * 1024)
+            except BlockingIOError:
+                break
+            except OSError:
+                break
+            try:
+                cmd = json.loads(data.decode())
+                if not isinstance(cmd, dict):
+                    raise ValueError("command must be a JSON object")
+            except (ValueError, UnicodeDecodeError) as e:
+                self._reply(addr, {"ok": False, "error": f"bad command: {e}"})
+                continue
+            reply = {"req": cmd.get("req"), "ok": True}
+            name = cmd.get("cmd")
+            try:
+                if name == "ping":
+                    reply["mode"] = snapshot()["mode"]
+                elif name == "stats":
+                    reply["stats"] = snapshot()
+                elif name in ("save", "drain"):
+                    server.flush_async()
+                    server.save(cmd["path"])
+                    reply["ticks"] = snapshot()["ticks"]
+                    stop = stop or name == "drain"
+                elif name == "restore":
+                    server.flush_async()
+                    server.restore(cmd["path"])
+                elif name == "quit":
+                    stop = True
+                else:
+                    reply = {"req": cmd.get("req"), "ok": False,
+                             "error": f"unknown cmd {name!r}"}
+            except Exception as e:  # keep serving; the requester learns why
+                reply = {"req": cmd.get("req"), "ok": False,
+                         "error": f"{type(e).__name__}: {e}"}
+            self._reply(addr, reply)
+        return stop
+
+    def _reply(self, addr, obj) -> None:
+        try:
+            self._sock.sendto(json.dumps(obj).encode(), addr)
+        except OSError:
+            pass  # requester vanished; a control reply is best-effort
+
+    def close(self) -> None:
+        self._sock.close()
+
+
 def _tick_pcts(tick_ms, tail: int | None = 256):
     """(p50, p95) of the recent tick latencies, rounded for reporting."""
     lat = np.array(tick_ms[-tail:] if tail else tick_ms)
@@ -169,7 +254,10 @@ def _serve_encode(args, _on_ready, _stop) -> int:
             EncoderEngine(args.sample_rate_hz, model_path=args.model_path,
                           max_bitrate=args.max_bitrate), args.devices),
         bitrate=args.bitrate)
-    enc.add_streams(range(args.capacity))
+    if args.restore:
+        enc.restore(args.restore)  # resume another host's calls mid-stream
+    else:
+        enc.add_streams(range(args.capacity))
     hop_bytes = enc.hop_samples * 2
 
     pcm = rx = None
@@ -186,6 +274,7 @@ def _serve_encode(args, _on_ready, _stop) -> int:
         port = rx.getsockname()[1]
     tx = _make_tx(args, args.capacity, pcm)
     sink = _StatsSink(args.stats)
+    ctl = _Control(args.control) if args.control is not None else None
 
     def _snapshot(tail):
         p50, p95 = _tick_pcts(tick_ms, tail)
@@ -196,13 +285,16 @@ def _serve_encode(args, _on_ready, _stop) -> int:
         return {"mode": "encode", "ts": round(time.time(), 3),
                 "ticks": ticks, "tick_ms_p50": p50, "tick_ms_p95": p95,
                 "budget_ms": 20.0, "capacity": args.capacity,
-                "occupied": int(fresh.sum()), "pcm_gaps": pcm_gaps,
+                "occupied": int(fresh.sum()), "active": enc.num_active,
+                "pcm_gaps": pcm_gaps,
                 "ingest": ingest_stats,
                 "egress": (tx.stats() if tx is not None else {})}
 
     print(f"encoding {args.capacity} streams on UDP :{port} "
           f"(bitrate={args.bitrate}, ingest={args.ingest}, "
-          f"echo={args.echo or 'none'})", flush=True)
+          f"echo={args.echo or 'none'}"
+          + (f", control=:{ctl.port}" if ctl is not None else "") + ")",
+          flush=True)
     if _on_ready is not None:
         _on_ready(port)
 
@@ -220,6 +312,8 @@ def _serve_encode(args, _on_ready, _stop) -> int:
             while time.perf_counter() < next_tick:
                 time.sleep(0.001)
             next_tick = max(next_tick, time.perf_counter()) + 0.02
+            if ctl is not None and ctl.poll(enc, lambda: _snapshot(256)):
+                break  # drained or told to quit
             t0 = time.perf_counter()
 
             if pcm is not None:
@@ -268,6 +362,8 @@ def _serve_encode(args, _on_ready, _stop) -> int:
         snap = {**_snapshot(None), "final": True}
         sink.emit(snap)
         sink.close()
+        if ctl is not None:
+            ctl.close()
         if tx is not None:
             tx.close()  # before the pump: reply egress borrows its fd
         if pcm is not None:
@@ -319,8 +415,11 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     bridge = ConferenceBridge(args.capacity, model_path=args.model_path,
                               bitrate=args.bitrate,
                               dec_engine=dec_e, enc_engine=enc_e)
-    bridge.add_participants(
-        {slot: slot // args.room_size for slot in range(args.capacity)})
+    if args.restore:
+        bridge.restore(args.restore)  # resume another host's rooms mid-call
+    else:
+        bridge.add_participants(
+            {slot: slot // args.room_size for slot in range(args.capacity)})
 
     jb = JitterBuffer(args.capacity, config.packet_size(184),
                       depth=args.playout_delay + 6)
@@ -341,13 +440,15 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
         ingest.add_stream(slot, playout_delay=args.playout_delay)
     tx = _make_tx(args, args.capacity, pump)
     sink = _StatsSink(args.stats)
+    ctl = _Control(args.control) if args.control is not None else None
 
     def _snapshot(tail):
         p50, p95 = _tick_pcts(tick_ms, tail)
         return {"mode": "bridge", "ts": round(time.time(), 3),
                 "ticks": ticks, "tick_ms_p50": p50, "tick_ms_p95": p95,
                 "budget_ms": 20.0, "capacity": args.capacity,
-                "occupied": occupied, "room_size": args.room_size,
+                "occupied": occupied, "active": bridge.num_active,
+                "room_size": args.room_size,
                 "ingest": (pump.stats() if pump is not None else {}),
                 "jb": (pump.jb_stats() if pump is not None else jb.stats()),
                 "egress": (tx.stats() if tx is not None else {}),
@@ -355,7 +456,9 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
 
     print(f"bridging {args.capacity} participants in rooms of "
           f"{args.room_size} on UDP :{port} (ingest={args.ingest}, "
-          f"echo={args.echo or 'none'})", flush=True)
+          f"echo={args.echo or 'none'}"
+          + (f", control=:{ctl.port}" if ctl is not None else "") + ")",
+          flush=True)
     if _on_ready is not None:
         _on_ready(port)
 
@@ -371,6 +474,8 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
             while time.perf_counter() < next_tick:
                 time.sleep(0.001)
             next_tick = max(next_tick, time.perf_counter()) + 0.02
+            if ctl is not None and ctl.poll(bridge, lambda: _snapshot(256)):
+                break  # drained or told to quit
             t0 = time.perf_counter()
 
             if pump is None:
@@ -415,6 +520,8 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
         snap = {**_snapshot(None), "final": True}
         sink.emit(snap)
         sink.close()
+        if ctl is not None:
+            ctl.close()
         if tx is not None:
             tx.close()  # before the pump: reply egress borrows its fd
         if pump is not None:
@@ -469,6 +576,16 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "source — the real-MCU shape (any mode, native "
                         "ingest+egress).  Default: none (stats only).")
     p.add_argument("--report_every", type=float, default=1.0)
+    p.add_argument("--control", type=int, default=None, metavar="PORT",
+                   help="Bind a UDP JSON control endpoint (0 = ephemeral, "
+                        "port printed in the startup line): ping / stats / "
+                        "save / restore / drain / quit — the fleet "
+                        "management plane (tools/fleet.py is the client).")
+    p.add_argument("--restore", default=None, metavar="PATH",
+                   help="Resume from a drained host's snapshot (server "
+                        "state + slot table; see --control drain) instead "
+                        "of admitting fresh streams.  Capacity, mode, and "
+                        "sample rate must match the snapshot.")
     p.add_argument("--stats", default=None, metavar="PATH",
                    help="Append one JSON line of operator stats per "
                         "--report_every interval (tick-ms percentiles, "
@@ -534,26 +651,33 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
         rx.setblocking(False)
         port = rx.getsockname()[1]
     ingest = pump or jb
-    for slot in dec.add_streams(range(args.capacity)).values():
+    if args.restore:
+        dec.restore(args.restore)  # resume another host's calls mid-stream
+    else:
+        dec.add_streams(range(args.capacity))
+    for slot in range(args.capacity):
         ingest.add_stream(slot, playout_delay=args.playout_delay)
 
     tx = _make_tx(args, args.capacity, pump)
     pcm_sizes = np.full(args.capacity, dec.hop_samples * 2, np.int32)
     sink = _StatsSink(args.stats)
+    ctl = _Control(args.control) if args.control is not None else None
 
     def _snapshot(tail):
         p50, p95 = _tick_pcts(tick_ms, tail)
         return {"mode": "decode", "ts": round(time.time(), 3),
                 "ticks": ticks, "tick_ms_p50": p50, "tick_ms_p95": p95,
                 "budget_ms": 20.0, "capacity": args.capacity,
-                "occupied": occupied,
+                "occupied": occupied, "active": dec.num_active,
                 "ingest": (pump.stats() if pump is not None else {}),
                 "jb": (pump.jb_stats() if pump is not None else jb.stats()),
                 "egress": (tx.stats() if tx is not None else {}),
                 "bad_packets": int(dec.bad_packets.sum())}
 
     print(f"serving {args.capacity} streams on UDP :{port} "
-          f"(ingest={args.ingest}, echo={args.echo or 'none'})", flush=True)
+          f"(ingest={args.ingest}, echo={args.echo or 'none'}"
+          + (f", control=:{ctl.port}" if ctl is not None else "") + ")",
+          flush=True)
     if _on_ready is not None:  # test hook: report the bound port
         _on_ready(port)
 
@@ -569,6 +693,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
             while time.perf_counter() < next_tick:
                 time.sleep(0.001)
             next_tick = max(next_tick, time.perf_counter()) + 0.02
+            if ctl is not None and ctl.poll(dec, lambda: _snapshot(256)):
+                break  # drained or told to quit
             t0 = time.perf_counter()
 
             if pump is None:
@@ -613,6 +739,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
         snap = {**_snapshot(None), "final": True}
         sink.emit(snap)
         sink.close()
+        if ctl is not None:
+            ctl.close()
         if tx is not None:
             tx.close()  # before the pump: reply egress borrows its fd
         if pump is not None:

@@ -50,11 +50,16 @@ constexpr int64_t kNoMargin = INT64_MAX;
 // shrinking is a deliberate playout jump, so it must be earned.
 constexpr int64_t kShrinkVotes = 3;
 
-// Consecutive overflow inserts on one stream before its playout point
-// resyncs to the arriving sequence.  >1 so a single stray (or hostile)
-// far-future packet cannot repoint a healthy stream's schedule; small so
-// a receiver stall or a sender with a different sequence origin recovers
-// within ~60 ms of traffic.
+// Consecutive out-of-window inserts (late OR overflow) on one stream
+// before its playout point resyncs to the arriving sequence.  >1 so a
+// single stray (or hostile) packet cannot repoint a healthy stream's
+// schedule; small so the stream recovers within ~60 ms of traffic.
+// Both directions are the same stall class: overflow = the receiver's
+// schedule is behind the sender (receiver stall, sender with a later
+// origin); late = the receiver's schedule ran AHEAD of the sender (head
+// advances every collect, so a warm host that ticked before its caller
+// started sending — e.g. a migration standby — would otherwise late-drop
+// that caller forever; both sides advance 50/s and the gap never closes).
 constexpr int64_t kResyncAfter = 3;
 
 struct JitterBuffer {
@@ -229,20 +234,28 @@ int lyra_jb_insert(void* h, int64_t stream, int64_t seq,
     jb->margin_min[stream] =
         std::min(jb->margin_min[stream], seq - head);
   }
-  if (seq < head) {
+  if (seq < 0) {
+    // Corrupt wire header: always a counted drop, never a resync target
+    // (a negative head would make the ring index UB).
     ++jb->late_drops;
     return 2;
   }
-  if (seq >= head + jb->depth) {
-    // Far ahead of the playout point.  A lone stray (or hostile) packet
-    // is a counted drop, but a *sustained* run of them means the sender
-    // is real and the schedule is stale — a receiver stall (compile,
-    // pause, migration) or a sender with a different sequence origin.  A
-    // real-time buffer must then resync or the stream is dead forever:
-    // both sides advance 50/s and the gap never closes.  Jump the
-    // playout point to the arriving sequence, re-absorb the configured
-    // playout delay, and file this packet.
+  if (seq < head || seq >= head + jb->depth) {
+    // Outside the playout window on either side.  A lone stray (or
+    // hostile) packet is a counted drop, but a *sustained* run of them
+    // means the sender is real and the schedule is stale — a receiver
+    // stall (compile, pause) or a sender whose sequence origin is ahead
+    // (overflow) or behind (late: the head advances every collect, so a
+    // warm standby that ticked before this caller existed is permanently
+    // ahead).  A real-time buffer must then resync or the stream is dead
+    // forever: both sides advance 50/s and the gap never closes.  Jump
+    // the playout point to the arriving sequence, re-absorb the
+    // configured playout delay, and file this packet.
     if (++jb->streak[stream] < kResyncAfter) {
+      if (seq < head) {
+        ++jb->late_drops;
+        return 2;
+      }
       ++jb->overflow_drops;
       return 4;
     }

@@ -1,0 +1,242 @@
+"""Fleet composition: admission routing, control plane, drain/migrate.
+
+The scaling unit above one chip is DCN-free (independent batches per
+host, SURVEY §5); these tests pin the routing bookkeeping with fake
+hosts, then drive the real control plane (serve_main --control) and a
+full in-process drain→restore handoff between two server loops.
+"""
+
+import json
+import os
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from lyra_tpu.tools.fleet import ControlError, FleetRouter, HostControl
+
+
+class _FakeControl:
+    """Duck-typed HostControl recording drain/restore calls."""
+
+    def __init__(self):
+        self.calls = []
+
+    def drain(self, path):
+        self.calls.append(("drain", path))
+        return {"ok": True, "ticks": 7}
+
+    def restore(self, path):
+        self.calls.append(("restore", path))
+        return {"ok": True}
+
+    def close(self):
+        pass
+
+
+def _router(*hosts):
+    r = FleetRouter()
+    for name, cap, standby in hosts:
+        r.add_host(name, ("127.0.0.1", 1000), _FakeControl(), cap,
+                   standby=standby)
+    return r
+
+
+def test_router_least_loaded_admission_and_release():
+    r = _router(("a", 2, False), ("b", 2, False))
+    seats = [r.admit(f"s{i}") for i in range(4)]
+    # Least-loaded alternates hosts; slots are dense per host.
+    assert [s[0] for s in seats] == ["a", "b", "a", "b"]
+    assert [s[2] for s in seats] == [0, 0, 1, 1]
+    with pytest.raises(RuntimeError):
+        r.admit("overflow")  # fleet full
+    r.release("s0")
+    name, _, slot = r.admit("s4")  # freed seat is reused
+    assert (name, slot) == ("a", 0)
+    with pytest.raises(KeyError):
+        r.admit("s4")  # duplicate stream id
+
+
+def test_router_standby_excluded_until_migration():
+    r = _router(("a", 2, False), ("b", 2, True))
+    assert [r.admit(f"s{i}")[0] for i in range(2)] == ["a", "a"]
+    with pytest.raises(RuntimeError):
+        r.admit("s2")  # standby does not take admissions
+    moved = r.migrate("a", "b", "/tmp/snap")
+    assert moved == 2
+    # The standby now carries the calls (and is no longer standby); the
+    # drained host is empty and can be deregistered.
+    assert r.locate("s0") == ("b", ("127.0.0.1", 1000), 0)
+    r.remove_host("a")
+    with pytest.raises(RuntimeError):
+        r.admit("s2")  # b absorbed a's full batch: fleet is full again
+    r.release("s1")
+    assert r.admit("s2") == ("b", ("127.0.0.1", 1000), 1)
+
+
+def test_router_migrate_refusals_and_ordering():
+    r = _router(("a", 2, False), ("b", 2, False), ("c", 3, False))
+    r.admit("s0")
+    r.admit("s1")  # lands on b (least loaded)
+    with pytest.raises(RuntimeError):
+        r.migrate("a", "b", "/tmp/snap")  # destination not empty
+    with pytest.raises(RuntimeError):
+        r.migrate("a", "c", "/tmp/snap")  # capacity mismatch (positional)
+    with pytest.raises(RuntimeError):
+        r.remove_host("a")  # still carries a stream
+    # Refusals happened before any control traffic.
+    assert r._hosts["a"].control.calls == []
+    # A valid migration drains src BEFORE restoring dst.
+    r.release("s1")
+    r.migrate("a", "b", "/tmp/snap")
+    assert r._hosts["a"].control.calls == [("drain", "/tmp/snap")]
+    assert r._hosts["b"].control.calls == [("restore", "/tmp/snap")]
+
+
+def _free_udp_port() -> int:
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_control_plane_and_inprocess_migration(model_path, tmp_path):
+    """The real control plane end to end, single process, two server
+    loops sharing one compiled engine cache: ping/stats on host A, live
+    packets decoding, save/restore idempotence, then drain A → restore
+    into warm host B → the caller's packets decode on B with A's engine
+    state (no re-admission, same wire slots)."""
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    echo_rx.bind(("127.0.0.1", 0))
+    echo_rx.settimeout(0.05)
+    echo_port = echo_rx.getsockname()[1]
+
+    def start_host(extra):
+        box = {}
+        ready = threading.Event()
+        stop = threading.Event()
+        ctl_port = _free_udp_port()
+        th = threading.Thread(target=serve_main.main, kwargs=dict(
+            argv=["--capacity", "2", "--seconds", "0",
+                  "--max_bitrate", "3200", "--model_path", model_path,
+                  "--playout_delay", "1", "--report_every", "30",
+                  "--echo", f"127.0.0.1:{echo_port}",
+                  "--control", str(ctl_port)] + extra,
+            _on_ready=lambda port: (box.update(port=port), ready.set()),
+            _stop=stop))
+        th.start()
+        assert ready.wait(120), "host never bound its port"
+        return th, stop, box["port"], HostControl(("127.0.0.1", ctl_port))
+
+    th_a, stop_a, port_a, ctl_a = start_host([])
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    wire = pkt.pack_indices_batch(np.zeros((2, 16), np.int32), 64)
+    seq = 0
+
+    def pump_until_audio(port, deadline_s=180):
+        nonlocal seq
+        import time
+
+        t_end = time.time() + deadline_s
+        while time.time() < t_end:
+            for slot in range(2):
+                tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                          + wire[slot].tobytes(), ("127.0.0.1", port))
+            seq += 1
+            try:
+                return echo_rx.recvfrom(4096)[0]
+            except socket.timeout:
+                pass
+        return None
+
+    th_b = stop_b = ctl_b = None
+    try:
+        st = ctl_a.wait_ready(120)
+        assert st["mode"] == "decode"
+        assert pump_until_audio(port_a) is not None, "host A never decoded"
+
+        stats = ctl_a.stats()
+        assert stats["capacity"] == 2 and stats["ticks"] > 0
+        assert stats["ingest"]["datagrams"] > 0
+
+        # save keeps serving; restore of the same snapshot is accepted.
+        snap = str(tmp_path / "snapA")
+        assert ctl_a.save(snap)["ticks"] >= 0
+        assert os.path.exists(snap + ".npz")  # checkpoint.save_state naming
+        ctl_a.restore(snap)
+        assert pump_until_audio(port_a) is not None, "host A died after save"
+
+        # A restore that fails validation leaves the host serving.
+        with pytest.raises(ControlError):
+            ctl_a.restore(str(tmp_path / "missing"))
+        assert ctl_a.ping()["ok"]
+
+        # Warm standby B, then the migration: drain A, restore into B.
+        th_b, stop_b, port_b, ctl_b = start_host([])
+        ctl_b.wait_ready(120)
+        ctl_a.drain(snap)
+        th_a.join(timeout=60)
+        assert not th_a.is_alive(), "drained host kept serving"
+        ctl_b.restore(snap)
+        assert pump_until_audio(port_b) is not None, (
+            "host B never decoded the migrated streams")
+        final_stats = ctl_b.stats()
+        assert final_stats["active"] == 2  # A's slot table came across
+    finally:
+        tx.close()
+        for stop, th in ((stop_a, th_a), (stop_b, th_b)):
+            if stop is not None:
+                stop.set()
+        for _, th in ((stop_a, th_a), (stop_b, th_b)):
+            if th is not None:
+                th.join(timeout=120)
+                assert not th.is_alive()
+        echo_rx.close()
+        ctl_a.close()
+        if ctl_b is not None:
+            ctl_b.close()
+
+
+def test_restore_flag_resumes_snapshot(model_path, tmp_path):
+    """serve_main --restore: a cold host stands up directly from a
+    drained snapshot instead of admitting fresh streams (cold-standby
+    resume; capacity mismatch is refused by the server's restore)."""
+    from lyra_tpu.tools import serve_main
+    from lyra_tpu.tools.stream_server import DecoderServer
+
+    dec = DecoderServer(2, model_path=model_path)
+    dec.add_streams(["x"])  # one seat occupied, one free
+    snap = str(tmp_path / "snap")
+    dec.save(snap)
+
+    ready = threading.Event()
+    stop = threading.Event()
+    ctl_port = _free_udp_port()
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--capacity", "2", "--seconds", "0",
+              "--max_bitrate", "3200", "--model_path", model_path,
+              "--report_every", "30", "--control", str(ctl_port),
+              "--restore", snap],
+        _on_ready=lambda port: ready.set(), _stop=stop))
+    th.start()
+    ctl = HostControl(("127.0.0.1", ctl_port))
+    try:
+        assert ready.wait(120)
+        st = ctl.wait_ready(120)
+        assert st["mode"] == "decode"
+        # The snapshot's slot table came through: 1 active stream, not
+        # the 2 a fresh host would have admitted.
+        assert ctl.stats()["active"] == 1
+    finally:
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive()
+        ctl.close()
+
+    with pytest.raises(ValueError):
+        DecoderServer(4, model_path=model_path).restore(snap)

@@ -107,12 +107,12 @@ def test_packed_serving_roundtrip(model_path, testdata_path):
 
 def test_playout_delay_absorbs_network_delay():
     """A stream whose packets all arrive one tick late plays cleanly with
-    playout_delay=1 (and starves without it)."""
+    playout_delay=1; the zero-delay stream starves until the late-side
+    resync (3 consecutive late inserts) repoints its schedule."""
     jb = JitterBuffer(capacity=2, packet_size=8, depth=8)
     jb.add_stream(0, playout_delay=0)
     jb.add_stream(1, playout_delay=2)
     got0, got1 = [], []
-    pending = {}
     for t in range(6):
         if t >= 1:  # packet for t-1 arrives now (one tick of network delay)
             jb.insert(0, t - 1, bytes([t - 1] * 4))
@@ -120,8 +120,33 @@ def test_playout_delay_absorbs_network_delay():
         _, received, _ = jb.collect()
         got0.append(bool(received[0]))
         got1.append(bool(received[1]))
-    assert not any(got0)  # zero-delay stream never catches up
+    # Zero-delay stream: first 2 late inserts drop, the 3rd resyncs the
+    # playout point (re-absorbing its playout delay of 0), then it plays.
+    assert got0 == [False, False, False, True, True, True]
     assert got1[2:] == [True] * 4  # delayed stream plays every tick
+    assert jb.stats()["resyncs"] == 1
+
+
+def test_late_origin_resync_revives_warm_standby():
+    """A host whose collect loop ran long before a sender appeared (warm
+    migration standby, receiver restart) has head_seq far AHEAD of the
+    sender's origin.  Without a late-side resync every packet is late
+    forever (both sides advance 50/s and the gap never closes); with it
+    the stream locks on within kResyncAfter packets."""
+    jb = JitterBuffer(capacity=1, packet_size=8, depth=8)
+    jb.add_stream(0, playout_delay=1)
+    for _ in range(500):  # the standby ticks with no traffic
+        jb.collect()
+    played = []
+    for seq in range(12):  # caller appears with a fresh sequence origin
+        jb.insert(0, seq, bytes([seq] * 4))
+        _, received, _ = jb.collect()
+        played.append(bool(received[0]))
+    st = jb.stats()
+    assert st["resyncs"] == 1
+    assert st["late_drops"] == 2  # the pre-resync packets, nothing after
+    # Locked on: every tick after resync + playout delay plays a packet.
+    assert played[4:] == [True] * 8
 
 
 def test_create_rejects_oversized_packet_size():
