@@ -111,6 +111,7 @@ class DecoderEngine:
                  max_bitrate: int | None = None,
                  gate_idle_stages: bool = True,
                  state_compression: str | None = None,
+                 boundary_store: str | None = None,
                  emit_dtype: str = "float32"):
         config.check_params_supported(sample_rate_hz, config.NUM_CHANNELS, model_path)
         self.sample_rate_hz = sample_rate_hz
@@ -127,8 +128,14 @@ class DecoderEngine:
         # int8-compressed between ticks (models/streaming.py
         # `_quantize_leaf`) — halves per-stream checkpoint/drain bytes for
         # serving migration; not a step-time win on TPU (PERF.md).
+        # boundary_store="f8": store layer-boundary activations fp8 e4m3
+        # inside the step (tflite/executor.py _BoundaryEnv).  Measured
+        # regression for serving — XLA does not fuse the converts into
+        # conv operands, so the fp8 copies ADD traffic (1.67x slower,
+        # PERF.md round 4); kept opt-in as the probe reproducer.
         self.gan = LyraGanModel(model_path, mode=mode, backend=backend,
-                                state_dtype=state_compression)
+                                state_dtype=state_compression,
+                                boundary_store=boundary_store)
         self.rvq = ResidualVectorQuantizer.from_model_path(model_path)
         # Static serving specialization: a fleet capped at one bitrate skips
         # RVQ stage work the wire format can never carry (the engine stays
@@ -331,14 +338,18 @@ class EncoderEngine:
                  model_path: str = config.DEFAULT_MODEL_PATH,
                  enable_dtx: bool = False, mode: str = "float",
                  backend: str = "xla", max_bitrate: int | None = None,
-                 state_compression: str | None = None):
+                 state_compression: str | None = None,
+                 boundary_store: str | None = None):
         config.check_params_supported(sample_rate_hz, config.NUM_CHANNELS, model_path)
         self.sample_rate_hz = sample_rate_hz
         self.enable_dtx = enable_dtx
-        # See DecoderEngine: int8 storage of the streaming conv contexts.
+        # See DecoderEngine: int8 storage of the streaming conv contexts
+        # (state_compression) and fp8 layer-boundary storage
+        # (boundary_store).
         self.soundstream = SoundStreamEncoder(model_path, mode=mode,
                                               backend=backend,
-                                              state_dtype=state_compression)
+                                              state_dtype=state_compression,
+                                              boundary_store=boundary_store)
         self.rvq = ResidualVectorQuantizer.from_model_path(model_path)
         # See DecoderEngine: static single-bitrate serving specialization.
         self._max_stages = (None if max_bitrate is None else

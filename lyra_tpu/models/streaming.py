@@ -190,12 +190,17 @@ class SoundStreamEncoder(BatchedStreamingModel):
 
     def __init__(self, model_path: str, mode: str = "float",
                  backend: str = "xla", block_streams: int = 64,
-                 state_dtype: str | None = None):
+                 state_dtype: str | None = None,
+                 boundary_store: str | None = None):
         path = os.path.join(model_path, "soundstream_encoder.tflite")
         if backend == "fused":
             if state_dtype is not None:
                 raise ValueError("state_dtype requires backend='xla' "
                                  "(the fused kernel manages its own state)")
+            if boundary_store is not None:
+                raise ValueError("boundary_store requires backend='xla' "
+                                 "(the fused kernel holds boundaries in "
+                                 "VMEM; there is nothing to compress)")
             fused = _FusedModel(path, mode, block_streams)
             _wire_fused(self, fused)
 
@@ -205,7 +210,12 @@ class SoundStreamEncoder(BatchedStreamingModel):
 
             self.extract = extract
             return
-        graph = load_graph(path, mode=mode)
+        # boundary_scale 0.5: the encoder's depthwise-conv context concats
+        # peak at amax 628 > fp8 e4m3's 448; a half pre-scale (exact power
+        # of two) brings the measured range to 314
+        # (benchmarks/boundary_range_probe.py).
+        graph = load_graph(path, mode=mode, boundary_store=boundary_store,
+                           boundary_scale=0.5)
         super().__init__(graph, "input_audio", "output_0",
                          state_dtype=state_dtype)
 
@@ -224,12 +234,17 @@ class LyraGanModel(BatchedStreamingModel):
 
     def __init__(self, model_path: str, mode: str = "float",
                  backend: str = "xla", block_streams: int = 64,
-                 state_dtype: str | None = None):
+                 state_dtype: str | None = None,
+                 boundary_store: str | None = None):
         path = os.path.join(model_path, "lyragan.tflite")
         if backend == "fused":
             if state_dtype is not None:
                 raise ValueError("state_dtype requires backend='xla' "
                                  "(the fused kernel manages its own state)")
+            if boundary_store is not None:
+                raise ValueError("boundary_store requires backend='xla' "
+                                 "(the fused kernel holds boundaries in "
+                                 "VMEM; there is nothing to compress)")
             fused = _FusedModel(path, mode, block_streams)
             _wire_fused(self, fused)
 
@@ -239,7 +254,10 @@ class LyraGanModel(BatchedStreamingModel):
 
             self.decode_hop = decode_hop
             return
-        graph = load_graph(path, mode=mode)
+        # boundary_scale 1.0: lyragan activations peak at amax 31, far
+        # inside fp8 e4m3's 448 (benchmarks/boundary_range_probe.py).
+        graph = load_graph(path, mode=mode, boundary_store=boundary_store,
+                           boundary_scale=1.0)
         super().__init__(graph, "input_audio", "output_0",
                          state_dtype=state_dtype)
 

@@ -447,6 +447,49 @@ def _int8_transpose_conv_acc(x, w, opts, t_in):
     )
 
 
+# Layer-boundary fp8 storage (GraphLowering boundary_store="f8"): float
+# intermediates below this element count stay in the compute dtype — the
+# convert pair would cost more than the bytes it saves.
+_BOUNDARY_MIN_ELEMS = 1024
+
+
+class _BoundaryEnv(dict):
+    """Tensor environment that stores large float intermediates as fp8.
+
+    The serving tick is HBM-bound on layer-boundary activation traffic
+    (PERF.md stage_roofline: conv stacks at 85-100% of the byte bound), so
+    halving the materialized boundary bytes looked like the one lever
+    left under the XLA layer-materialization floor.  Unlike the rejected
+    dynamic-scale int8 variants (extra amax pass) and the rejected
+    exact-int8 mode (int32 requant pipelines), an fp8 convert is a pure
+    elementwise dtype cast — IF the compiler fuses it into the producing
+    and consuming fusions.  **Measured on TPU: it does not** — conv
+    operands still materialize the dequantized bf16 copy, so each
+    boundary costs fp8(w+r) ON TOP of bf16(w+r): 13.0 → 18.6 HLO GB/tick,
+    8.30 → 13.83 ms/tick at the 2x8192 wave schedule (PERF.md round 4,
+    benchmarks/boundary_store_bench.py — kept as the reproducer; do not
+    re-probe).  e4m3 max is 448; the global power-of-two `scale` (exact
+    in both directions) folds graphs whose activations exceed it
+    (benchmarks/boundary_range_probe.py measured amax: soundstream 628 →
+    scale 0.5, lyragan 31 → scale 1.0).
+    """
+
+    def __init__(self, wrap: frozenset, scale: float):
+        super().__init__()
+        self._wrap = wrap
+        self._scale = scale
+
+    def __setitem__(self, i, v):
+        if i in self._wrap:
+            v = jnp.asarray(v)
+            if (jnp.issubdtype(v.dtype, jnp.floating)
+                    and v.dtype != jnp.float8_e4m3fn):
+                if self._scale != 1.0:
+                    v = v * jnp.asarray(self._scale, v.dtype)
+                v = v.astype(jnp.float8_e4m3fn)
+        super().__setitem__(i, v)
+
+
 @dataclasses.dataclass
 class GraphFn:
     """A lowered TFLite subgraph: pure function + initial streaming state."""
@@ -472,7 +515,8 @@ class GraphLowering:
     """Lowers one subgraph of a ModelDef into a GraphFn."""
 
     def __init__(self, mdef: tfl.ModelDef, signature: str, mode: str = "float",
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, boundary_store: str | None = None,
+                 boundary_scale: float = 1.0):
         if mode == "bf16":
             # Shorthand: float dequantization with bfloat16 compute — the TPU
             # throughput mode (MXU bf16 passes, half the HBM traffic for
@@ -485,6 +529,21 @@ class GraphLowering:
             raise ValueError(f"unknown mode {mode}")
         if mode == "int8" and compute_dtype != jnp.float32:
             raise ValueError("int8 mode requires float32 for the float ops")
+        if boundary_store not in (None, "f8"):
+            raise ValueError(
+                f"unsupported boundary_store {boundary_store!r} "
+                "(None or 'f8')")
+        if boundary_store is not None and mode != "float":
+            # fakequant/int8 already define their own boundary storage;
+            # stacking fp8 on top would silently change their oracles.
+            raise ValueError("boundary_store requires mode 'float'/'bf16'")
+        if boundary_scale <= 0 or (boundary_scale != 1.0 and
+                                   np.log2(boundary_scale) % 1 != 0):
+            raise ValueError(
+                f"boundary_scale must be a positive power of two (exact in "
+                f"both directions), got {boundary_scale}")
+        self.boundary_store = boundary_store
+        self.boundary_scale = float(boundary_scale)
         self.mdef = mdef
         self.mode = mode
         self.compute_dtype = compute_dtype
@@ -550,9 +609,24 @@ class GraphLowering:
         tensors_meta = sg.tensors
         sig_inputs, sig_outputs = self.sig_inputs, self.sig_outputs
         init_state = self.init_state_vals
+        # boundary_store="f8": every large float intermediate materializes
+        # as fp8 e4m3 (see _BoundaryEnv); graph inputs/outputs keep their
+        # contract dtypes, and VAR_HANDLE state stays in compute_dtype
+        # (ASSIGN reads back through get(), which dequantizes).
+        boundary_wrap = frozenset(
+            t.index for t in tensors_meta
+            if self.boundary_store == "f8"
+            and t.data is None and t.dtype == np.float32
+            and int(np.prod(t.shape or (0,))) >= _BOUNDARY_MIN_ELEMS
+            and t.index not in set(sig_outputs.values())
+            and t.index not in set(sig_inputs.values()))
+        boundary_inv = 1.0 / self.boundary_scale
+        boundary_scale = self.boundary_scale
 
         def fn(state: Dict[str, Array], inputs: Dict[str, Array]):
-            env: Dict[int, Array] = {}
+            env: Dict[int, Array] = (
+                _BoundaryEnv(boundary_wrap, boundary_scale)
+                if boundary_wrap else {})
             var_names: Dict[int, str] = {}  # handle tensor idx -> variable name
             new_state = dict(state)
 
@@ -560,7 +634,13 @@ class GraphLowering:
                 if i < 0:
                     return None
                 if i in env:
-                    return env[i]
+                    v = env[i]
+                    if (boundary_wrap
+                            and getattr(v, "dtype", None) == jnp.float8_e4m3fn):
+                        v = v.astype(compute_dtype)
+                        if boundary_inv != 1.0:
+                            v = v * jnp.asarray(boundary_inv, compute_dtype)
+                    return v
                 if i in consts:
                     return consts[i]
                 raise KeyError(
@@ -847,7 +927,17 @@ class GraphLowering:
         )
 
 
-def load_graph(path: str, signature: str = "serving_default", mode: str = "float") -> GraphFn:
-    """Parse `path` and lower `signature` to a pure JAX function."""
+def load_graph(path: str, signature: str = "serving_default",
+               mode: str = "float", boundary_store: str | None = None,
+               boundary_scale: float = 1.0) -> GraphFn:
+    """Parse `path` and lower `signature` to a pure JAX function.
+
+    boundary_store="f8" stores large layer-boundary activations as fp8
+    e4m3 (half the bf16 HBM traffic on the materialization-bound conv
+    stacks; see _BoundaryEnv).  boundary_scale is a power-of-two global
+    pre-scale for graphs whose activation range exceeds e4m3's 448
+    (benchmarks/boundary_range_probe.py measures it per graph)."""
     mdef = tfl.load(path)
-    return GraphLowering(mdef, signature, mode=mode).lower()
+    return GraphLowering(mdef, signature, mode=mode,
+                         boundary_store=boundary_store,
+                         boundary_scale=boundary_scale).lower()

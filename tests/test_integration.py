@@ -119,3 +119,56 @@ def test_long_run_stability_under_random_loss(model_path, testdata_path):
         arr = np.asarray(leaf)
         if arr.dtype.kind == "f":
             assert np.isfinite(arr.astype(np.float32)).all()
+
+
+def test_fp8_boundary_store_quality_and_refusals(model_path, testdata_path):
+    """boundary_store="f8" (fp8 e4m3 layer-boundary storage) is a measured
+    serving REGRESSION (PERF.md round 4: the converts do not fuse into
+    conv operands), kept opt-in as the probe reproducer — so pin that the
+    path still computes valid audio (per-hop LSD under the reference's
+    2.0 bar despite quantizing every boundary) and that misconfiguration
+    fails loudly."""
+    from lyra_tpu.tflite.executor import load_graph
+
+    data = wav.read_wav_int16(f"{testdata_path}/sample1_16kHz.wav")
+    hop = config.num_samples_per_hop(16000)
+    num_hops = min(50, len(data.samples) // hop)
+    x = data.samples[: num_hops * hop].reshape(num_hops, hop)
+
+    encoder = SoundStreamEncoder(model_path, mode="bf16",
+                                 boundary_store="f8")
+    decoder = LyraGanModel(model_path, mode="bf16", boundary_store="f8")
+    rvq = ResidualVectorQuantizer.from_model_path(model_path)
+    nq = 184 // config.BITS_PER_QUANTIZER
+
+    @jax.jit
+    def step(es, ds, frame_i16):
+        feats, es = encoder.extract(es, dsp_utils.int16_to_unit(frame_i16))
+        lossy = rvq.decode(rvq.quantize(feats, nq))
+        samples, ds = decoder.decode_hop(ds, lossy)
+        return dsp_utils.unit_to_int16(samples), es, ds
+
+    es, ds = encoder.init_state(1), decoder.init_state(1)
+    decoded = []
+    for t in range(num_hops):
+        out, es, ds = step(es, ds, x[t][None])
+        decoded.append(np.asarray(out)[0])
+
+    cfg = melspec.MelConfig.for_rate(16000, config.NUM_FEATURES)
+    ein, edec = melspec.LogMelExtractorRef(cfg), melspec.LogMelExtractorRef(cfg)
+    lsds = np.array([
+        dsp_utils.log_spectral_distance(ein.extract(x[t]),
+                                        edec.extract(decoded[t]))
+        for t in range(num_hops)])
+    assert lsds[3:].max() < 2.0, f"fp8-boundary max LSD {lsds.max():.3f}"
+
+    # Misconfiguration is refused at construction, never silently ignored.
+    path = f"{model_path}/lyragan.tflite"
+    with pytest.raises(ValueError):
+        load_graph(path, mode="int8", boundary_store="f8")
+    with pytest.raises(ValueError):
+        load_graph(path, boundary_store="int4")
+    with pytest.raises(ValueError):
+        load_graph(path, boundary_store="f8", boundary_scale=0.3)
+    with pytest.raises(ValueError):
+        LyraGanModel(model_path, backend="fused", boundary_store="f8")
