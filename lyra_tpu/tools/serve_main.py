@@ -306,6 +306,8 @@ def _serve_encode(args, _on_ready, _stop) -> int:
     t_end = (time.perf_counter() + args.seconds) if args.seconds else None
     next_tick = time.perf_counter()
     next_report = next_tick + args.report_every
+    next_snap = (next_tick + args.snapshot_every
+                 if args.snapshot else None)
     try:
         while ((t_end is None or time.perf_counter() < t_end)
                and not (_stop is not None and _stop.is_set())):
@@ -314,6 +316,11 @@ def _serve_encode(args, _on_ready, _stop) -> int:
             next_tick = max(next_tick, time.perf_counter()) + 0.02
             if ctl is not None and ctl.poll(enc, lambda: _snapshot(256)):
                 break  # drained or told to quit
+            if (next_snap is not None
+                    and time.perf_counter() >= next_snap):
+                next_snap += args.snapshot_every
+                enc.flush_async()  # one hop skips; PLC covers
+                enc.save(args.snapshot)
             t0 = time.perf_counter()
 
             if pcm is not None:
@@ -468,6 +475,8 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     t_end = (time.perf_counter() + args.seconds) if args.seconds else None
     next_tick = time.perf_counter()
     next_report = next_tick + args.report_every
+    next_snap = (next_tick + args.snapshot_every
+                 if args.snapshot else None)
     try:
         while ((t_end is None or time.perf_counter() < t_end)
                and not (_stop is not None and _stop.is_set())):
@@ -476,6 +485,11 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
             next_tick = max(next_tick, time.perf_counter()) + 0.02
             if ctl is not None and ctl.poll(bridge, lambda: _snapshot(256)):
                 break  # drained or told to quit
+            if (next_snap is not None
+                    and time.perf_counter() >= next_snap):
+                next_snap += args.snapshot_every
+                bridge.flush_async()  # one hop skips; PLC covers
+                bridge.save(args.snapshot)
             t0 = time.perf_counter()
 
             if pump is None:
@@ -586,6 +600,15 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "state + slot table; see --control drain) instead "
                         "of admitting fresh streams.  Capacity, mode, and "
                         "sample rate must match the snapshot.")
+    p.add_argument("--snapshot", default=None, metavar="PATH",
+                   help="Write a crash-failover snapshot (atomic tmp+"
+                        "rename) every --snapshot_every seconds.  A dead "
+                        "host's calls resume from its last snapshot on a "
+                        "standby (fleet.py FleetRouter.failover); each "
+                        "snapshot skips one downlink hop (async flush), "
+                        "which PLC conceals.")
+    p.add_argument("--snapshot_every", type=float, default=10.0,
+                   help="Seconds between --snapshot writes.")
     p.add_argument("--stats", default=None, metavar="PATH",
                    help="Append one JSON line of operator stats per "
                         "--report_every interval (tick-ms percentiles, "
@@ -625,6 +648,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
         p.error("--sample_rate_hz applies to PCM endpoints; bridge mode "
                 "is packets in, packets out (decode/mix/encode run at the "
                 "16 kHz internal rate)")
+    if args.snapshot is not None and args.snapshot_every <= 0:
+        p.error("--snapshot_every must be positive")
     if args.mode == "encode":
         return _serve_encode(args, _on_ready, _stop)
     if args.mode == "bridge":
@@ -687,6 +712,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     t_end = (time.perf_counter() + args.seconds) if args.seconds else None
     next_tick = time.perf_counter()
     next_report = next_tick + args.report_every
+    next_snap = (next_tick + args.snapshot_every
+                 if args.snapshot else None)
     try:
         while ((t_end is None or time.perf_counter() < t_end)
                and not (_stop is not None and _stop.is_set())):
@@ -695,6 +722,11 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
             next_tick = max(next_tick, time.perf_counter()) + 0.02
             if ctl is not None and ctl.poll(dec, lambda: _snapshot(256)):
                 break  # drained or told to quit
+            if (next_snap is not None
+                    and time.perf_counter() >= next_snap):
+                next_snap += args.snapshot_every
+                dec.flush_async()  # one hop skips; PLC covers
+                dec.save(args.snapshot)
             t0 = time.perf_counter()
 
             if pump is None:

@@ -14,6 +14,7 @@ on restore — the runtime analog of the weights gate.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict
 
 import numpy as np
@@ -65,7 +66,12 @@ def _canonical(path: str) -> str:
 
 
 def save_state(path: str, state: Any, extra: Dict[str, Any] | None = None) -> None:
-    """Snapshot an engine state pytree (host transfer + .npz)."""
+    """Snapshot an engine state pytree (host transfer + .npz).
+
+    The write is atomic (tmp file + rename): a periodic serving snapshot
+    (serve_main --snapshot_every) is a crash-FAILOVER source, so a host
+    dying mid-save must leave the previous complete snapshot in place,
+    never a truncated one."""
     path = _canonical(path)
     if not isinstance(state, dict):
         raise TypeError("save_state expects a dict state pytree at the root")
@@ -75,8 +81,10 @@ def save_state(path: str, state: Any, extra: Dict[str, Any] | None = None) -> No
         "identifier": config.VERSION_MINOR,
         "extra": extra or {},
     })
-    np.savez(path, **{_DATA_PREFIX + k: v for k, v in flat.items()},
+    tmp = path + ".tmp.npz"  # explicit suffix so np.savez cannot re-append
+    np.savez(tmp, **{_DATA_PREFIX + k: v for k, v in flat.items()},
              **{_HEADER_KEY: np.frombuffer(header.encode(), dtype=np.uint8)})
+    os.replace(tmp, path)
 
 
 def load_state(path: str) -> tuple[Any, Dict[str, Any]]:

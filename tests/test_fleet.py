@@ -10,6 +10,7 @@ import json
 import os
 import socket
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -18,10 +19,18 @@ from lyra_tpu.tools.fleet import ControlError, FleetRouter, HostControl
 
 
 class _FakeControl:
-    """Duck-typed HostControl recording drain/restore calls."""
+    """Duck-typed HostControl recording calls; dead=True times out like a
+    crashed host."""
 
-    def __init__(self):
+    def __init__(self, dead=False):
         self.calls = []
+        self.dead = dead
+
+    def request(self, cmd, _timeout=None, _retries=None, **fields):
+        self.calls.append((cmd, fields))
+        if self.dead:
+            raise socket.timeout("host is dead")
+        return {"ok": True}
 
     def drain(self, path):
         self.calls.append(("drain", path))
@@ -92,6 +101,24 @@ def test_router_migrate_refusals_and_ordering():
     r.migrate("a", "b", "/tmp/snap")
     assert r._hosts["a"].control.calls == [("drain", "/tmp/snap")]
     assert r._hosts["b"].control.calls == [("restore", "/tmp/snap")]
+
+
+def test_router_failover_from_dead_host():
+    """Crash recovery bookkeeping: a dead host's calls re-home to the
+    standby via its last periodic snapshot; a live host is refused
+    (failover would fork its calls onto two servers)."""
+    r = _router(("a", 2, False), ("b", 2, True))
+    r.admit("s0")
+    r.admit("s1")
+    with pytest.raises(RuntimeError):
+        r.failover("a", "b", "/tmp/snap")  # a still answers pings
+    r._hosts["a"].control.dead = True  # the crash
+    assert not r.alive("a")
+    moved = r.failover("a", "b", "/tmp/snap")
+    assert moved == 2
+    assert r.locate("s0") == ("b", ("127.0.0.1", 1000), 0)
+    assert "a" not in r.hosts()  # dead host deregistered
+    assert ("restore", "/tmp/snap") in r._hosts["b"].control.calls
 
 
 def _free_udp_port() -> int:
@@ -200,6 +227,43 @@ def test_control_plane_and_inprocess_migration(model_path, tmp_path):
         ctl_a.close()
         if ctl_b is not None:
             ctl_b.close()
+
+
+def test_periodic_snapshot_is_restorable(model_path, tmp_path):
+    """serve_main --snapshot: the loop writes atomic periodic snapshots
+    (the crash-failover source) that a standby of the same capacity can
+    resume from even after the writer is gone."""
+    from lyra_tpu.tools import serve_main
+    from lyra_tpu.tools.stream_server import DecoderServer
+
+    snap = str(tmp_path / "auto")
+    ready = threading.Event()
+    stop = threading.Event()
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--capacity", "2", "--seconds", "0", "--max_bitrate", "3200",
+              "--model_path", model_path, "--report_every", "30",
+              "--snapshot", snap, "--snapshot_every", "0.2"],
+        _on_ready=lambda port: ready.set(), _stop=stop))
+    th.start()
+    try:
+        assert ready.wait(120)
+        deadline = time.time() + 120  # first tick compiles the program
+        while not os.path.exists(snap + ".npz") and time.time() < deadline:
+            time.sleep(0.1)
+        assert os.path.exists(snap + ".npz"), "no periodic snapshot"
+    finally:
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive()
+
+    # No .tmp leftovers once the loop is done: writes are tmp+rename,
+    # never in place (a crash mid-save must leave the previous snapshot).
+    leftovers = [f for f in os.listdir(tmp_path) if ".tmp" in f]
+    assert not leftovers, leftovers
+
+    dec = DecoderServer(2, model_path=model_path)
+    dec.restore(snap)  # "the failover": a fresh host resumes the state
+    assert dec.num_active == 2
 
 
 def test_restore_flag_resumes_snapshot(model_path, tmp_path):

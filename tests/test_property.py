@@ -26,42 +26,89 @@ def test_packet_roundtrip_property(bits_i, batch, seed):
         assert bytes(pkts[b]) == packet.pack_indices(idx[b], num_bits)
 
 
-@settings(max_examples=30, deadline=None)
+class _JitterBufferModel:
+    """Python mirror of native/jitter_buffer.cc single-stream semantics:
+    playout-delay absorption, in-window filing, dup detection, and the
+    out-of-window streak resync on EITHER side (3 consecutive late or
+    overflow inserts repoint the playout schedule — the warm-standby /
+    stalled-receiver recovery)."""
+
+    RESYNC_AFTER = 3
+
+    def __init__(self, depth: int, playout_delay: int):
+        self.depth = depth
+        self.head = 0
+        self.delay = self.delay0 = playout_delay
+        self.streak = 0
+        self.slots = {}  # seq -> payload (in-window only)
+
+    def insert(self, seq: int, payload: bytes) -> int:
+        if seq < 0:
+            return 2  # corrupt header: counted late, never a resync target
+        if seq < self.head or seq >= self.head + self.depth:
+            self.streak += 1
+            if self.streak < self.RESYNC_AFTER:
+                return 2 if seq < self.head else 4
+            self.streak = 0
+            self.head = seq
+            self.delay = self.delay0
+            self.slots = {}
+        else:
+            self.streak = 0
+        if seq in self.slots:
+            return 3
+        self.slots[seq] = payload
+        return 0
+
+    def collect(self):
+        if self.delay > 0:
+            self.delay -= 1
+            return None
+        out = self.slots.pop(self.head, None)
+        self.head += 1
+        return out
+
+
+@settings(max_examples=60, deadline=None)
 @given(st.data())
 def test_jitter_buffer_matches_model(data):
-    """The native jitter buffer behaves like a simple python dict model for
-    arbitrary insert orders with duplicates, gaps, and delays."""
+    """The native jitter buffer behaves like the python model above for
+    arbitrary insert orders with duplicates, gaps, delays, and senders
+    whose sequence origin is behind or ahead of the playout schedule
+    (exercising both resync directions), insert return codes included."""
     from lyra_tpu.tools.jitter_buffer import JitterBuffer
 
     depth = 8
-    n_seq = data.draw(st.integers(1, 12))
-    # (seq, arrival_tick) pairs; arrival >= seq (causality), bounded delay
+    n_seq = data.draw(st.integers(1, 14))
+    # The sender's sequence origin vs the receiver's tick 0: 0 is the
+    # in-sync case; a large origin means the receiver ran warm before the
+    # sender appeared (late side); arrivals may also bunch far ahead of a
+    # small origin (overflow side).
+    origin = data.draw(st.sampled_from([0, 0, 0, 5, 20]))
+    # (seq, arrival_tick) pairs; bounded network delay, causality kept
     arrivals = []
-    for seq in range(n_seq):
+    for k in range(n_seq):
         if data.draw(st.booleans()):  # packet survives the network
-            delay = data.draw(st.integers(0, 3))
-            arrivals.append((seq, seq + delay))
-    dup = data.draw(st.booleans())
-    if dup and arrivals:
-        arrivals.append(arrivals[0])
+            net = data.draw(st.integers(0, 5))
+            arrivals.append((origin + k, k + net))
+    if data.draw(st.booleans()) and arrivals:
+        arrivals.append(arrivals[0])  # a duplicate
 
     delay = data.draw(st.integers(0, 3))
     jb = JitterBuffer(1, 8, depth=depth)
     jb.add_stream(0, playout_delay=delay)
+    model = _JitterBufferModel(depth, delay)
 
-    model = {}  # seq -> payload accepted by the buffer
     got, expect = [], []
-    for t in range(n_seq + 6):
+    for t in range(n_seq + 8):
         for seq, at in arrivals:
             if at == t:
                 rc = jb.insert(0, seq, bytes([seq]))
-                if rc == 0:
-                    model.setdefault(seq, bytes([seq]))
+                mrc = model.insert(seq, bytes([seq]))
+                assert rc == mrc, f"rc {rc} != model {mrc} at t={t} seq={seq}"
         pkts, received, sizes = jb.collect()
         got.append(bytes(pkts[0, : sizes[0]]) if received[0] else None)
-        # the first `delay` collects absorb playout delay; afterwards one
-        # sequence number plays per tick
-        expect.append(model.pop(t - delay, None) if t >= delay else None)
+        expect.append(model.collect())
     assert got == expect
 
 
