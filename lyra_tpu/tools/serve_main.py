@@ -220,6 +220,16 @@ def _maybe_shard(engine, n_devices: int):
     return ShardedEngine(engine, make_mesh(devs[:n_devices]))
 
 
+def _parse_adaptive(spec: str):
+    parts = spec.split(":")
+    if len(parts) not in (2, 3):
+        raise argparse.ArgumentTypeError(
+            f"--adaptive must be MIN:MAX[:WINDOW], got {spec!r}")
+    mn, mx = int(parts[0]), int(parts[1])
+    window = int(parts[2]) if len(parts) == 3 else 50
+    return mn, mx, window
+
+
 def _parse_echo(spec: str):
     if spec == "none":
         return None
@@ -428,8 +438,9 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
         bridge.add_participants(
             {slot: slot // args.room_size for slot in range(args.capacity)})
 
+    ad_max = args.adaptive[1] if args.adaptive else 0
     jb = JitterBuffer(args.capacity, config.packet_size(184),
-                      depth=args.playout_delay + 6)
+                      depth=max(args.playout_delay, ad_max) + 6)
     pump = rx = None
     if args.ingest == "native":
         from lyra_tpu.tools.udp_ingest import UdpIngest
@@ -445,6 +456,8 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     ingest = pump or jb
     for slot in range(args.capacity):
         ingest.add_stream(slot, playout_delay=args.playout_delay)
+    if args.adaptive:
+        ingest.set_adaptive(*args.adaptive)
     tx = _make_tx(args, args.capacity, pump)
     sink = _StatsSink(args.stats)
     ctl = _Control(args.control) if args.control is not None else None
@@ -458,6 +471,8 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
                 "room_size": args.room_size,
                 "ingest": (pump.stats() if pump is not None else {}),
                 "jb": (pump.jb_stats() if pump is not None else jb.stats()),
+                **({"adapt": (pump or jb).adapt_stats()}
+                   if args.adaptive else {}),
                 "egress": (tx.stats() if tx is not None else {}),
                 "bad_packets": int(bridge.bad_packets.sum())}
 
@@ -566,6 +581,17 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "drops (3200 compiles the smallest program).")
     p.add_argument("--playout_delay", type=int, default=2,
                    help="Jitter-buffer delay in 20 ms ticks.")
+    p.add_argument("--adaptive", type=_parse_adaptive, default=None,
+                   metavar="MIN:MAX[:WINDOW]",
+                   help="Adaptive jitter-buffer playout delay within "
+                        "[MIN, MAX] ticks, deciding every WINDOW ticks "
+                        "(default 50): grows on observed lateness, gives "
+                        "back sustained excess cushion (measured: 7 "
+                        "disruptions vs static-3's 192 at equal mean "
+                        "latency, PERF.md round 4).  --playout_delay is "
+                        "each stream's starting point.  decode/bridge "
+                        "modes only (the encode relay's PCM pump is "
+                        "latest-wins, no playout queue).")
     p.add_argument("--sample_rate_hz", type=int, default=16000,
                    choices=(8000, 16000, 32000, 48000),
                    help="External PCM rate (decode: emitted hops; encode: "
@@ -650,6 +676,14 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                 "16 kHz internal rate)")
     if args.snapshot is not None and args.snapshot_every <= 0:
         p.error("--snapshot_every must be positive")
+    if args.adaptive is not None:
+        mn, mx, window = args.adaptive
+        if not (0 <= mn <= mx) or window <= 0:
+            p.error("--adaptive needs 0 <= MIN <= MAX and WINDOW > 0")
+        if args.mode == "encode":
+            p.error("--adaptive applies to the packet jitter buffer; the "
+                    "encode relay's PCM pump is latest-wins (no playout "
+                    "queue to adapt)")
     if args.mode == "encode":
         return _serve_encode(args, _on_ready, _stop)
     if args.mode == "bridge":
@@ -661,8 +695,9 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
         DecoderEngine(args.sample_rate_hz, model_path=args.model_path,
                       emit_dtype="int16",
                       max_bitrate=args.max_bitrate), args.devices))
+    ad_max = args.adaptive[1] if args.adaptive else 0
     jb = JitterBuffer(args.capacity, config.packet_size(184),
-                      depth=args.playout_delay + 6)
+                      depth=max(args.playout_delay, ad_max) + 6)
     pump = rx = None
     if args.ingest == "native":
         from lyra_tpu.tools.udp_ingest import UdpIngest
@@ -683,6 +718,9 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     for slot in range(args.capacity):
         ingest.add_stream(slot, playout_delay=args.playout_delay)
 
+    if args.adaptive:
+        ingest.set_adaptive(*args.adaptive)
+
     tx = _make_tx(args, args.capacity, pump)
     pcm_sizes = np.full(args.capacity, dec.hop_samples * 2, np.int32)
     sink = _StatsSink(args.stats)
@@ -696,6 +734,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                 "occupied": occupied, "active": dec.num_active,
                 "ingest": (pump.stats() if pump is not None else {}),
                 "jb": (pump.jb_stats() if pump is not None else jb.stats()),
+                **({"adapt": (pump or jb).adapt_stats()}
+                   if args.adaptive else {}),
                 "egress": (tx.stats() if tx is not None else {}),
                 "bad_packets": int(dec.bad_packets.sum())}
 

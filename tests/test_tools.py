@@ -285,7 +285,7 @@ def test_serve_main_end_to_end(model_path, tmp_path):
         argv=["--capacity", "4", "--seconds", "0", "--max_bitrate", "3200",
               "--model_path", model_path, "--playout_delay", "1",
               "--echo", f"127.0.0.1:{echo_port}", "--report_every", "30",
-              "--stats", str(stats_path)],
+              "--stats", str(stats_path), "--adaptive", "1:6:25"],
         _on_ready=on_ready, _stop=stop))
     th.start()
     try:
@@ -332,6 +332,9 @@ def test_serve_main_end_to_end(model_path, tmp_path):
         assert key in final[group], f"missing {group}.{key}: {final}"
     assert final["ingest"]["datagrams"] > 0  # we really sent packets
     assert final["egress"]["sent"] > 0  # and PCM really left the host
+    # --adaptive surfaces the playout-latency position to the operator.
+    assert final["adapt"]["active_streams"] == 4
+    assert 1 <= final["adapt"]["delay_min"] <= final["adapt"]["delay_max"] <= 6
 
 
 @pytest.mark.parametrize("ingest", ["native", "python"])
