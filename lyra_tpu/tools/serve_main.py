@@ -262,7 +262,8 @@ def _serve_encode(args, _on_ready, _stop) -> int:
         args.capacity,
         engine=_maybe_shard(
             EncoderEngine(args.sample_rate_hz, model_path=args.model_path,
-                          max_bitrate=args.max_bitrate), args.devices),
+                          max_bitrate=args.max_bitrate,
+                          enable_dtx=args.enable_dtx), args.devices),
         bitrate=args.bitrate)
     if args.restore:
         enc.restore(args.restore)  # resume another host's calls mid-stream
@@ -650,6 +651,13 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "participant mixed downlink packets out to --echo.")
     p.add_argument("--bitrate", type=int, default=3200,
                    help="encode/bridge modes: downlink wire bitrate.")
+    p.add_argument("--enable_dtx", action="store_true",
+                   help="encode mode: discontinuous transmission — noise "
+                        "hops emit NO datagram (the engine's device-side "
+                        "noise estimator decides; reference: "
+                        "lyra/lyra_encoder.cc:113-136), so silent callers "
+                        "cost zero downlink bandwidth and the far decoder "
+                        "fills with comfort noise.")
     p.add_argument("--room_size", type=int, default=4,
                    help="bridge mode: participants per room (slots are "
                         "partitioned consecutively).")
@@ -676,6 +684,9 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                 "16 kHz internal rate)")
     if args.snapshot is not None and args.snapshot_every <= 0:
         p.error("--snapshot_every must be positive")
+    if args.enable_dtx and args.mode != "encode":
+        p.error("--enable_dtx applies to the encode relay (decode/bridge "
+                "consume packets; DTX is the sender's decision)")
     if args.adaptive is not None:
         mn, mx, window = args.adaptive
         if not (0 <= mn <= mx) or window <= 0:

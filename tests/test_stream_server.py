@@ -1057,3 +1057,32 @@ def test_directed_slot_admission(model_path):
     assert len(pkts["b"]) == config.packet_size(120)
     out = dec.tick({sid: pkts[sid] for sid in "abc"})
     assert set(out) == {"a", "b", "c", "d"}
+
+
+def test_encoder_server_dtx_rows_emit_size_zero(model_path):
+    """DTX at the serving wire boundary (serve_main --enable_dtx): a hop
+    the estimator classifies as noise crosses tick_wire with size 0, so
+    the egress builds NO datagram for it — the transport expression of
+    the reference's empty DTX packet (lyra/lyra_encoder.cc:131-141).
+    The classifier decision itself is pinned by the estimator tests; here
+    the bound is forced, as the reference's own DTX tests do."""
+    from lyra_tpu.codec.engine import EncoderEngine
+
+    enc = EncoderServer(
+        3, engine=EncoderEngine(16000, enable_dtx=True, max_bitrate=3200),
+        bitrate=3200)
+    enc.add_streams(range(3))
+    rng = np.random.RandomState(0)
+    audio = (rng.uniform(-1, 1, (3, INTERNAL_HOP)) * 8000).astype(np.int16)
+
+    wire, sizes = enc.tick_wire(audio)
+    assert (sizes > 0).all()  # speech at first
+
+    enc._state = enc.engine._state_with_bound(enc._state, 1e6)
+    wire, sizes = enc.tick_wire(audio)
+    assert (sizes == 0).all(), sizes  # every row is a DTX noise hop
+    assert not np.asarray(wire).any()  # and ships no bytes
+
+    enc._state = enc.engine._state_with_bound(enc._state, 1e-6)
+    _, sizes = enc.tick_wire(audio)
+    assert (sizes > 0).all()  # speech resumes
