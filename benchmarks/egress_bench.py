@@ -16,6 +16,12 @@ sendmmsg in parallel from a thread pool — ctypes releases the GIL).  On a
 1-core box the stripes timeshare; on an N-core host each rides its own
 core, so host downlink capacity is measured-per-core x cores.
 
+The "floor" row is the speed-of-light bound: the native blaster sends the
+same datagram count/size as pre-built single-iovec sendmmsg batches with
+only the 6 header bytes written per datagram — no destination table, no
+payload gather from the tick matrix, no stats.  The egress's distance to
+it is what routing + the 2-iovec gather cost.
+
 Usage:  python benchmarks/egress_bench.py [streams] [ticks] [payload]
         [--threads=N]
 """
@@ -63,6 +69,14 @@ sent_py = sum(py_tick(tx, t) for t in range(TICKS))
 dt_py = (time.perf_counter() - t0) / TICKS
 tx.close()
 
+from lyra_tpu.tools.udp_ingest import blast  # the pre-built sendmmsg floor
+
+blast(port, STREAMS, PAYLOAD, STREAMS)  # warm the path
+t0 = time.perf_counter()
+sent_floor = sum(blast(port, STREAMS, PAYLOAD, STREAMS, seq0=t)
+                 for t in range(TICKS))
+dt_floor = (time.perf_counter() - t0) / TICKS
+
 eg = UdpEgress(STREAMS, dest=("127.0.0.1", port))
 eg.send(wire, sizes, 0)  # warm the path
 t0 = time.perf_counter()
@@ -74,7 +88,10 @@ rx.close()
 
 pps_py = sent_py / (dt_py * TICKS)
 pps_nat = sent_nat / (dt_nat * TICKS)
+pps_floor = sent_floor / (dt_floor * TICKS)
 print(f"{STREAMS} slots x {PAYLOAD} B payload, {TICKS} ticks:")
+print(f"  sendmmsg floor     : {dt_floor * 1e3:8.2f} ms/tick  "
+      f"{pps_floor:10,.0f} pkts/s  (pre-built batches, headers only)")
 print(f"  python sendto loop : {dt_py * 1e3:8.2f} ms/tick  "
       f"{pps_py:10,.0f} pkts/s  ({pps_py / 50:,.0f} real-time streams)")
 print(f"  native egress      : {dt_nat * 1e3:8.2f} ms/tick  "

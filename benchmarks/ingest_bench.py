@@ -20,7 +20,17 @@ a 1-core box the group measures ~the single pump (all receiver threads
 timeshare one core); on an N-core serving host each shard rides its own
 core, so host capacity is measured-per-core x cores.
 
-Usage:  python benchmarks/ingest_bench.py [n_datagrams] [--pcm] [--shards=N]
+--decompose is the speed-of-light probe: it interleaves the full pump
+against the native sink (identical poll + recvmmsg + header-parse
+machinery, nothing filed — udp_pump.cc SinkPump) over several rounds, so
+the sink's rate is the kernel/syscall floor on this boot and the delta to
+the full path is everything this code adds (payload copy, jitter-buffer /
+staging bookkeeping, route learning).  Interleaving matters: loopback
+throughput drifts minute-to-minute, so back-to-back blocks would measure
+the weather, not the delta.
+
+Usage:  python benchmarks/ingest_bench.py [n_datagrams] [--pcm]
+        [--shards=N] [--decompose]
 """
 
 import socket
@@ -30,8 +40,8 @@ import time
 import numpy as np
 
 from lyra_tpu.tools.jitter_buffer import JitterBuffer
-from lyra_tpu.tools.udp_ingest import (HEADER_BYTES, PcmIngest, UdpIngest,
-                                       blast)
+from lyra_tpu.tools.udp_ingest import (HEADER_BYTES, PcmIngest, SinkIngest,
+                                       UdpIngest, blast)
 
 STREAMS = 8192
 # Deep enough that the default 200k-datagram run (25 seqs/stream) never
@@ -166,18 +176,59 @@ def _drain_pcm_python(n):
     return sent, got, t_last - t0
 
 
+def _drain_sink(n, payload):
+    with SinkIngest(max_payload=payload) as pump:
+        t0 = time.perf_counter()
+        sent = blast(pump.port, n, payload, STREAMS)
+        return _settle(pump, sent, t0)
+
+
+def _decompose(n, pcm):
+    """Interleaved sink-vs-full rounds; report per-round rates and the
+    medians, so the filing-cost share is read off same-weather pairs."""
+    payload = PCM_PAYLOAD if pcm else PAYLOAD
+    full = _drain_pcm_native if pcm else _drain_native
+    rounds = 5
+    rates = {"sink (syscall floor)": [], "full pump": []}
+    for r in range(rounds):
+        for name, fn in (("sink (syscall floor)",
+                          lambda k: _drain_sink(k, payload)),
+                         ("full pump", full)):
+            sent, got, dt = fn(n)
+            rate = got / dt if dt > 0 else 0.0
+            rates[name].append(rate)
+            print(f"  round {r}: {name:22s} {got}/{sent} in {dt:.3f} s = "
+                  f"{rate / 1e3:.0f}k pkts/s", flush=True)
+    import statistics
+    floor = statistics.median(rates["sink (syscall floor)"])
+    fullr = statistics.median(rates["full pump"])
+    print(f"median sink   : {floor / 1e3:.0f}k pkts/s  (kernel/syscall "
+          f"floor incl. header parse)")
+    print(f"median full   : {fullr / 1e3:.0f}k pkts/s  "
+          f"({fullr / 50:,.0f} real-time streams)")
+    if fullr > 0:
+        print(f"filing cost   : {100 * (1 - fullr / floor):.1f}% of the "
+              f"floor rate — the share this code adds over recvmmsg itself")
+
+
 def main():
     shards = 0
     args = []
     pcm = False
+    decompose = False
     for a in sys.argv[1:]:
         if a == "--pcm":
             pcm = True
+        elif a == "--decompose":
+            decompose = True
         elif a.startswith("--shards="):
             shards = int(a.split("=", 1)[1])
         else:
             args.append(a)
     n = int(args[0]) if args else 200_000
+    if decompose:
+        _decompose(n, pcm)
+        return
     if shards:
         name = f"sharded {'pcm ' if pcm else ''}group x{shards}"
         fn = ((lambda n: _drain_pcm_sharded(n, shards)) if pcm else

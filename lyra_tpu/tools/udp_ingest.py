@@ -265,6 +265,58 @@ class PcmIngest:
                 "resyncs": counters[3].value}
 
 
+class SinkIngest:
+    """Measurement-only receiver: the pump's receive machinery (poll +
+    recvmmsg batches + length gate + header parse) with nothing filed.
+
+    An A/B against a real pump on the same boot isolates the filing cost
+    (payload copy, ring/staging bookkeeping, route learning) from the
+    kernel/syscall floor — benchmarks/ingest_bench.py --decompose.  Every
+    well-formed datagram is a counted drop; never serves."""
+
+    def __init__(self, max_payload: int, port: int = 0):
+        lib = native.load()
+        if lib is None:
+            raise RuntimeError("native library unavailable; build native/")
+        self._lib = lib
+        self._h = lib.lyra_sink_pump_create(port, HEADER_BYTES + max_payload)
+        if not self._h:
+            raise ValueError(
+                f"sink pump failed (bad max_payload {max_payload}, or port "
+                f"{port} unavailable)")
+        self.port = lib.lyra_pump_port(self._h)
+
+    def close(self) -> None:
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.lyra_pump_destroy(h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def stats(self) -> dict:
+        """Same counters as UdpIngest.stats; every well-formed datagram
+        lands in insert_drops (the sink files nothing)."""
+        if not getattr(self, "_h", None):
+            raise RuntimeError("sink pump is closed")
+        datagrams = ctypes.c_int64()
+        malformed = ctypes.c_int64()
+        drops = ctypes.c_int64()
+        self._lib.lyra_pump_stats(self._h, ctypes.byref(datagrams),
+                                  ctypes.byref(malformed),
+                                  ctypes.byref(drops))
+        return {"datagrams": datagrams.value,
+                "malformed_drops": malformed.value,
+                "insert_drops": drops.value}
+
+
 class _ShardGroupBase:
     """Shared plumbing for SO_REUSEPORT ingest shard groups.
 

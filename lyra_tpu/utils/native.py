@@ -64,6 +64,8 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_pump_jb_resyncs.restype = i64
     lib.lyra_pump_create.argtypes = [vp, ctypes.c_int]
     lib.lyra_pump_create.restype = vp
+    lib.lyra_sink_pump_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.lyra_sink_pump_create.restype = vp
     lib.lyra_pump_port.argtypes = [vp]
     lib.lyra_pump_port.restype = ctypes.c_int
     lib.lyra_pump_destroy.argtypes = [vp]

@@ -241,6 +241,23 @@ struct PcmPump : PumpBase {
   }
 };
 
+// Measurement-only pump: drains and discards.  Runs the identical receive
+// machinery (poll + recvmmsg batches + length gate + header parse) but
+// files nothing — the per-datagram handler is a counted drop — so an A/B
+// against a real pump on the same boot isolates the filing cost (payload
+// copy + ring bookkeeping + route learning) from the kernel/syscall floor.
+// Exists for benchmarks/ingest_bench.py --decompose; never serves.
+struct SinkPump : PumpBase {
+  SinkPump() : PumpBase(2) {}
+  int max_datagram = kMaxDatagram;
+
+  void Run() {
+    RunLoop(max_datagram, [](int64_t, int64_t, const uint8_t*, int) {
+      return Verdict::kDropped;
+    });
+  }
+};
+
 // Binds 0.0.0.0:port (0 = ephemeral); returns the fd or -1, with the bound
 // port written back through *bound_port.  With `reuseport` the socket
 // joins (or founds) the port's SO_REUSEPORT group: the kernel hashes each
@@ -414,6 +431,23 @@ void* lyra_pcm_pump_create(int port, int64_t capacity, int64_t payload) {
   return static_cast<PumpBase*>(p);
 }
 
+// Sink pump for receive-floor measurement (see SinkPump above): counts
+// well-formed datagrams (as drops) and malformed ones, files nothing.
+// `max_datagram` sizes the receive buffers (header + widest payload the
+// probe sends; larger datagrams are MSG_TRUNC-counted malformed).
+void* lyra_sink_pump_create(int port, int max_datagram) {
+  if (max_datagram < kHeaderBytes || max_datagram > kUdpMax) return nullptr;
+  auto* p = new SinkPump;
+  p->fd = OpenSocket(port, &p->port);
+  if (p->fd < 0) {
+    delete p;
+    return nullptr;
+  }
+  p->max_datagram = max_datagram;
+  p->receiver = std::thread([p] { p->Run(); });
+  return static_cast<PumpBase*>(p);
+}
+
 int lyra_pump_port(void* h) { return static_cast<PumpBase*>(h)->port; }
 
 // The pump's socket fd, for reply-mode egress on the same socket
@@ -437,8 +471,10 @@ void lyra_pump_destroy(void* h) {
   close(p->fd);
   if (p->kind == 0) {
     delete static_cast<UdpPump*>(p);
-  } else {
+  } else if (p->kind == 1) {
     delete static_cast<PcmPump*>(p);
+  } else {
+    delete static_cast<SinkPump*>(p);
   }
 }
 

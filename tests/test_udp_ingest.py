@@ -545,3 +545,30 @@ def test_blast_drives_pcm_payload_sizes():
         else:
             raise AssertionError("blast hops never landed on all slots")
         assert pump.stats()["malformed_drops"] == 0
+
+
+def test_sink_pump_counts_and_files_nothing():
+    """The measurement sink (benchmarks/ingest_bench.py --decompose) runs
+    the real receive machinery but files nothing: every well-formed
+    datagram is a counted drop, short/truncated ones are malformed, and
+    validation is loud."""
+    from lyra_tpu.tools.udp_ingest import SinkIngest
+
+    with SinkIngest(max_payload=8) as sink:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        tx.sendto(_dgram(3, 7, b"\x01" * 8), ("127.0.0.1", sink.port))
+        tx.sendto(b"\x00", ("127.0.0.1", sink.port))          # short: malformed
+        tx.sendto(_dgram(0, 0, b"\x02" * 40), ("127.0.0.1", sink.port))  # trunc
+        tx.close()
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            st = sink.stats()
+            if st["datagrams"] + st["malformed_drops"] >= 3:
+                break
+            time.sleep(0.005)
+        assert sink.stats() == {"datagrams": 1, "malformed_drops": 2,
+                                "insert_drops": 1}
+    with pytest.raises(RuntimeError, match="closed"):
+        sink.stats()
+    with pytest.raises(ValueError, match="sink pump"):
+        SinkIngest(max_payload=70000)
