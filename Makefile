@@ -7,7 +7,6 @@
 # entry-point compile checks.
 
 PYTHON ?= python
-SHARD ?= all
 
 .PHONY: check native test test-shard goldens entry clean
 
@@ -21,8 +20,17 @@ native:
 test: native
 	$(PYTHON) -m pytest tests/ -q
 
+# SHARD is required and must name a shard in ci/shards.json — an unknown
+# name fails loudly (listing the valid ones) rather than silently running
+# something else, per the repo's no-silent-fallback convention.
 test-shard: native
-	$(PYTHON) -m pytest -q $$($(PYTHON) -c "import json; print(' '.join(json.load(open('ci/shards.json'))['shards']['$(SHARD)']))")
+	$(PYTHON) -c "import json, subprocess, sys; \
+	  shards = json.load(open('ci/shards.json'))['shards']; \
+	  files = shards.get('$(SHARD)') or sys.exit( \
+	      'unknown shard \'$(SHARD)\'; pass SHARD=<name>, one of: ' \
+	      + ', '.join(sorted(shards))); \
+	  sys.exit(subprocess.call( \
+	      [sys.executable, '-m', 'pytest', '-q'] + files))"
 
 # Fast wire-format / parity subset (~2 min): bitstream + kernel goldens.
 goldens: native

@@ -311,6 +311,14 @@ class FleetRouter:
             moved += 1
         src_h.slots = {}
         dst_h.standby = False  # carries live calls now
+        # The drained host's serve loop has STOPPED (drain = snapshot +
+        # stop): it must leave the admission pool immediately, or being
+        # empty makes it the least-loaded winner and the next caller is
+        # seated on a dead data address.  Marking it standby keeps it
+        # registered for the operator to remove_host() (or re-register
+        # after a restart) — the same end state failover() reaches by
+        # deregistering its dead src outright.
+        src_h.standby = True
         return moved
 
     def close(self) -> None:

@@ -87,11 +87,19 @@ class _Control:
 
     The reference is a single-process codec with no serving tier; this is
     the deployment control surface its checkpoint-less design leaves to
-    the app (SURVEY §5 checkpoint/resume)."""
+    the app (SURVEY §5 checkpoint/resume).
 
-    def __init__(self, port: int):
+    The endpoint is UNAUTHENTICATED — any peer that can reach it can stop
+    serving, write snapshots to arbitrary paths, or swap in arbitrary
+    engine state — so unlike the data sockets (which must be public and
+    harden every wire event into a counted drop) it binds loopback by
+    default.  A fleet operator managing hosts across machines opts into a
+    routable bind with --control_bind and owns the firewall line that
+    keeps the management plane private (DEPLOYMENT.md, Trust boundary)."""
+
+    def __init__(self, port: int, bind: str = "127.0.0.1"):
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self._sock.bind(("0.0.0.0", port))
+        self._sock.bind((bind, port))
         self._sock.setblocking(False)
         self.port = self._sock.getsockname()[1]
 
@@ -285,7 +293,8 @@ def _serve_encode(args, _on_ready, _stop) -> int:
         port = rx.getsockname()[1]
     tx = _make_tx(args, args.capacity, pcm)
     sink = _StatsSink(args.stats)
-    ctl = _Control(args.control) if args.control is not None else None
+    ctl = (_Control(args.control, args.control_bind)
+           if args.control is not None else None)
 
     def _snapshot(tail):
         p50, p95 = _tick_pcts(tick_ms, tail)
@@ -461,7 +470,8 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
         ingest.set_adaptive(*args.adaptive)
     tx = _make_tx(args, args.capacity, pump)
     sink = _StatsSink(args.stats)
-    ctl = _Control(args.control) if args.control is not None else None
+    ctl = (_Control(args.control, args.control_bind)
+           if args.control is not None else None)
 
     def _snapshot(tail):
         p50, p95 = _tick_pcts(tick_ms, tail)
@@ -622,6 +632,12 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "port printed in the startup line): ping / stats / "
                         "save / restore / drain / quit — the fleet "
                         "management plane (tools/fleet.py is the client).")
+    p.add_argument("--control_bind", default="127.0.0.1", metavar="ADDR",
+                   help="Bind address for --control (default loopback: the "
+                        "endpoint is unauthenticated and can stop serving "
+                        "or swap engine state, so exposing it beyond this "
+                        "host is an explicit opt-in — firewall it; see "
+                        "DEPLOYMENT.md, Trust boundary).")
     p.add_argument("--restore", default=None, metavar="PATH",
                    help="Resume from a drained host's snapshot (server "
                         "state + slot table; see --control drain) instead "
@@ -735,7 +751,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     tx = _make_tx(args, args.capacity, pump)
     pcm_sizes = np.full(args.capacity, dec.hop_samples * 2, np.int32)
     sink = _StatsSink(args.stats)
-    ctl = _Control(args.control) if args.control is not None else None
+    ctl = (_Control(args.control, args.control_bind)
+           if args.control is not None else None)
 
     def _snapshot(tail):
         p50, p95 = _tick_pcts(tick_ms, tail)

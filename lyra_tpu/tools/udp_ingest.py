@@ -55,6 +55,11 @@ class UdpIngest:
         if _shard_of is None:
             self._h = lib.lyra_pump_create(jb._h, port)
         else:
+            # Keepalive: a follower's receiver thread stamps source
+            # freshness through the FOUNDER's shared clock, so the founder
+            # must outlive every follower (GC refcounting then finalizes
+            # the founder last even if the group is dropped unclosed).
+            self._founder = _shard_of if _shard_of != () else None
             leader = _shard_of._h if _shard_of != () else None
             self._h = lib.lyra_pump_create_shard(jb._h, port, leader)
         if not self._h:
@@ -195,6 +200,9 @@ class PcmIngest:
         if _shard_of is None:
             self._h = lib.lyra_pcm_pump_create(port, capacity, payload_bytes)
         else:
+            # Keepalive: followers stamp through the founder's shared
+            # clock, so the founder must outlive them (see UdpIngest).
+            self._founder = _shard_of if _shard_of != () else None
             leader = _shard_of._h if _shard_of != () else None
             self._h = lib.lyra_pcm_pump_create_shard(
                 port, capacity, payload_bytes, leader)
@@ -348,7 +356,12 @@ class _ShardGroupBase:
         return list(self._shards)
 
     def close(self) -> None:
-        for s in self._shards:
+        # Followers first: their receiver threads stamp through the
+        # FOUNDER's (shards[0]) shared freshness clock, and closing the
+        # founder's socket re-hashes its live flows onto the survivors —
+        # destroying it first would leave followers dereferencing freed
+        # memory in the teardown window.
+        for s in reversed(self._shards):
             s.close()
 
     def __enter__(self):
@@ -406,7 +419,7 @@ class ShardedUdpIngest(_ShardGroupBase):
                 members.append(member)
                 founder = founder or member
         except Exception:
-            for m in members:
+            for m in reversed(members):  # followers first (shared clock)
                 m.close()
             raise
         super().__init__(members)
@@ -465,20 +478,25 @@ class ShardedUdpIngest(_ShardGroupBase):
             s.set_adaptive(min_delay, max_delay, window)
 
     def adapt_stats(self) -> dict:
-        """Group adaptive stats.  delay_min/max span shards; delay_mean is
-        NOT meaningful group-wide (every shard tracks every admitted slot,
-        but only a slot's home shard adapts it), so it is omitted."""
-        totals = {"grows": 0, "shrinks": 0}
-        dmin, dmax = [], []
-        for s in self._shards:
-            st = s.adapt_stats()
-            totals["grows"] += st["grows"]
-            totals["shrinks"] += st["shrinks"]
-            dmin.append(st["delay_min"])
-            dmax.append(st["delay_max"])
-        totals["delay_min"] = min(dmin)
-        totals["delay_max"] = max(dmax)
-        return totals
+        """Group adaptive stats, same keys as UdpIngest.adapt_stats.
+        Every shard tracks every admitted slot but only a slot's HOME
+        shard (where its flow hashes) ever adapts its delay — a naive
+        reduction over shards would report the stale initial copies — so
+        the native reader resolves each slot's home shard by source
+        freshness and reads min/max/mean from there
+        (lyra_pump_adapt_stats_merged)."""
+        self._check_open()
+        vals = [ctypes.c_int64() for _ in range(6)]
+        rc = self._shards[0]._lib.lyra_pump_adapt_stats_merged(
+            self._handles, self.num_shards, self.capacity,
+            *map(ctypes.byref, vals))
+        if rc != 0:
+            raise RuntimeError("merged adapt stats failed")
+        grows, shrinks, dmin, dmax, dsum, active = (v.value for v in vals)
+        return {"grows": grows, "shrinks": shrinks,
+                "delay_min": dmin, "delay_max": dmax,
+                "delay_mean": (dsum / active) if active else 0.0,
+                "active_streams": active}
 
 
 class ShardedPcmIngest(_ShardGroupBase):
@@ -500,7 +518,7 @@ class ShardedPcmIngest(_ShardGroupBase):
                 members.append(member)
                 founder = founder or member
         except Exception:
-            for m in members:
+            for m in reversed(members):  # followers first (shared clock)
                 m.close()
             raise
         super().__init__(members)

@@ -130,6 +130,10 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
         vpp, ctypes.c_int, i64, ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_uint16), u8p, i32p]
     lib.lyra_pump_copy_sources_owned.restype = i64
+    lib.lyra_pump_adapt_stats_merged.argtypes = [vpp, ctypes.c_int, i64,
+                                                 i64p, i64p, i64p, i64p,
+                                                 i64p, i64p]
+    lib.lyra_pump_adapt_stats_merged.restype = ctypes.c_int
     lib.lyra_pump_blast_multi.argtypes = [ctypes.c_int, i64, i64, i64, i64,
                                           ctypes.c_int]
     lib.lyra_pump_blast_multi.restype = i64

@@ -50,17 +50,27 @@ constexpr int64_t kNoMargin = INT64_MAX;
 // shrinking is a deliberate playout jump, so it must be earned.
 constexpr int64_t kShrinkVotes = 3;
 
-// Consecutive out-of-window inserts (late OR overflow) on one stream
-// before its playout point resyncs to the arriving sequence.  >1 so a
-// single stray (or hostile) packet cannot repoint a healthy stream's
-// schedule; small so the stream recovers within ~60 ms of traffic.
-// Both directions are the same stall class: overflow = the receiver's
-// schedule is behind the sender (receiver stall, sender with a later
-// origin); late = the receiver's schedule ran AHEAD of the sender (head
-// advances every collect, so a warm host that ticked before its caller
-// started sending — e.g. a migration standby — would otherwise late-drop
-// that caller forever; both sides advance 50/s and the gap never closes).
+// Consecutive out-of-window inserts on one stream before its playout
+// point resyncs to the arriving sequence.  >1 so a single stray (or
+// hostile) packet cannot repoint a healthy stream's schedule; small so
+// the stream recovers within ~60 ms of traffic.  Applies to the
+// desync classes: overflow (receiver's schedule behind the sender —
+// receiver stall, sender with a later origin) and FAR-late (sender more
+// than a full ring depth behind — e.g. a migration standby whose head
+// advanced every tick before its caller started sending; both sides
+// advance 50/s, so the gap never closes without a resync).
 constexpr int64_t kResyncAfter = 3;
+
+// NEAR-late (behind head by at most the ring depth) is ambiguous: it is
+// either transient network jitter (a delay burst that will pass — must
+// NOT repoint the schedule, or a 3-packet burst converts into permanent
+// extra playout latency) or a persistent small shift (a standby that
+// ticked a few times before its caller's origin — gap never closes, so
+// it MUST eventually resync or the stream is dead forever).  The
+// discriminator is persistence: a jitter burst is followed by in-window
+// arrivals (which reset the streak); a shift makes EVERY packet late.
+// Half a second of uninterrupted late traffic is conclusively a shift.
+constexpr int64_t kNearLateResyncAfter = 25;
 
 struct JitterBuffer {
   int64_t capacity;      // streams
@@ -228,9 +238,15 @@ int lyra_jb_insert(void* h, int64_t stream, int64_t seq,
     return 5;
   }
   const int64_t head = jb->head_seq[stream];
-  if (jb->ad_window > 0) {
+  if (jb->ad_window > 0 && seq >= head - jb->ad_max &&
+      seq < head + jb->depth) {
     // Arrival margin: ticks of cushion before this packet is too late
     // (negative = it was).  The window minimum drives AdaptDecide.
+    // Only actionable evidence is recorded: a packet later than the
+    // largest delay adaptation could ever add (ad_max) — or ahead of the
+    // window entirely — is a desync/replay-class event for the resync
+    // logic below, not jitter; recording it would let a single stray
+    // (or hostile) ancient packet pin the slot's delay at max_delay.
     jb->margin_min[stream] =
         std::min(jb->margin_min[stream], seq - head);
   }
@@ -250,8 +266,14 @@ int lyra_jb_insert(void* h, int64_t stream, int64_t seq,
     // ahead).  A real-time buffer must then resync or the stream is dead
     // forever: both sides advance 50/s and the gap never closes.  Jump
     // the playout point to the arriving sequence, re-absorb the
-    // configured playout delay, and file this packet.
-    if (++jb->streak[stream] < kResyncAfter) {
+    // configured playout delay, and file this packet.  NEAR-late packets
+    // (within one ring depth behind head) could instead be a transient
+    // delay burst, so they need a much longer streak — see
+    // kNearLateResyncAfter.
+    const bool near_late = seq < head && seq >= head - jb->depth;
+    const int64_t resync_after =
+        near_late ? kNearLateResyncAfter : kResyncAfter;
+    if (++jb->streak[stream] < resync_after) {
       if (seq < head) {
         ++jb->late_drops;
         return 2;
@@ -263,6 +285,13 @@ int lyra_jb_insert(void* h, int64_t stream, int64_t seq,
     jb->head_seq[stream] = seq;
     jb->delay[stream] = jb->delay0[stream];
     jb->streak[stream] = 0;
+    // Adaptive evidence gathered against the old schedule is meaningless
+    // at the new origin: start a fresh window, or the desync's margins
+    // would masquerade as jitter and inflate the delay to max right
+    // after the resync (the warm-standby failover case).
+    jb->margin_min[stream] = kNoMargin;
+    jb->win_left[stream] = jb->ad_window;
+    jb->shrink_votes[stream] = 0;
     for (int64_t d = 0; d < jb->depth; ++d) {
       jb->slots[stream * jb->depth + d].occupied = false;
     }
@@ -368,6 +397,14 @@ void lyra_jb_adapt_stats(void* h, int64_t* grows, int64_t* shrinks,
 int64_t lyra_jb_delay(void* h, int64_t stream) {
   auto* jb = static_cast<JitterBuffer*>(h);
   if (stream < 0 || stream >= jb->capacity) return -1;
+  return jb->delay0[stream];
+}
+
+// As lyra_jb_delay, but -1 also for an INACTIVE slot — the shard-group
+// merged adapt-stats reader must skip slots this buffer doesn't serve.
+int64_t lyra_jb_delay2(void* h, int64_t stream) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  if (stream < 0 || stream >= jb->capacity || !jb->active[stream]) return -1;
   return jb->delay0[stream];
 }
 

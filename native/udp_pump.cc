@@ -61,6 +61,7 @@ int lyra_jb_set_adaptive(void* h, int64_t min_delay, int64_t max_delay,
 void lyra_jb_adapt_stats(void* h, int64_t* grows, int64_t* shrinks,
                          int64_t* delay_min, int64_t* delay_max,
                          int64_t* delay_sum, int64_t* active_streams);
+int64_t lyra_jb_delay2(void* h, int64_t stream);
 }
 
 namespace {
@@ -682,9 +683,16 @@ int64_t lyra_pump_collect_merged(void** pumps, int n, int64_t capacity,
                                  uint8_t* received, uint8_t* sizes) {
   std::memset(received, 0, static_cast<size_t>(capacity));
   std::memset(sizes, 0, static_cast<size_t>(capacity));
-  std::vector<uint8_t> s_out(static_cast<size_t>(capacity * packet_size));
-  std::vector<uint8_t> s_recv(static_cast<size_t>(capacity));
-  std::vector<uint8_t> s_size(static_cast<size_t>(capacity));
+  // Scratch for the follower shards' collects.  thread_local, grow-only:
+  // this runs 50x/s in the serving hot path from one serving thread, and
+  // a fresh ~capacity*packet_size allocation per tick is avoidable churn
+  // (n == 1, the unsharded degenerate case, never touches it at all).
+  static thread_local std::vector<uint8_t> s_out, s_recv, s_size;
+  if (n > 1) {
+    s_out.resize(static_cast<size_t>(capacity * packet_size));
+    s_recv.resize(static_cast<size_t>(capacity));
+    s_size.resize(static_cast<size_t>(capacity));
+  }
   int64_t total = 0;
   for (int k = 0; k < n; ++k) {
     auto* p = static_cast<PumpBase*>(pumps[k]);
@@ -724,7 +732,6 @@ int64_t lyra_pcm_pump_collect_merged(void** pumps, int n, uint8_t* out,
                                      uint8_t* fresh) {
   int64_t total = 0;
   int64_t capacity = 0;
-  std::vector<uint8_t> s_fresh;
   for (int k = 0; k < n; ++k) {
     auto* p = static_cast<PumpBase*>(pumps[k]);
     if (p->kind != 1) return -1;
@@ -733,7 +740,6 @@ int64_t lyra_pcm_pump_collect_merged(void** pumps, int n, uint8_t* out,
       capacity = pp->capacity;
       total = lyra_pcm_pump_collect(pumps[0], out, fresh);
       if (total < 0) return -1;
-      s_fresh.resize(static_cast<size_t>(capacity));
       continue;
     }
     if (pp->capacity != capacity) return -1;
@@ -789,6 +795,63 @@ int64_t lyra_pump_copy_sources_owned(void** pumps, int n, int64_t rows,
   int64_t total = 0;
   for (int64_t i = 0; i < rows; ++i) total += known[i];
   return total;
+}
+
+// Merged adaptive-playout stats over `n` shard pumps.  grows/shrinks sum
+// cleanly (only a slot's home shard ever observes its margins, so only it
+// decides), but per-slot delay does NOT: every shard admits every slot at
+// the same starting delay and only the home shard adapts it, so a naive
+// min/max across shards always reports the stale initial copies.  This
+// reader resolves each slot's home shard by source freshness (the shard
+// that heard it last — the same rule reply routing uses) and reads the
+// delay from there; slots nobody has heard from sit at their admission
+// delay on every shard, so shard 0's copy is authoritative for them.
+// Returns 0, or -1 on a wrong-kind handle / bad rows.
+int lyra_pump_adapt_stats_merged(void** pumps, int n, int64_t rows,
+                                 int64_t* grows, int64_t* shrinks,
+                                 int64_t* delay_min, int64_t* delay_max,
+                                 int64_t* delay_sum, int64_t* active) {
+  if (rows < 0 || rows > kMaxSlots || n <= 0) return -1;
+  std::vector<int32_t> owner(static_cast<size_t>(rows), 0);
+  std::vector<int64_t> best(static_cast<size_t>(rows), 0);
+  for (int k = 0; k < n; ++k) {
+    auto* p = static_cast<PumpBase*>(pumps[k]);
+    if (p->kind != 0) return -1;
+    std::lock_guard<std::mutex> lock(p->mu);
+    for (int64_t i = 0; i < rows; ++i) {
+      const SlotSource& s = p->sources[static_cast<size_t>(i)];
+      if (s.known && s.stamp > best[static_cast<size_t>(i)]) {
+        best[static_cast<size_t>(i)] = s.stamp;
+        owner[static_cast<size_t>(i)] = k;
+      }
+    }
+  }
+  *grows = 0;
+  *shrinks = 0;
+  *delay_min = 0;
+  *delay_max = 0;
+  *delay_sum = 0;
+  *active = 0;
+  bool first = true;
+  for (int k = 0; k < n; ++k) {
+    auto* p = static_cast<UdpPump*>(static_cast<PumpBase*>(pumps[k]));
+    std::lock_guard<std::mutex> lock(p->mu);
+    int64_t g, sh, dmin, dmax, dsum, act;
+    lyra_jb_adapt_stats(p->jb, &g, &sh, &dmin, &dmax, &dsum, &act);
+    *grows += g;
+    *shrinks += sh;
+    for (int64_t i = 0; i < rows; ++i) {
+      if (owner[static_cast<size_t>(i)] != k) continue;
+      const int64_t d = lyra_jb_delay2(p->jb, i);
+      if (d < 0) continue;  // inactive on its home shard: not serving
+      ++*active;
+      *delay_sum += d;
+      if (first || d < *delay_min) *delay_min = d;
+      if (first || d > *delay_max) *delay_max = d;
+      first = false;
+    }
+  }
+  return 0;
 }
 
 // Blast variant for shard-group benches: rotates `nsrc` source sockets

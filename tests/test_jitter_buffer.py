@@ -107,24 +107,31 @@ def test_packed_serving_roundtrip(model_path, testdata_path):
 
 def test_playout_delay_absorbs_network_delay():
     """A stream whose packets all arrive one tick late plays cleanly with
-    playout_delay=1; the zero-delay stream starves until the late-side
-    resync (3 consecutive late inserts) repoints its schedule."""
+    playout_delay=2; the zero-delay stream's late arrivals are counted
+    drops — a NEAR-late run must NOT repoint the schedule quickly (a
+    transient delay burst would become permanent extra latency) — until
+    half a second of uninterrupted lateness proves a persistent shift and
+    the late-side resync locks onto the sender's schedule."""
     jb = JitterBuffer(capacity=2, packet_size=8, depth=8)
     jb.add_stream(0, playout_delay=0)
     jb.add_stream(1, playout_delay=2)
     got0, got1 = [], []
-    for t in range(6):
+    for t in range(30):
         if t >= 1:  # packet for t-1 arrives now (one tick of network delay)
             jb.insert(0, t - 1, bytes([t - 1] * 4))
             jb.insert(1, t - 1, bytes([t - 1] * 4))
         _, received, _ = jb.collect()
         got0.append(bool(received[0]))
         got1.append(bool(received[1]))
-    # Zero-delay stream: first 2 late inserts drop, the 3rd resyncs the
-    # playout point (re-absorbing its playout delay of 0), then it plays.
-    assert got0 == [False, False, False, True, True, True]
-    assert got1[2:] == [True] * 4  # delayed stream plays every tick
-    assert jb.stats()["resyncs"] == 1
+    # Zero-delay stream: 24 late drops (burst protection), then the 25th
+    # consecutive NEAR-late insert resyncs the playout point
+    # (re-absorbing its playout delay of 0), and every tick after plays.
+    assert got0[:25] == [False] * 25
+    assert got0[25:] == [True] * 5
+    assert got1[2:] == [True] * 28  # delayed stream plays every tick
+    st = jb.stats()
+    assert st["resyncs"] == 1
+    assert st["late_drops"] == 24
 
 
 def test_late_origin_resync_revives_warm_standby():
@@ -293,9 +300,20 @@ def test_adaptive_grow_is_bounded_and_silent_windows_decide_nothing():
     assert jb.adapt_stats() == {"grows": 0, "shrinks": 0, "delay_min": 1,
                                 "delay_max": 1, "delay_mean": 1.0,
                                 "active_streams": 1}
-    # Catastrophic lateness grows only to the bound.
-    jb.insert(0, 0, b"x" * 8)  # head is 20: 20 ticks late
+    # A stray ancient packet (further behind head than max_delay could
+    # ever absorb) is desync/replay-class evidence, not jitter: it must
+    # not move the delay — one hostile datagram per window would
+    # otherwise pin the slot at max_delay forever.
+    jb.insert(0, 0, b"x" * 8)  # head is 19: 19 ticks late
     for _ in range(4):
         jb.collect()
-    assert jb.delay(0) == 3  # clamped at max_delay
+    assert jb.delay(0) == 1  # unmoved
+    assert jb.adapt_stats()["grows"] == 0
+    # Actionable lateness (within max_delay of head) grows, clamped at
+    # max_delay even when the observed lateness exceeds the headroom.
+    jb.add_stream(0, start_seq=100, playout_delay=1)  # fresh schedule
+    jb.insert(0, 97, b"y" * 8)  # 3 ticks late: actionable (== max_delay)
+    for _ in range(4):  # one full window
+        jb.collect()
+    assert jb.delay(0) == 3  # grew by min(lateness, max - current) = 2
     assert jb.adapt_stats()["grows"] == 1

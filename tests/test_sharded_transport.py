@@ -131,6 +131,47 @@ def test_sharded_admission_reaches_every_shard():
         tx.close()
 
 
+def test_sharded_adapt_stats_reads_home_shard_delays():
+    """Group adapt_stats must report each slot's delay from its HOME shard
+    (where its flow hashes): every shard admits every slot at the same
+    starting delay and only the home shard adapts it, so a naive
+    reduction over shards reports the stale initial copies (delay_min
+    stuck at the admission value forever).  Both slots here send
+    persistently 2-ticks-late traffic, so both home copies grow (by
+    exactly the observed lateness) — the group must report the grown
+    home-shard value, not min == 1 forever."""
+    with ShardedUdpIngest(capacity=4, packet_size=23, depth=8,
+                          shards=2) as group:
+        group.set_adaptive(0, 3, window=5)
+        socks = {}
+        for slot in (0, 1):
+            group.add_stream(slot, playout_delay=1)
+            socks[slot] = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        st = group.adapt_stats()  # before traffic: the admission delay
+        assert st == {"grows": 0, "shrinks": 0, "delay_min": 1,
+                      "delay_max": 1, "delay_mean": 1.0,
+                      "active_streams": 2}
+        for t in range(30):  # every arrival lags the playout clock by 2
+            if t >= 2:
+                for slot, sock in socks.items():
+                    sock.sendto(_dgram(slot, t - 2, bytes([slot]) * 8),
+                                ("127.0.0.1", group.port))
+                time.sleep(0.01)  # let the receiver threads file them
+            group.collect()
+        for sock in socks.values():
+            sock.close()
+        st = group.adapt_stats()
+        assert st["grows"] >= 2  # each slot grew on its home shard
+        # The effective lateness is >= 1 tick beyond the playout schedule
+        # (exactly 1 on an unloaded host; scheduling lag can add more), so
+        # both slots converge somewhere in (admission, max_delay].  The
+        # old naive cross-shard reduction reported the stale initial
+        # copy: delay_min pinned at 1 forever.
+        assert 2 <= st["delay_min"] <= st["delay_max"] <= 3, st
+        assert st["delay_min"] <= st["delay_mean"] <= st["delay_max"], st
+        assert st["active_streams"] == 2
+
+
 def test_sharded_pcm_ingest_merges_latest_wins():
     """PCM shard group: merged collect delivers each slot's freshest hop
     once, staleness is counted per flow's home shard, and reset_slot
