@@ -427,15 +427,17 @@ class ConferenceBridge:
 
     # -- snapshots ---------------------------------------------------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, transport: dict | None = None) -> None:
         """Drain-for-maintenance snapshot: both servers + the room table
         (`path` + .dec/.enc/.rooms.json).  Restore with
         ConferenceBridge.restore on a bridge of the same capacity; calls
-        continue bit-exactly (see DecoderServer.save)."""
+        continue bit-exactly (see DecoderServer.save).  The opaque
+        serving-layer `transport` dict rides the .dec snapshot (the
+        uplink jitter buffer pairs with the decode side)."""
         if self._pending_async is not None:
             raise RuntimeError(
                 "bridge async pipeline in flight; flush_async() before save")
-        self._dec.save(path + ".dec")
+        self._dec.save(path + ".dec", transport)
         self._enc.save(path + ".enc")
         with open(path + ".rooms.json", "w") as f:
             # Pairs, not an object: JSON object keys would stringify int
@@ -444,7 +446,7 @@ class ConferenceBridge:
             json.dump({"room_of": [[sid, room] for sid, room
                                    in self._room_of.items()]}, f)
 
-    def restore(self, path: str) -> None:
+    def restore(self, path: str) -> dict | None:
         """All-or-nothing: every cross-snapshot consistency check runs
         before either server is mutated."""
         if self._pending_async is not None:
@@ -472,7 +474,7 @@ class ConferenceBridge:
         if missing:
             raise ValueError(
                 f"snapshot rooms table is missing streams {missing!r}")
-        self._dec.restore(path + ".dec")
+        transport = self._dec.restore(path + ".dec")
         self._enc.restore(path + ".enc")
         # Rebuild the room bookkeeping from scratch; dense ids need not
         # match the pre-save ones (the mix is invariant to relabeling).
@@ -487,3 +489,4 @@ class ConferenceBridge:
                 self._rooms[slot] = self._room_enter(room_of[sid])
                 self._room_of[sid] = room_of[sid]
         self._dev_cache = None
+        return transport

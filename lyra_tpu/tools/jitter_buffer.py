@@ -115,3 +115,14 @@ class JitterBuffer:
         if d < 0:
             raise ValueError(f"bad stream slot {stream}")
         return d
+
+    def heads(self) -> np.ndarray:
+        """Playout schedule: int64 [capacity], the next sequence each slot
+        will play, -1 for inactive slots.  A migration snapshot carries
+        this so the destination host re-seeds its buffer
+        (add_stream(start_seq=head)) and locks onto each caller's live
+        sequence immediately instead of via a streak of late drops."""
+        out = np.empty(self.capacity, np.int64)
+        self._lib.lyra_jb_heads(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return out

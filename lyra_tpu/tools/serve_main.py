@@ -103,8 +103,12 @@ class _Control:
         self._sock.setblocking(False)
         self.port = self._sock.getsockname()[1]
 
-    def poll(self, server, snapshot) -> bool:
-        """Handle queued commands; True means stop serving (drain/quit)."""
+    def poll(self, server, snapshot, transport_save=None,
+             transport_restore=None) -> bool:
+        """Handle queued commands; True means stop serving (drain/quit).
+        `transport_save() -> dict` contributes serving-layer state (the
+        playout schedule) to save/drain snapshots; `transport_restore(tr)`
+        re-seeds it after a restore (see _transport_state)."""
         stop = False
         while True:
             try:
@@ -129,12 +133,15 @@ class _Control:
                     reply["stats"] = snapshot()
                 elif name in ("save", "drain"):
                     server.flush_async()
-                    server.save(cmd["path"])
+                    server.save(cmd["path"],
+                                transport_save() if transport_save else None)
                     reply["ticks"] = snapshot()["ticks"]
                     stop = stop or name == "drain"
                 elif name == "restore":
                     server.flush_async()
-                    server.restore(cmd["path"])
+                    tr = server.restore(cmd["path"])
+                    if transport_restore is not None:
+                        transport_restore(tr)
                 elif name == "quit":
                     stop = True
                 else:
@@ -154,6 +161,38 @@ class _Control:
 
     def close(self) -> None:
         self._sock.close()
+
+
+def _transport_state(ingest) -> dict:
+    """Serving-layer state riding a snapshot: the jitter buffer's playout
+    schedule (JitterBuffer.heads contract — next sequence per slot, -1
+    inactive).  Engine state alone is not enough to hand off a live call:
+    without the schedule, the restored host re-derives each caller's
+    sequence position from a streak of out-of-window drops (60-500 ms of
+    lost audio per caller, native/jitter_buffer.cc resync rules); with it,
+    lock-on is immediate."""
+    return {"jb_heads": ingest.heads().tolist()}
+
+
+def _reseed_transport(ingest, transport, capacity: int,
+                      playout_delay: int) -> None:
+    """Re-seed the ingest playout schedule from a restored snapshot's
+    transport dict.  Slots the snapshot marks inactive (-1) keep their
+    local admission state; adaptive delay restarts from the configured
+    base (adaptation evidence does not survive a host move).  A snapshot
+    without transport state (pre-schedule format) is left to the jitter
+    buffer's streak resync."""
+    heads = (transport or {}).get("jb_heads")
+    if heads is None:
+        return
+    if len(heads) != capacity:
+        raise ValueError(
+            f"snapshot transport jb_heads has {len(heads)} rows; this "
+            f"host serves {capacity}")
+    for slot, head in enumerate(heads):
+        if head >= 0:
+            ingest.add_stream(slot, start_seq=int(head),
+                              playout_delay=playout_delay)
 
 
 def _tick_pcts(tick_ms, tail: int | None = 256):
@@ -442,8 +481,10 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     bridge = ConferenceBridge(args.capacity, model_path=args.model_path,
                               bitrate=args.bitrate,
                               dec_engine=dec_e, enc_engine=enc_e)
+    restored_transport = None
     if args.restore:
-        bridge.restore(args.restore)  # resume another host's rooms mid-call
+        # Resume another host's rooms mid-call.
+        restored_transport = bridge.restore(args.restore)
     else:
         bridge.add_participants(
             {slot: slot // args.room_size for slot in range(args.capacity)})
@@ -466,6 +507,8 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     ingest = pump or jb
     for slot in range(args.capacity):
         ingest.add_stream(slot, playout_delay=args.playout_delay)
+    _reseed_transport(ingest, restored_transport, args.capacity,
+                      args.playout_delay)
     if args.adaptive:
         ingest.set_adaptive(*args.adaptive)
     tx = _make_tx(args, args.capacity, pump)
@@ -509,13 +552,17 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
             while time.perf_counter() < next_tick:
                 time.sleep(0.001)
             next_tick = max(next_tick, time.perf_counter()) + 0.02
-            if ctl is not None and ctl.poll(bridge, lambda: _snapshot(256)):
+            if ctl is not None and ctl.poll(
+                    bridge, lambda: _snapshot(256),
+                    transport_save=lambda: _transport_state(ingest),
+                    transport_restore=lambda tr: _reseed_transport(
+                        ingest, tr, args.capacity, args.playout_delay)):
                 break  # drained or told to quit
             if (next_snap is not None
                     and time.perf_counter() >= next_snap):
                 next_snap += args.snapshot_every
                 bridge.flush_async()  # one hop skips; PLC covers
-                bridge.save(args.snapshot)
+                bridge.save(args.snapshot, _transport_state(ingest))
             t0 = time.perf_counter()
 
             if pump is None:
@@ -738,12 +785,18 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
         rx.setblocking(False)
         port = rx.getsockname()[1]
     ingest = pump or jb
+    restored_transport = None
     if args.restore:
-        dec.restore(args.restore)  # resume another host's calls mid-stream
+        # Resume another host's calls mid-stream.
+        restored_transport = dec.restore(args.restore)
     else:
         dec.add_streams(range(args.capacity))
     for slot in range(args.capacity):
         ingest.add_stream(slot, playout_delay=args.playout_delay)
+    # After admission: re-seeding overwrites the fresh schedule with the
+    # snapshot's per-slot sequence positions, so callers lock on at once.
+    _reseed_transport(ingest, restored_transport, args.capacity,
+                      args.playout_delay)
 
     if args.adaptive:
         ingest.set_adaptive(*args.adaptive)
@@ -788,13 +841,17 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
             while time.perf_counter() < next_tick:
                 time.sleep(0.001)
             next_tick = max(next_tick, time.perf_counter()) + 0.02
-            if ctl is not None and ctl.poll(dec, lambda: _snapshot(256)):
+            if ctl is not None and ctl.poll(
+                    dec, lambda: _snapshot(256),
+                    transport_save=lambda: _transport_state(ingest),
+                    transport_restore=lambda tr: _reseed_transport(
+                        ingest, tr, args.capacity, args.playout_delay)):
                 break  # drained or told to quit
             if (next_snap is not None
                     and time.perf_counter() >= next_snap):
                 next_snap += args.snapshot_every
                 dec.flush_async()  # one hop skips; PLC covers
-                dec.save(args.snapshot)
+                dec.save(args.snapshot, _transport_state(ingest))
             t0 = time.perf_counter()
 
             if pump is None:

@@ -86,7 +86,8 @@ def _no_inflight_tick(server, verb: str) -> None:
 
 
 def _server_save(server, path: str, kind: str,
-                 extra: Dict[str, object]) -> None:
+                 extra: Dict[str, object],
+                 transport: Optional[dict] = None) -> None:
     """Snapshot engine state AND the host slot bookkeeping, so a drained
     server restores mid-call on another host (the deployment story behind
     utils/checkpoint.py).  In-flight async pipelines must be flushed first
@@ -108,7 +109,14 @@ def _server_save(server, path: str, kind: str,
     checkpoint.save_state(  # save_state host-copies the tree itself
         path, server._state,
         extra={"kind": kind, "slots": slots, "gen": server._gen.tolist(),
-               "sample_rate_hz": server.sample_rate_hz, **extra})
+               "sample_rate_hz": server.sample_rate_hz,
+               # Opaque serving-layer state (e.g. the jitter buffer's
+               # playout schedule) riding the same atomic snapshot; the
+               # server never interprets it — restore() hands it back to
+               # whoever drives the transport (serve_main re-seeds its
+               # ingest from it so lock-on after migration is immediate).
+               **({"transport": transport} if transport is not None else {}),
+               **extra})
 
 
 def _server_restore(server, path: str, kind: str,
@@ -312,18 +320,20 @@ class DecoderServer:
         self._slots[i] = _Slot(None, False)
         self._active_cache = None
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, transport: Optional[dict] = None) -> None:
         """Drain-for-maintenance snapshot: engine state + slot table +
-        per-slot counters.  Restore with DecoderServer.restore on a server
-        of the same capacity; streams continue bit-exactly mid-call."""
+        per-slot counters (+ an opaque `transport` dict from the serving
+        layer — see _server_save).  Restore with DecoderServer.restore on
+        a server of the same capacity; streams continue bit-exactly
+        mid-call."""
         _server_save(self, path, "decoder", {
             "seed": self._seed,
             "bad_packets": self.bad_packets.tolist(),
             "last_comfort": self._last_comfort.tolist(),
             "inactive_drops": int(self.inactive_drops),
-        })
+        }, transport)
 
-    def restore(self, path: str) -> None:
+    def restore(self, path: str) -> Optional[dict]:
         extra = _server_restore(
             self, path, "decoder",
             required=("seed", "bad_packets", "last_comfort"))
@@ -333,6 +343,7 @@ class DecoderServer:
         self.bad_packets = np.asarray(extra["bad_packets"], np.int64)
         self._last_comfort = np.asarray(extra["last_comfort"], bool)
         self.inactive_drops = int(extra.get("inactive_drops", 0))
+        return extra.get("transport")
 
     def tick(self, packets: Dict[object, Optional[bytes]]) -> Dict[object, np.ndarray]:
         """One 20 ms step for every active stream.
@@ -762,13 +773,13 @@ class EncoderServer:
         self._nq[i] = bits // config.BITS_PER_QUANTIZER
         self._bits[i] = bits
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, transport: Optional[dict] = None) -> None:
         """Drain-for-maintenance snapshot — see DecoderServer.save."""
         _server_save(self, path, "encoder", {
             "bits": self._bits.tolist(),
-        })
+        }, transport)
 
-    def restore(self, path: str) -> None:
+    def restore(self, path: str) -> Optional[dict]:
         def validate(extra):
             # The snapshot's *active* streams' bitrates must fit THIS
             # engine's stage cap: restoring 9.2 kbps streams onto a
@@ -787,6 +798,7 @@ class EncoderServer:
                                 required=("bits",), validate=validate)
         self._bits = np.asarray(extra["bits"], np.int32)
         self._nq = (self._bits // config.BITS_PER_QUANTIZER).astype(np.int32)
+        return extra.get("transport")
 
     def tick_packed(self, audio: np.ndarray):
         """Array-based encode tick: audio [capacity, hop] int16-scale →
@@ -1240,12 +1252,14 @@ class ServerPool:
                 f"in flight); flush and re-prime the pool")
         return _concat_wave_outputs(outs)
 
-    def save(self, path: str) -> None:
-        """One snapshot per wave (path.w0, path.w1, ...)."""
+    def save(self, path: str, transport: Optional[dict] = None) -> None:
+        """One snapshot per wave (path.w0, path.w1, ...).  The opaque
+        serving-layer `transport` dict spans the whole pool (slot rows are
+        pool-wide), so it rides wave 0's snapshot."""
         for w, s in enumerate(self.servers):
-            s.save(f"{path}.w{w}")
+            s.save(f"{path}.w{w}", transport if w == 0 else None)
 
-    def restore(self, path: str) -> None:
+    def restore(self, path: str) -> Optional[dict]:
         """All-or-nothing across waves: the snapshot's wave count must
         match this pool exactly BEFORE any wave is mutated — restoring a
         3-wave snapshot into a 2-wave pool would silently drop wave 2's
@@ -1283,10 +1297,14 @@ class ServerPool:
         saved = [{f: getattr(srv, f) for f in fields if hasattr(srv, f)}
                  for srv in self.servers]
         try:
+            transport = None
             for w, s in enumerate(self.servers):
-                s.restore(f"{path}.w{w}")
+                tr = s.restore(f"{path}.w{w}")
+                if w == 0:
+                    transport = tr
         except Exception:
             for srv, snap in zip(self.servers, saved):
                 for f, v in snap.items():
                     setattr(srv, f, v)
             raise
+        return transport

@@ -169,6 +169,18 @@ class UdpIngest:
                 "delay_mean": (dsum / active) if active else 0.0,
                 "active_streams": active}
 
+    def heads(self) -> np.ndarray:
+        """Playout schedule (JitterBuffer.heads contract: int64 [capacity],
+        -1 for inactive slots), read under the pump lock — what a migration
+        snapshot carries so the restored host locks on immediately."""
+        self._check_open()
+        out = np.empty(self.capacity, np.int64)
+        if self._lib.lyra_pump_jb_heads(
+                self._h,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))):
+            raise RuntimeError("heads export failed (wrong pump kind?)")
+        return out
+
 
 class PcmIngest:
     """Native UDP ingest for the encode relay: one fixed-size PCM hop per
@@ -497,6 +509,20 @@ class ShardedUdpIngest(_ShardGroupBase):
                 "delay_min": dmin, "delay_max": dmax,
                 "delay_mean": (dsum / active) if active else 0.0,
                 "active_streams": active}
+
+    def heads(self) -> np.ndarray:
+        """Group playout schedule (JitterBuffer.heads contract).  Heads
+        advance in lockstep across shards (merged collect drains every
+        member), but a resync repoints only a slot's HOME shard, so the
+        native reader resolves each slot's owner by source freshness —
+        the same rule as adapt_stats (lyra_pump_jb_heads_merged)."""
+        self._check_open()
+        out = np.empty(self.capacity, np.int64)
+        if self._shards[0]._lib.lyra_pump_jb_heads_merged(
+                self._handles, self.num_shards, self.capacity,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))):
+            raise RuntimeError("merged heads export failed")
+        return out
 
 
 class ShardedPcmIngest(_ShardGroupBase):

@@ -55,6 +55,10 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_jb_adapt_stats.restype = None
     lib.lyra_jb_delay.argtypes = [vp, i64]
     lib.lyra_jb_delay.restype = i64
+    lib.lyra_jb_heads.argtypes = [vp, i64p]
+    lib.lyra_jb_heads.restype = None
+    lib.lyra_pump_jb_heads.argtypes = [vp, i64p]
+    lib.lyra_pump_jb_heads.restype = ctypes.c_int
     lib.lyra_pump_set_adaptive.argtypes = [vp, i64, i64, i64]
     lib.lyra_pump_set_adaptive.restype = ctypes.c_int
     lib.lyra_pump_jb_adapt_stats.argtypes = [vp, i64p, i64p, i64p, i64p,
@@ -134,6 +138,8 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
                                                  i64p, i64p, i64p, i64p,
                                                  i64p, i64p]
     lib.lyra_pump_adapt_stats_merged.restype = ctypes.c_int
+    lib.lyra_pump_jb_heads_merged.argtypes = [vpp, ctypes.c_int, i64, i64p]
+    lib.lyra_pump_jb_heads_merged.restype = ctypes.c_int
     lib.lyra_pump_blast_multi.argtypes = [ctypes.c_int, i64, i64, i64, i64,
                                           ctypes.c_int]
     lib.lyra_pump_blast_multi.restype = i64

@@ -408,4 +408,27 @@ int64_t lyra_jb_delay2(void* h, int64_t stream) {
   return jb->delay0[stream];
 }
 
+// Per-slot playout-schedule read: the next sequence slot `stream` will
+// play, or -1 for a bad/inactive slot (bounds-checked — the shard-group
+// merged reader cannot assume its rows match this buffer's capacity).
+int64_t lyra_jb_head(void* h, int64_t stream) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  if (stream < 0 || stream >= jb->capacity || !jb->active[stream]) return -1;
+  return jb->head_seq[stream];
+}
+
+// Bulk playout-schedule export: heads_out[s] = the next sequence slot s
+// will play (head_seq), or -1 for an inactive slot.  This is the state a
+// migration snapshot carries so the destination host can re-seed its own
+// buffer (lyra_jb_add_stream with start_seq=head) and lock onto each
+// caller's live sequence immediately instead of re-deriving the schedule
+// from a streak of out-of-window drops.  heads_out must hold `capacity`
+// entries.
+void lyra_jb_heads(void* h, int64_t* heads_out) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  for (int64_t s = 0; s < jb->capacity; ++s) {
+    heads_out[s] = jb->active[s] ? jb->head_seq[s] : -1;
+  }
+}
+
 }  // extern "C"

@@ -62,6 +62,8 @@ void lyra_jb_adapt_stats(void* h, int64_t* grows, int64_t* shrinks,
                          int64_t* delay_min, int64_t* delay_max,
                          int64_t* delay_sum, int64_t* active_streams);
 int64_t lyra_jb_delay2(void* h, int64_t stream);
+int64_t lyra_jb_head(void* h, int64_t stream);
+void lyra_jb_heads(void* h, int64_t* heads_out);
 }
 
 namespace {
@@ -544,6 +546,16 @@ int64_t lyra_pump_jb_resyncs(void* h) {
   return lyra_jb_resyncs(static_cast<UdpPump*>(p)->jb);
 }
 
+// Locked playout-schedule export (see lyra_jb_heads): heads_out must hold
+// the buffer's capacity entries.  Returns 0, or -1 on the wrong pump kind.
+int lyra_pump_jb_heads(void* h, int64_t* heads_out) {
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 0) return -1;
+  std::lock_guard<std::mutex> lock(p->mu);
+  lyra_jb_heads(static_cast<UdpPump*>(p)->jb, heads_out);
+  return 0;
+}
+
 // Locked adaptive-delay controls (see jitter_buffer.cc): the only safe way
 // to configure/read adaptation while the receiver thread is live.
 int lyra_pump_set_adaptive(void* h, int64_t min_delay, int64_t max_delay,
@@ -849,6 +861,43 @@ int lyra_pump_adapt_stats_merged(void** pumps, int n, int64_t rows,
       if (first || d < *delay_min) *delay_min = d;
       if (first || d > *delay_max) *delay_max = d;
       first = false;
+    }
+  }
+  return 0;
+}
+
+// Merged playout-schedule export over `n` shard pumps (see lyra_jb_heads).
+// Heads advance in lockstep across shards (merged collect drains every
+// member), but a RESYNC repoints only the home shard's copy, so each
+// slot's head is read from its home shard — resolved by source freshness,
+// the same rule as adapt-stats and reply routing; never-heard slots are
+// identical everywhere, so shard 0's copy is authoritative for them.
+// heads_out must hold `rows` entries.  Returns 0, or -1 on a wrong-kind
+// handle / bad rows.
+int lyra_pump_jb_heads_merged(void** pumps, int n, int64_t rows,
+                              int64_t* heads_out) {
+  if (rows < 0 || rows > kMaxSlots || n <= 0) return -1;
+  std::vector<int32_t> owner(static_cast<size_t>(rows), 0);
+  std::vector<int64_t> best(static_cast<size_t>(rows), 0);
+  for (int k = 0; k < n; ++k) {
+    auto* p = static_cast<PumpBase*>(pumps[k]);
+    if (p->kind != 0) return -1;
+    std::lock_guard<std::mutex> lock(p->mu);
+    for (int64_t i = 0; i < rows; ++i) {
+      const SlotSource& s = p->sources[static_cast<size_t>(i)];
+      if (s.known && s.stamp > best[static_cast<size_t>(i)]) {
+        best[static_cast<size_t>(i)] = s.stamp;
+        owner[static_cast<size_t>(i)] = k;
+      }
+    }
+  }
+  for (int k = 0; k < n; ++k) {
+    auto* p = static_cast<UdpPump*>(static_cast<PumpBase*>(pumps[k]));
+    std::lock_guard<std::mutex> lock(p->mu);
+    for (int64_t i = 0; i < rows; ++i) {
+      if (owner[static_cast<size_t>(i)] == k) {
+        heads_out[i] = lyra_jb_head(p->jb, i);
+      }
     }
   }
   return 0;

@@ -263,3 +263,22 @@ def test_empty_dict_subtree_roundtrips(tmp_path):
     np.testing.assert_array_equal(restored["b"], state["b"])
     with pytest.raises(TypeError, match="dict"):
         checkpoint.save_state(str(tmp_path / "x.npz"), np.ones(4))
+
+
+def test_snapshot_transport_roundtrip(model_path, tmp_path):
+    """The serving layer's opaque transport dict (serve_main: the jitter
+    buffer playout schedule) rides the same atomic snapshot and comes
+    back from restore; snapshots saved without one return None.  The
+    server never interprets it — it is the channel that makes migration
+    lock-on immediate (serve_main._transport_state)."""
+    from lyra_tpu.tools.stream_server import DecoderServer
+
+    dec = DecoderServer(2, model_path=model_path)
+    dec.add_streams(["a"])
+    tr = {"jb_heads": [7, -1]}
+    dec.save(str(tmp_path / "snap"), transport=tr)
+
+    dec2 = DecoderServer(2, model_path=model_path)
+    assert dec2.restore(str(tmp_path / "snap")) == tr
+    dec2.save(str(tmp_path / "plain"))
+    assert dec2.restore(str(tmp_path / "plain")) is None

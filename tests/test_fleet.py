@@ -195,6 +195,13 @@ def test_control_plane_and_inprocess_migration(model_path, tmp_path):
         snap = str(tmp_path / "snapA")
         assert ctl_a.save(snap)["ticks"] >= 0
         assert os.path.exists(snap + ".npz")  # checkpoint.save_state naming
+        # The snapshot carries the transport playout schedule (jb heads),
+        # so a restored host locks onto each caller's live sequence
+        # immediately instead of via a streak of late drops.
+        from lyra_tpu.utils import checkpoint
+
+        heads = checkpoint.peek_extra(snap)["transport"]["jb_heads"]
+        assert len(heads) == 2 and all(h >= 0 for h in heads), heads
         ctl_a.restore(snap)
         assert pump_until_audio(port_a) is not None, "host A died after save"
 

@@ -317,3 +317,39 @@ def test_adaptive_grow_is_bounded_and_silent_windows_decide_nothing():
         jb.collect()
     assert jb.delay(0) == 3  # grew by min(lateness, max - current) = 2
     assert jb.adapt_stats()["grows"] == 1
+
+
+def test_heads_export_and_reseed_locks_on_immediately():
+    """Migration handoff at the transport layer: heads() is the playout
+    schedule a snapshot carries (serve_main._transport_state); re-seeding
+    a fresh buffer with it (add_stream(start_seq=head)) makes the
+    caller's continuing sequence land in-window at once — zero late
+    drops, zero resyncs — where a blind standby pays a streak of
+    out-of-window drops before its first resync."""
+    src = JitterBuffer(capacity=3, packet_size=8, depth=8)
+    src.add_stream(0, playout_delay=1)
+    src.add_stream(2, playout_delay=1)
+    for t in range(40):
+        src.insert(0, t, bytes([t % 251] * 4))
+        src.insert(2, t, bytes([t % 251] * 4))
+        src.collect()
+    heads = src.heads()
+    assert heads[1] == -1  # never admitted
+    # 40 collects: the first absorbed the playout delay, 39 advanced head.
+    assert heads[0] == heads[2] == 39
+
+    dst = JitterBuffer(capacity=3, packet_size=8, depth=8)
+    for slot in (0, 2):
+        dst.add_stream(slot, start_seq=int(heads[slot]), playout_delay=1)
+    played = 0
+    for t in range(40, 52):  # the callers continue their live sequences
+        dst.insert(0, t, bytes([t % 251] * 4))
+        dst.insert(2, t, bytes([t % 251] * 4))
+        _, received, _ = dst.collect()
+        played += int(received[0]) + int(received[2])
+    st = dst.stats()
+    assert st["late_drops"] == 0 and st["overflow_drops"] == 0
+    assert st["resyncs"] == 0
+    # Silent ticks per slot: 1 re-absorbing the playout delay + 1 PLC for
+    # seq 39 (in flight at handoff, lost); the other 10 of 12 play.
+    assert played == 2 * 10
