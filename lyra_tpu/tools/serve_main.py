@@ -241,10 +241,16 @@ def _make_tx(args, capacity: int, pump=None):
         return None
     from_pump = args.echo == "reply"
     if from_pump or args.egress == "native":
-        from lyra_tpu.tools.udp_egress import UdpEgress
+        from lyra_tpu.tools.udp_egress import (
+            MultiEgress, ShardedReplyEgress, UdpEgress)
 
         if from_pump:
+            if hasattr(pump, "num_shards"):  # ingest shard group
+                return ShardedReplyEgress(pump)
             return UdpEgress.on_pump(pump, capacity)
+        if args.egress_threads > 1:
+            return MultiEgress(capacity, threads=args.egress_threads,
+                               dest=args.echo)
         return UdpEgress(capacity, dest=args.echo)
     return _PySender(args.echo)
 
@@ -320,9 +326,16 @@ def _serve_encode(args, _on_ready, _stop) -> int:
 
     pcm = rx = None
     if args.ingest == "native":
-        from lyra_tpu.tools.udp_ingest import PcmIngest
+        if args.ingest_shards > 1:
+            from lyra_tpu.tools.udp_ingest import ShardedPcmIngest
 
-        pcm = PcmIngest(args.capacity, hop_bytes, args.port)
+            pcm = ShardedPcmIngest(args.capacity, hop_bytes,
+                                   shards=args.ingest_shards,
+                                   port=args.port)
+        else:
+            from lyra_tpu.tools.udp_ingest import PcmIngest
+
+            pcm = PcmIngest(args.capacity, hop_bytes, args.port)
         port = pcm.port
     else:
         rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -490,15 +503,25 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
             {slot: slot // args.room_size for slot in range(args.capacity)})
 
     ad_max = args.adaptive[1] if args.adaptive else 0
-    jb = JitterBuffer(args.capacity, config.packet_size(184),
-                      depth=max(args.playout_delay, ad_max) + 6)
-    pump = rx = None
+    depth = max(args.playout_delay, ad_max) + 6
+    jb = pump = rx = None
     if args.ingest == "native":
-        from lyra_tpu.tools.udp_ingest import UdpIngest
+        if args.ingest_shards > 1:
+            from lyra_tpu.tools.udp_ingest import ShardedUdpIngest
 
-        pump = UdpIngest(jb, args.port)
+            pump = ShardedUdpIngest(args.capacity, config.packet_size(184),
+                                    depth=depth, shards=args.ingest_shards,
+                                    port=args.port)
+        else:
+            from lyra_tpu.tools.udp_ingest import UdpIngest
+
+            jb = JitterBuffer(args.capacity, config.packet_size(184),
+                              depth=depth)
+            pump = UdpIngest(jb, args.port)
         port = pump.port
     else:
+        jb = JitterBuffer(args.capacity, config.packet_size(184),
+                          depth=depth)
         rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 * 1024 * 1024)
         rx.bind(("0.0.0.0", args.port))
@@ -667,6 +690,18 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                    help="native: C++ sendmmsg fan-out of the downlink "
                         "matrix (zero per-packet Python); python: "
                         "per-datagram sendto loop (no native lib needed).")
+    p.add_argument("--ingest_shards", type=int, default=1, metavar="N",
+                   help="SO_REUSEPORT ingest shard group: N receiver "
+                        "threads/sockets on one port, kernel-hashed per "
+                        "flow, each riding its own core (~12k streams of "
+                        "codec ingest per core, PERF.md).  Requires "
+                        "--ingest native.")
+    p.add_argument("--egress_threads", type=int, default=1, metavar="N",
+                   help="Striped multi-core egress for a fixed --echo "
+                        "host:port destination (N sockets/send threads, "
+                        "disjoint row stripes).  Requires --egress "
+                        "native; --echo reply already sends one thread "
+                        "per ingest shard.")
     p.add_argument("--echo", type=_parse_echo, default=None,
                    metavar="HOST:PORT|reply|none",
                    help="Where downlink datagrams go (same 6 B header). "
@@ -741,6 +776,23 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
             p.error("--echo reply needs --ingest native and --egress "
                     "native (the uplink source table lives in the native "
                     "pump, and downlink must leave from its socket)")
+    if args.ingest_shards < 1:
+        p.error("--ingest_shards must be >= 1")
+    if args.ingest_shards > 1 and args.ingest != "native":
+        p.error("--ingest_shards needs --ingest native (the shard group "
+                "is N C++ receiver threads on one SO_REUSEPORT port)")
+    if args.egress_threads < 1:
+        p.error("--egress_threads must be >= 1")
+    if args.egress_threads > 1:
+        if args.egress != "native":
+            p.error("--egress_threads needs --egress native")
+        if args.echo == "reply":
+            p.error("--egress_threads does not apply to --echo reply "
+                    "(reply egress already runs one send thread per "
+                    "ingest shard)")
+        if args.echo is None:
+            p.error("--egress_threads without --echo sends nothing; give "
+                    "a destination")
     if args.mode == "bridge" and args.sample_rate_hz != 16000:
         p.error("--sample_rate_hz applies to PCM endpoints; bridge mode "
                 "is packets in, packets out (decode/mix/encode run at the "
@@ -770,15 +822,25 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                       emit_dtype="int16",
                       max_bitrate=args.max_bitrate), args.devices))
     ad_max = args.adaptive[1] if args.adaptive else 0
-    jb = JitterBuffer(args.capacity, config.packet_size(184),
-                      depth=max(args.playout_delay, ad_max) + 6)
-    pump = rx = None
+    depth = max(args.playout_delay, ad_max) + 6
+    jb = pump = rx = None
     if args.ingest == "native":
-        from lyra_tpu.tools.udp_ingest import UdpIngest
+        if args.ingest_shards > 1:
+            from lyra_tpu.tools.udp_ingest import ShardedUdpIngest
 
-        pump = UdpIngest(jb, args.port)
+            pump = ShardedUdpIngest(args.capacity, config.packet_size(184),
+                                    depth=depth, shards=args.ingest_shards,
+                                    port=args.port)
+        else:
+            from lyra_tpu.tools.udp_ingest import UdpIngest
+
+            jb = JitterBuffer(args.capacity, config.packet_size(184),
+                              depth=depth)
+            pump = UdpIngest(jb, args.port)
         port = pump.port
     else:
+        jb = JitterBuffer(args.capacity, config.packet_size(184),
+                          depth=depth)
         rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 * 1024 * 1024)
         rx.bind(("0.0.0.0", args.port))

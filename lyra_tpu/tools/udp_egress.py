@@ -348,6 +348,15 @@ class ShardedReplyEgress:
     def __exit__(self, *exc):
         self.close()
 
+    def route_from_pump(self, pump) -> int:
+        """Uniform with UdpEgress.route_from_pump so serving loops can
+        treat single and sharded reply egress identically; `pump` must be
+        this egress's own ingest group (it owns the source table)."""
+        if pump is not self._group:
+            raise ValueError(
+                "ShardedReplyEgress routes from its own ingest group")
+        return self.route_from_group()
+
     def route_from_group(self) -> int:
         """Sync every shard egress from the group's merged source table
         (authoritative: unowned slots are cleared per shard).  Call once

@@ -775,3 +775,153 @@ def test_serve_main_bridge_reply_routing(model_path):
         stop.set()
         th.join(timeout=120)
         assert not th.is_alive(), "bridge loop failed to stop"
+
+
+def test_serve_main_sharded_transport_flags_are_loud():
+    """Shard-group flags fail at parse time when the combination cannot
+    work (repo convention: misconfiguration never silently falls back)."""
+    from lyra_tpu.tools import serve_main
+
+    base = ["--capacity", "2", "--seconds", "1", "--max_bitrate", "3200"]
+    for extra in (
+        ["--ingest_shards", "2", "--ingest", "python"],
+        ["--ingest_shards", "0"],
+        ["--egress_threads", "2", "--egress", "python",
+         "--echo", "127.0.0.1:9"],
+        ["--egress_threads", "2", "--ingest", "native",
+         "--egress", "native", "--echo", "reply"],
+        ["--egress_threads", "2"],  # no destination: sends nothing
+    ):
+        with pytest.raises(SystemExit):
+            serve_main.main(argv=base + extra)
+
+
+def test_serve_main_sharded_decode_reply_routing(model_path, tmp_path):
+    """The multi-core transport tier stood up through the real CLI:
+    --ingest_shards 2 (SO_REUSEPORT shard group) + --echo reply
+    (owner-partitioned ShardedReplyEgress).  Two callers on distinct
+    flows each get their PCM back on their own socket, from the serve
+    port (every shard binds the same port); group counters ride the
+    operator stats exit."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    stats_path = tmp_path / "sharded_stats.jsonl"
+    port_box = {}
+    ready = threading.Event()
+    stop = threading.Event()
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--capacity", "2", "--seconds", "0", "--max_bitrate", "3200",
+              "--model_path", model_path, "--playout_delay", "1",
+              "--report_every", "30", "--ingest", "native",
+              "--ingest_shards", "2", "--egress", "native",
+              "--echo", "reply", "--stats", str(stats_path)],
+        _on_ready=lambda port: (port_box.update(port=port), ready.set()),
+        _stop=stop))
+    th.start()
+    try:
+        assert ready.wait(60), "sharded server never bound its port"
+        wire = pkt.pack_indices_batch(np.zeros((2, 16), np.int32), 64)
+        callers = []
+        for slot in range(2):
+            c = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            c.bind(("127.0.0.1", 0))
+            c.settimeout(0.05)
+            callers.append(c)
+
+        got = {0: None, 1: None}
+        deadline = time.time() + 180  # first tick compiles the program
+        seq = 0
+        while None in got.values() and time.time() < deadline:
+            for slot, c in enumerate(callers):
+                c.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                         + wire[slot].tobytes(),
+                         ("127.0.0.1", port_box["port"]))
+            seq += 1
+            for slot, c in enumerate(callers):
+                if got[slot] is None:
+                    try:
+                        got[slot] = c.recvfrom(4096)
+                    except socket.timeout:
+                        pass
+        for slot, c in enumerate(callers):
+            data, src = got[slot] or (None, None)
+            assert data is not None, f"caller {slot} got no PCM back"
+            assert src[1] == port_box["port"]  # the group's shared port
+            assert int.from_bytes(data[:2], "big") == slot
+            assert len(data) == 6 + 320 * 2
+            c.close()
+    finally:
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive(), "sharded serve loop failed to stop"
+
+    final = [json.loads(line)
+             for line in stats_path.read_text().splitlines()][-1]
+    assert final["final"] is True
+    assert final["ingest"]["datagrams"] > 0  # summed across shards
+    assert final["egress"]["sent"] > 0
+    assert "no_route_drops" in final["egress"]  # the group-level counter
+
+
+def test_serve_main_sharded_pcm_encode_with_multiegress(model_path):
+    """--mode encode --ingest_shards 2 --egress_threads 2: PCM shard-group
+    ingest (merged latest-wins) feeding striped multi-socket egress, end
+    to end through the real CLI."""
+    import socket
+    import threading
+    import time
+
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    echo_rx.bind(("127.0.0.1", 0))
+    echo_rx.settimeout(0.05)
+    echo_port = echo_rx.getsockname()[1]
+
+    port_box = {}
+    ready = threading.Event()
+    stop = threading.Event()
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--mode", "encode", "--capacity", "2", "--seconds", "0",
+              "--bitrate", "3200", "--max_bitrate", "3200",
+              "--model_path", model_path, "--report_every", "30",
+              "--ingest", "native", "--ingest_shards", "2",
+              "--egress", "native", "--egress_threads", "2",
+              "--echo", f"127.0.0.1:{echo_port}"],
+        _on_ready=lambda port: (port_box.update(port=port), ready.set()),
+        _stop=stop))
+    th.start()
+    try:
+        assert ready.wait(60), "encode server never bound its port"
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        t = np.arange(320) / 16000.0
+        hop = (8000 * np.sin(2 * np.pi * 330 * t)).astype(np.int16)
+
+        got = None
+        deadline = time.time() + 180
+        seq = 0
+        while got is None and time.time() < deadline:
+            for slot in range(2):
+                tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                          + hop.tobytes(), ("127.0.0.1", port_box["port"]))
+            seq += 1
+            try:
+                got = echo_rx.recvfrom(4096)[0]
+            except socket.timeout:
+                pass
+        tx.close()
+        assert got is not None, "no packet within the deadline"
+        assert len(got) == 6 + config.packet_size(64)
+        assert pkt.unpack_indices(got[6:]).shape == (16,)
+    finally:
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive(), "encode loop failed to stop"
+        echo_rx.close()
