@@ -19,8 +19,10 @@ control plane for that composition:
 
 The reference is a single-process codec with no serving or fleet tier;
 this is deployment-grade composition on top of the checkpoint machinery
-(utils/checkpoint.py), exercised end-to-end by
-examples/multihost_migrate.py and tests/test_fleet.py.
+(utils/checkpoint.py).  The runnable composition root is
+`tools/fleet_main.py` (admission service + failure watchdog); exercised
+end-to-end by examples/multihost_migrate.py, tests/test_fleet.py, and
+tests/test_fleet_main.py.
 """
 
 from __future__ import annotations

@@ -1,0 +1,326 @@
+"""Runnable fleet controller: admission service + failure watchdog.
+
+`serve_main` is one serving host; this command is the tier above it —
+the process an operator actually runs to stand a FLEET up:
+
+  python -m lyra_tpu.tools.fleet_main \
+      --host a=10.0.0.1:5620:5630 --host b=10.0.0.2:5620:5630 \
+      --standby spare=10.0.0.3:5620:5630 \
+      --capacity 16384 --port 6000 \
+      --snapshot_dir /var/lib/lyra --watch_every 0.5
+
+It owns a `FleetRouter` (tools/fleet.py) and exposes two behaviors:
+
+- **Admission service** (UDP JSON on --port): callers ask for a seat and
+  get back the host's data address + wire slot; `release` frees it.
+  One datagram per command, one JSON reply to the sender (the same
+  envelope as serve_main's control plane, with "req" echo):
+
+    {"cmd": "admit",  "stream": ID}  -> {"ok": true, "host": name,
+                                         "addr": [ip, port], "slot": N}
+    {"cmd": "release","stream": ID}  -> {"ok": true}
+    {"cmd": "locate", "stream": ID}  -> as admit (after a migration the
+                                        addr points at the new host —
+                                        callers re-resolve on RTP silence)
+    {"cmd": "stats"}                 -> {"ok": true, "stats": {...}}
+    {"cmd": "migrate","src": A, "dst": B}
+                                     -> maintenance drain (management op)
+    {"cmd": "quit"}                  -> stop the controller
+
+- **Failure watchdog**: every --watch_every seconds each registered host
+  is pinged (FleetRouter.alive: short probe, ICMP-fast on a crashed
+  process).  A dead ACTIVE host is failed over automatically onto a
+  standby of the same capacity from its periodic snapshot
+  (--snapshot_dir/<name>; run every host with
+  `serve_main --snapshot <dir>/<name> --snapshot_every S`).  A dead
+  STANDBY is reported (it cannot be failed over to).  No standby
+  available is a loud, counted condition — the fleet keeps serving its
+  surviving hosts.
+
+The admission endpoint is caller-facing (admit/release/locate/stats are
+not destructive); the management verbs (migrate/quit) ride the same
+socket for operational simplicity, so in production bind --port on a
+private interface or firewall it like serve_main's control plane
+(DEPLOYMENT.md, Trust boundary).
+
+The reference is a single-process codec with no serving tier (its
+deployment unit is a phone app, lyra/android_example/); this command is
+the TPU fleet's composition root on top of SURVEY §5's distributed
+analog — independent batches per host, composed by routing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import time
+
+from lyra_tpu.tools.fleet import ControlError, FleetRouter, HostControl
+
+
+def _parse_host(spec: str):
+    """name=ip:data_port:control_port[:capacity] -> parsed tuple."""
+    name, _, rest = spec.partition("=")
+    parts = rest.split(":")
+    if not name or len(parts) not in (3, 4):
+        raise argparse.ArgumentTypeError(
+            f"host spec must be name=ip:data_port:control_port[:capacity],"
+            f" got {spec!r}")
+    ip, dport, cport = parts[0], int(parts[1]), int(parts[2])
+    cap = int(parts[3]) if len(parts) == 4 else None
+    return name, ip, dport, cport, cap
+
+
+class _Watchdog:
+    """Failure detection + automatic failover (SURVEY §5: the reference
+    has no process-level fault tolerance; its codec-domain concealment —
+    the PLC machine, reference: lyra/lyra_decoder.cc:228-315 — is exactly
+    what makes this tier's handoffs survivable for the caller)."""
+
+    def __init__(self, router: FleetRouter, snapshot_dir: str | None,
+                 log=print):
+        self._router = router
+        self._snapshot_dir = snapshot_dir
+        self._log = log
+        self.failovers = 0
+        self.failover_errors = 0
+        self.dead_unrecovered: list[str] = []
+
+    def sweep(self) -> None:
+        """One watchdog pass: ping every host, fail over the dead active
+        ones.  Never raises — a watchdog that dies with its patient is
+        useless; errors are counted and logged."""
+        hosts = self._router.hosts()
+        for name, info in list(hosts.items()):
+            if name in self.dead_unrecovered:
+                continue  # already reported; operator action needed
+            if self._router.alive(name):
+                continue
+            if info["standby"]:
+                self._log(f"fleet: standby {name!r} is dead "
+                          "(no failover target lost, but replace it)")
+                self.dead_unrecovered.append(name)
+                continue
+            self._failover(name, info)
+
+    def _failover(self, name: str, info: dict) -> None:
+        if self._snapshot_dir is None:
+            self._log(f"fleet: host {name!r} is dead and --snapshot_dir "
+                      "is not set; cannot fail over")
+            self.failover_errors += 1
+            self.dead_unrecovered.append(name)
+            return
+        standbys = [(n, h) for n, h in self._router.hosts().items()
+                    if h["standby"] and h["capacity"] == info["capacity"]
+                    and n not in self.dead_unrecovered
+                    and self._router.alive(n)]
+        if not standbys:
+            self._log(f"fleet: host {name!r} is dead and no live standby "
+                      f"of capacity {info['capacity']} is registered; its "
+                      "callers are down until one is added")
+            self.failover_errors += 1
+            self.dead_unrecovered.append(name)
+            return
+        dst = standbys[0][0]
+        snap = os.path.join(self._snapshot_dir, name)
+        try:
+            moved = self._router.failover(name, dst, snap)
+        except (ControlError, OSError, RuntimeError) as e:
+            self._log(f"fleet: failover {name!r} -> {dst!r} failed: {e}")
+            self.failover_errors += 1
+            self.dead_unrecovered.append(name)
+            return
+        self.failovers += 1
+        self._log(f"fleet: host {name!r} died; failed over {moved} "
+                  f"streams to {dst!r} from {snap}")
+
+
+def _addr_json(addr):
+    return [addr[0], addr[1]]
+
+
+class _AdmissionService:
+    """UDP JSON endpoint: the fleet's front door for callers (admit /
+    release / locate / stats) plus the operator verbs (migrate / quit).
+    Same wire envelope as serve_main's control plane."""
+
+    def __init__(self, router: FleetRouter, watchdog: _Watchdog,
+                 port: int, bind: str):
+        self._router = router
+        self._watchdog = watchdog
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((bind, port))
+        self._sock.setblocking(False)
+        self.port = self._sock.getsockname()[1]
+        self.admitted = 0
+        self.released = 0
+
+    def stats(self) -> dict:
+        return {"hosts": self._router.hosts(),
+                "admitted": self.admitted, "released": self.released,
+                "failovers": self._watchdog.failovers,
+                "failover_errors": self._watchdog.failover_errors,
+                "dead_unrecovered": list(self._watchdog.dead_unrecovered)}
+
+    def poll(self, snapshot_dir: str | None) -> bool:
+        """Drain queued commands; True means quit."""
+        stop = False
+        while True:
+            try:
+                data, addr = self._sock.recvfrom(64 * 1024)
+            except BlockingIOError:
+                break
+            except OSError:
+                break
+            try:
+                cmd = json.loads(data.decode())
+                if not isinstance(cmd, dict):
+                    raise ValueError("command must be a JSON object")
+            except (ValueError, UnicodeDecodeError) as e:
+                self._reply(addr, {"ok": False, "error": f"bad command: {e}"})
+                continue
+            reply = {"req": cmd.get("req"), "ok": True}
+            name = cmd.get("cmd")
+            try:
+                if name == "admit":
+                    host, data_addr, slot = self._router.admit(
+                        cmd["stream"])
+                    self.admitted += 1
+                    reply.update(host=host, addr=_addr_json(data_addr),
+                                 slot=slot)
+                elif name == "release":
+                    self._router.release(cmd["stream"])
+                    self.released += 1
+                elif name == "locate":
+                    host, data_addr, slot = self._router.locate(
+                        cmd["stream"])
+                    reply.update(host=host, addr=_addr_json(data_addr),
+                                 slot=slot)
+                elif name == "stats":
+                    reply["stats"] = self.stats()
+                elif name == "migrate":
+                    if snapshot_dir is None:
+                        raise RuntimeError(
+                            "migrate needs --snapshot_dir for the drain "
+                            "snapshot")
+                    snap = os.path.join(snapshot_dir,
+                                        f"{cmd['src']}.drain")
+                    reply["moved"] = self._router.migrate(
+                        cmd["src"], cmd["dst"], snap)
+                elif name == "quit":
+                    stop = True
+                else:
+                    reply = {"req": cmd.get("req"), "ok": False,
+                             "error": f"unknown cmd {name!r}"}
+            except Exception as e:  # the fleet outlives a bad request
+                reply = {"req": cmd.get("req"), "ok": False,
+                         "error": f"{type(e).__name__}: {e}"}
+            self._reply(addr, reply)
+        return stop
+
+    def _reply(self, addr, obj) -> None:
+        try:
+            self._sock.sendto(json.dumps(obj).encode(), addr)
+        except OSError:
+            pass  # requester vanished; replies are best-effort
+
+    def close(self) -> None:
+        self._sock.close()
+
+
+def main(argv=None, _on_ready=None, _stop=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--host", action="append", type=_parse_host, default=[],
+                   metavar="NAME=IP:DPORT:CPORT[:CAP]",
+                   help="Register an active serving host (repeatable): "
+                        "its data port and serve_main --control port.")
+    p.add_argument("--standby", action="append", type=_parse_host,
+                   default=[], metavar="NAME=IP:DPORT:CPORT[:CAP]",
+                   help="Register a warm standby (compiled and ticking, "
+                        "excluded from admission until a migration or "
+                        "failover flips it active).")
+    p.add_argument("--capacity", type=int, default=None,
+                   help="Default per-host capacity (streams) for specs "
+                        "without their own :CAP suffix.")
+    p.add_argument("--port", type=int, default=0,
+                   help="Admission endpoint port (0 = ephemeral, printed "
+                        "in the startup line).")
+    p.add_argument("--bind", default="0.0.0.0", metavar="ADDR",
+                   help="Admission bind address.  admit/release are "
+                        "caller-facing, but migrate/quit ride the same "
+                        "socket: firewall it in production (see "
+                        "DEPLOYMENT.md, Trust boundary).")
+    p.add_argument("--snapshot_dir", default=None, metavar="DIR",
+                   help="Where each host's periodic snapshot lives "
+                        "(<DIR>/<name>, i.e. run hosts with serve_main "
+                        "--snapshot <DIR>/<name>).  Required for "
+                        "automatic failover and the migrate command.")
+    p.add_argument("--watch_every", type=float, default=0.5,
+                   help="Watchdog sweep interval in seconds (0 disables "
+                        "failure detection; admission still works).")
+    p.add_argument("--wait_ready", action="store_true",
+                   help="Block until every registered host answers its "
+                        "control ping before opening admission.")
+    p.add_argument("--report_every", type=float, default=10.0)
+    p.add_argument("--seconds", type=float, default=0,
+                   help="Run duration (0 = until quit/SIGINT).")
+    args = p.parse_args(argv)
+
+    if not args.host and not args.standby:
+        p.error("register at least one --host or --standby")
+    if args.watch_every < 0:
+        p.error("--watch_every must be >= 0")
+    caps = [c for *_, c in args.host + args.standby]
+    if args.capacity is None and any(c is None for c in caps):
+        p.error("give --capacity or a :CAP suffix on every host spec")
+
+    router = FleetRouter()
+    controls = {}
+    for standby, specs in ((False, args.host), (True, args.standby)):
+        for name, ip, dport, cport, cap in specs:
+            ctl = HostControl((ip, cport))
+            controls[name] = ctl  # router owns it; kept for wait_ready
+            router.add_host(name, (ip, dport), ctl,
+                            cap if cap is not None else args.capacity,
+                            standby=standby)
+    if args.wait_ready:
+        for ctl in controls.values():
+            ctl.wait_ready()
+
+    watchdog = _Watchdog(router, args.snapshot_dir)
+    svc = _AdmissionService(router, watchdog, args.port, args.bind)
+    print(f"fleet controller on UDP :{svc.port} "
+          f"({len(args.host)} hosts, {len(args.standby)} standbys, "
+          f"watch_every={args.watch_every}s)", flush=True)
+    if _on_ready is not None:
+        _on_ready(svc.port)
+
+    t_end = (time.monotonic() + args.seconds) if args.seconds else None
+    next_watch = time.monotonic() + args.watch_every
+    next_report = time.monotonic() + args.report_every
+    try:
+        while ((t_end is None or time.monotonic() < t_end)
+               and not (_stop is not None and _stop.is_set())):
+            if svc.poll(args.snapshot_dir):
+                break
+            now = time.monotonic()
+            if args.watch_every > 0 and now >= next_watch:
+                next_watch = now + args.watch_every
+                watchdog.sweep()
+            if now >= next_report:
+                next_report = now + args.report_every
+                print(f"fleet: {json.dumps(svc.stats())}", flush=True)
+            time.sleep(0.01)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        print(f"fleet: final {json.dumps(svc.stats())}", flush=True)
+        svc.close()
+        router.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

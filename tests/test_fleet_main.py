@@ -1,0 +1,225 @@
+"""Fleet controller (tools/fleet_main.py) tests: spec parsing, loud flag
+refusals, and the full admission + automatic-failover story in-process —
+two real serve_main hosts, the controller's UDP admission endpoint, a
+SIGKILL-equivalent host death, and the watchdog moving the caller's seat
+to the standby from the periodic snapshot.
+
+The reference has no serving or fleet tier (SURVEY §5: no process-level
+fault tolerance; its concealment machinery, lyra/lyra_decoder.cc:228-315,
+is what makes these handoffs survivable for the caller)."""
+
+import itertools
+import json
+import os
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from lyra_tpu import config
+from lyra_tpu.tools.fleet_main import _parse_host, main as fleet_main
+
+
+def _free_udp_port() -> int:
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class _FleetClient:
+    """Minimal caller-side client for the admission endpoint (same
+    req-token envelope as HostControl)."""
+
+    _req = itertools.count(1)
+
+    def __init__(self, addr):
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.connect(addr)
+        self._sock.settimeout(2.0)
+
+    def request(self, cmd, **fields):
+        req = f"t{next(self._req)}"
+        for _ in range(5):
+            self._sock.send(json.dumps(
+                {"cmd": cmd, "req": req, **fields}).encode())
+            try:
+                while True:
+                    reply = json.loads(self._sock.recv(64 * 1024).decode())
+                    if reply.get("req") == req:
+                        return reply
+            except socket.timeout:
+                continue
+        raise socket.timeout(f"no reply to {cmd!r}")
+
+    def close(self):
+        self._sock.close()
+
+
+def test_parse_host_specs():
+    assert _parse_host("a=10.0.0.1:5620:5630") == (
+        "a", "10.0.0.1", 5620, 5630, None)
+    assert _parse_host("b=127.0.0.1:1:2:4096") == (
+        "b", "127.0.0.1", 1, 2, 4096)
+    import argparse
+
+    for bad in ("a", "a=1.2.3.4:5", "=1.2.3.4:5:6", "a=1.2.3.4:5:6:7:8"):
+        with pytest.raises(argparse.ArgumentTypeError):
+            _parse_host(bad)
+
+
+def test_fleet_main_flag_refusals():
+    """Misconfiguration fails loudly at parse time (repo convention)."""
+    for argv in (
+        [],  # no hosts at all
+        ["--host", "a=127.0.0.1:1:2"],  # no capacity anywhere
+        ["--host", "a=127.0.0.1:1:2:4", "--watch_every", "-1"],
+    ):
+        with pytest.raises(SystemExit):
+            fleet_main(argv=argv)
+
+
+def test_fleet_admission_and_auto_failover(model_path, tmp_path):
+    """End to end in one process: admit a caller through the controller,
+    kill the active host, and the watchdog fails its seat over to the
+    standby from the periodic snapshot — locate() then points the caller
+    at the standby's data address and its packets decode there."""
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    snap_dir = str(tmp_path)
+    echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    echo_rx.bind(("127.0.0.1", 0))
+    echo_rx.settimeout(0.05)
+    echo_port = echo_rx.getsockname()[1]
+
+    def start_host(name, extra):
+        box = {}
+        ready = threading.Event()
+        stop = threading.Event()
+        ctl_port = _free_udp_port()
+        th = threading.Thread(target=serve_main.main, kwargs=dict(
+            argv=["--capacity", "2", "--seconds", "0",
+                  "--max_bitrate", "3200", "--model_path", model_path,
+                  "--playout_delay", "1", "--report_every", "30",
+                  "--echo", f"127.0.0.1:{echo_port}",
+                  "--control", str(ctl_port)] + extra,
+            _on_ready=lambda port: (box.update(port=port), ready.set()),
+            _stop=stop))
+        th.start()
+        assert ready.wait(120), f"host {name} never bound its port"
+        return th, stop, box["port"], ctl_port
+
+    th_a, stop_a, port_a, ctl_a = start_host(
+        "a", ["--snapshot", os.path.join(snap_dir, "a"),
+              "--snapshot_every", "0.3"])
+    th_b, stop_b, port_b, ctl_b = start_host("spare", [])
+
+    fleet_box = {}
+    fleet_ready = threading.Event()
+    fleet_stop = threading.Event()
+    th_f = threading.Thread(target=fleet_main, kwargs=dict(
+        argv=["--host", f"a=127.0.0.1:{port_a}:{ctl_a}:2",
+              "--standby", f"spare=127.0.0.1:{port_b}:{ctl_b}:2",
+              "--snapshot_dir", snap_dir, "--watch_every", "0.3",
+              "--wait_ready", "--report_every", "60", "--seconds", "0"],
+        _on_ready=lambda port: (fleet_box.update(port=port),
+                                fleet_ready.set()),
+        _stop=fleet_stop))
+    th_f.start()
+    cli = None
+    try:
+        assert fleet_ready.wait(180), "controller never came up"
+        cli = _FleetClient(("127.0.0.1", fleet_box["port"]))
+
+        # Admission: a seat on the only active host.
+        seat = cli.request("admit", stream="caller1")
+        assert seat["ok"] and seat["host"] == "a"
+        assert seat["addr"] == ["127.0.0.1", port_a]
+        slot = seat["slot"]
+        # Double admission is refused loudly; stats show the occupancy.
+        assert not cli.request("admit", stream="caller1")["ok"]
+        st = cli.request("stats")["stats"]
+        assert st["hosts"]["a"]["occupied"] == 1
+        assert st["hosts"]["spare"]["standby"] is True
+
+        # Drive real packets at host A until it decodes (first tick
+        # compiles), which also guarantees a periodic snapshot cycle ran.
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        wire = pkt.pack_indices_batch(np.zeros((1, 16), np.int32), 64)
+        got = None
+        deadline = time.time() + 180
+        seq = 0
+        while got is None and time.time() < deadline:
+            tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                      + wire[0].tobytes(), ("127.0.0.1", port_a))
+            seq += 1
+            try:
+                got = echo_rx.recvfrom(4096)[0]
+            except socket.timeout:
+                pass
+        assert got is not None, "host A never decoded"
+        deadline = time.time() + 30
+        while (not os.path.exists(os.path.join(snap_dir, "a.npz"))
+               and time.time() < deadline):
+            time.sleep(0.05)
+        assert os.path.exists(os.path.join(snap_dir, "a.npz"))
+
+        # Host A dies (stop event = the in-process SIGKILL; its control
+        # socket closes, so pings get ICMP-refused in microseconds).
+        stop_a.set()
+        th_a.join(timeout=120)
+        assert not th_a.is_alive()
+
+        # The watchdog notices and fails over to the standby.
+        deadline = time.time() + 60
+        st = None
+        while time.time() < deadline:
+            st = cli.request("stats")["stats"]
+            if st["failovers"] == 1:
+                break
+            time.sleep(0.2)
+        assert st is not None and st["failovers"] == 1, st
+        assert st["failover_errors"] == 0, st
+        assert "a" not in st["hosts"]  # dead host deregistered
+        assert st["hosts"]["spare"]["standby"] is False  # carries calls
+
+        # The caller re-resolves and lands on the standby, same slot.
+        loc = cli.request("locate", stream="caller1")
+        assert loc["host"] == "spare"
+        assert loc["addr"] == ["127.0.0.1", port_b]
+        assert loc["slot"] == slot
+
+        # And its packets decode on the standby.
+        got = None
+        deadline = time.time() + 60
+        while got is None and time.time() < deadline:
+            tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                      + wire[0].tobytes(), ("127.0.0.1", port_b))
+            seq += 1
+            try:
+                got = echo_rx.recvfrom(4096)[0]
+            except socket.timeout:
+                pass
+        tx.close()
+        assert got is not None, "standby never decoded after failover"
+        assert len(got) == 6 + 320 * 2
+
+        # Release frees the seat; quit stops the controller.
+        assert cli.request("release", stream="caller1")["ok"]
+        assert cli.request("quit")["ok"]
+        th_f.join(timeout=60)
+        assert not th_f.is_alive()
+    finally:
+        if cli is not None:
+            cli.close()
+        fleet_stop.set()
+        for stop, th in ((stop_a, th_a), (stop_b, th_b)):
+            stop.set()
+        for th in (th_f, th_a, th_b):
+            th.join(timeout=120)
+            assert not th.is_alive()
+        echo_rx.close()

@@ -29,11 +29,15 @@ def test_packet_roundtrip_property(bits_i, batch, seed):
 class _JitterBufferModel:
     """Python mirror of native/jitter_buffer.cc single-stream semantics:
     playout-delay absorption, in-window filing, dup detection, and the
-    out-of-window streak resync on EITHER side (3 consecutive late or
-    overflow inserts repoint the playout schedule — the warm-standby /
-    stalled-receiver recovery)."""
+    out-of-window streak resync on EITHER side.  The streak threshold
+    discriminates by class: overflow and FAR-late (a real desync — the
+    gap never closes on its own) resync after 3 consecutive inserts;
+    NEAR-late (within one ring depth behind head) is ambiguous with a
+    transient delay burst and needs 25 — see kNearLateResyncAfter in
+    native/jitter_buffer.cc."""
 
     RESYNC_AFTER = 3
+    NEAR_LATE_RESYNC_AFTER = 25
 
     def __init__(self, depth: int, playout_delay: int):
         self.depth = depth
@@ -46,8 +50,11 @@ class _JitterBufferModel:
         if seq < 0:
             return 2  # corrupt header: counted late, never a resync target
         if seq < self.head or seq >= self.head + self.depth:
+            near_late = self.head - self.depth <= seq < self.head
+            limit = (self.NEAR_LATE_RESYNC_AFTER if near_late
+                     else self.RESYNC_AFTER)
             self.streak += 1
-            if self.streak < self.RESYNC_AFTER:
+            if self.streak < limit:
                 return 2 if seq < self.head else 4
             self.streak = 0
             self.head = seq
