@@ -115,6 +115,12 @@ class HostControl:
         serve loop).  The reply arrives before the stop."""
         return self.request("drain", path=path)
 
+    def set_bitrate(self, slot: int, bitrate: int) -> dict:
+        """Per-stream mid-call downlink bitrate (encode/bridge hosts;
+        reference: lyra/lyra_encoder.cc:158-166 set_bitrate).  Idempotent,
+        so UDP-retry safe like the rest of the verbs."""
+        return self.request("set_bitrate", slot=slot, bitrate=bitrate)
+
     def quit(self) -> dict:
         return self.request("quit")
 

@@ -75,6 +75,10 @@ class _Control:
       {"cmd": "restore", "path": P}        -> swap in a snapshot mid-flight
                                               (warm-standby handoff)
       {"cmd": "drain", "path": P}          -> snapshot, then stop serving
+      {"cmd": "set_bitrate", "slot": N,
+       "bitrate": B}                       -> per-stream downlink bitrate
+                                              (encode/bridge; a congestion
+                                              controller's knob)
       {"cmd": "quit"}                      -> stop serving
 
     save/restore/drain flush the async pipeline first (enforced by the
@@ -142,6 +146,21 @@ class _Control:
                     tr = server.restore(cmd["path"])
                     if transport_restore is not None:
                         transport_restore(tr)
+                elif name == "set_bitrate":
+                    # Mid-call per-stream rate change (reference:
+                    # lyra/lyra_encoder.cc:158-166 set_bitrate) — the knob
+                    # an operator's congestion controller turns.  Takes
+                    # effect at the next tick; the async wire path
+                    # snapshots per-row bits at submit time, so an
+                    # in-flight tick still packs with the config its
+                    # indices were encoded for.
+                    if not hasattr(server, "set_bitrate"):
+                        raise RuntimeError(
+                            "set_bitrate needs an encoder side (encode or "
+                            "bridge mode); decode follows each packet's "
+                            "wire size")
+                    server.set_bitrate(int(cmd["slot"]),
+                                       int(cmd["bitrate"]))
                 elif name == "quit":
                     stop = True
                 else:

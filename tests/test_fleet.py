@@ -303,6 +303,10 @@ def test_restore_flag_resumes_snapshot(model_path, tmp_path):
         # The snapshot's slot table came through: 1 active stream, not
         # the 2 a fresh host would have admitted.
         assert ctl.stats()["active"] == 1
+        # Decode hosts follow each packet's wire size; set_bitrate is an
+        # encoder-side verb and must be refused loudly, not ignored.
+        with pytest.raises(ControlError, match="encoder side"):
+            ctl.set_bitrate(0, 6000)
     finally:
         stop.set()
         th.join(timeout=120)
@@ -311,3 +315,84 @@ def test_restore_flag_resumes_snapshot(model_path, tmp_path):
 
     with pytest.raises(ValueError):
         DecoderServer(4, model_path=model_path).restore(snap)
+
+def test_set_bitrate_mid_call(model_path):
+    """The congestion-controller knob end to end: an encode host changes
+    one stream's downlink bitrate mid-call over the control plane
+    (reference: lyra/lyra_encoder.cc:158-166 set_bitrate) — the relayed
+    packets shrink from 9.2 kbps (23 B) to 3.2 kbps (8 B) while the other
+    slot keeps its rate; bad rates and bad slots are refused loudly."""
+    from lyra_tpu import config
+    from lyra_tpu.tools import serve_main
+
+    echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    echo_rx.bind(("127.0.0.1", 0))
+    echo_rx.settimeout(0.05)
+    echo_port = echo_rx.getsockname()[1]
+
+    ready = threading.Event()
+    stop = threading.Event()
+    box = {}
+    ctl_port = _free_udp_port()
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--mode", "encode", "--capacity", "2", "--seconds", "0",
+              "--bitrate", "9200", "--max_bitrate", "9200",
+              "--model_path", model_path, "--report_every", "30",
+              "--ingest", "python", "--echo", f"127.0.0.1:{echo_port}",
+              "--control", str(ctl_port)],
+        _on_ready=lambda port: (box.update(port=port), ready.set()),
+        _stop=stop))
+    th.start()
+    ctl = HostControl(("127.0.0.1", ctl_port))
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        assert ready.wait(120), "encode host never bound its port"
+        t = np.arange(320) / 16000.0
+        hop = (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+        seq = 0
+
+        def pump_until_size(want, deadline_s=180):
+            """Drive PCM into both slots until slot 0 relays a packet of
+            `want` bytes; returns the sizes seen for slot 1 meanwhile."""
+            nonlocal seq
+            other = set()
+            t_end = time.time() + deadline_s
+            while time.time() < t_end:
+                for slot in (0, 1):
+                    tx.sendto(slot.to_bytes(2, "big")
+                              + seq.to_bytes(4, "big") + hop.tobytes(),
+                              ("127.0.0.1", box["port"]))
+                seq += 1
+                try:
+                    got = echo_rx.recvfrom(4096)[0]
+                except socket.timeout:
+                    continue
+                slot = int.from_bytes(got[:2], "big")
+                if slot == 1:
+                    other.add(len(got) - 6)
+                elif len(got) - 6 == want:
+                    return other
+            raise AssertionError(f"slot 0 never relayed a {want}-byte packet")
+
+        wide = config.packet_size(184)   # 9.2 kbps
+        narrow = config.packet_size(64)  # 3.2 kbps
+        pump_until_size(wide)  # first tick compiles; both slots at 9.2
+
+        assert ctl.set_bitrate(0, 3200)["ok"]
+        other = pump_until_size(narrow)
+        assert other == {wide}, f"slot 1 should stay at 9.2 kbps: {other}"
+
+        # Refusals: unsupported rate, slot out of range — the host keeps
+        # serving (the next stats call still answers).
+        with pytest.raises(ControlError):
+            ctl.set_bitrate(0, 1234)
+        with pytest.raises(ControlError):
+            ctl.set_bitrate(7, 3200)
+        assert ctl.stats()["mode"] == "encode"
+    finally:
+        tx.close()
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive()
+        ctl.close()
+        echo_rx.close()
