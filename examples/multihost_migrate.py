@@ -38,6 +38,16 @@ is SIGKILLed mid-call, declared dead when pings stop answering, and its
 calls resume on B from the last snapshot (FleetRouter.failover).  The
 same gap metric applies — the stale conv context costs a quality
 transient, not a protocol break.
+
+--controller runs the fleet tier as a THIRD real process (`python -m
+lyra_tpu.tools.fleet_main`): callers admit and re-resolve their seats
+over its UDP JSON admission endpoint, the drain is the controller's
+`migrate` verb, and in --failover the controller's WATCHDOG detects the
+SIGKILL and fails over on its own — this example just keeps streaming at
+the dead address (as a real caller would) and polls `locate` until the
+seat flips to B.  The measured gap then includes the watchdog's
+detection latency, the closest thing to production topology this stack
+can demonstrate on one machine.
 """
 
 import argparse
@@ -64,6 +74,68 @@ def _free_udp_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+class _Admission:
+    """Caller-side client for fleet_main's UDP admission endpoint (same
+    req-token envelope as HostControl; see tools/fleet_main.py)."""
+
+    def __init__(self, addr):
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.connect(addr)
+        self._sock.settimeout(2.0)
+        self._req = 0
+
+    def request(self, cmd, **fields):
+        import json
+
+        self._req += 1
+        token = f"x{self._req}"
+        for _ in range(5):
+            self._sock.send(json.dumps(
+                {"cmd": cmd, "req": token, **fields}).encode())
+            try:
+                while True:
+                    reply = json.loads(self._sock.recv(64 * 1024).decode())
+                    if reply.get("req") == token:
+                        if not reply.get("ok"):
+                            raise RuntimeError(reply.get("error"))
+                        return reply
+            except socket.timeout:
+                continue
+        raise socket.timeout(f"no controller reply to {cmd!r}")
+
+    def seat(self, cmd, stream):
+        r = self.request(cmd, stream=stream)
+        return r["host"], (r["addr"][0], r["addr"][1]), r["slot"]
+
+    def close(self):
+        self._sock.close()
+
+
+def _spawn_controller(ports: dict, cap: int, snap_dir: str, log_dir: str,
+                      watch_every: float) -> tuple:
+    """Start fleet_main as its own process; returns (Popen, _Admission)."""
+    port = _free_udp_port()
+    log = open(os.path.join(log_dir, "controller.log"), "w")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "lyra_tpu.tools.fleet_main",
+         "--host", f"A=127.0.0.1:{ports['A'][0]}:{ports['A'][1]}:{cap}",
+         "--standby", f"B=127.0.0.1:{ports['B'][0]}:{ports['B'][1]}:{cap}",
+         "--snapshot_dir", snap_dir, "--watch_every", str(watch_every),
+         "--port", str(port), "--report_every", "60", "--seconds", "0"],
+        stdout=log, stderr=subprocess.STDOUT,
+        cwd=os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+    adm = _Admission(("127.0.0.1", port))
+    deadline = time.time() + 60
+    while True:  # the controller answers stats once its socket is up
+        try:
+            adm.request("stats")
+            return proc, adm
+        except (socket.timeout, ConnectionRefusedError):
+            if time.time() > deadline:
+                raise RuntimeError("fleet controller never came up")
+            time.sleep(0.2)
 
 
 def _spawn_host(name: str, data_port: int, ctl_port: int, collector: int,
@@ -96,6 +168,13 @@ def main(argv=None) -> int:
     p.add_argument("--snapshot_every", type=float, default=0.5,
                    help="Failover mode: host A's periodic snapshot "
                         "cadence (its staleness bound).")
+    p.add_argument("--controller", action="store_true",
+                   help="Run the fleet tier as a third real process "
+                        "(tools/fleet_main.py): admission and locate over "
+                        "its UDP endpoint; in --failover its watchdog "
+                        "detects the crash and fails over autonomously.")
+    p.add_argument("--watch_every", type=float, default=0.3,
+                   help="Controller mode: watchdog sweep interval.")
     p.add_argument("--log_dir", default="/tmp/lyra_tpu_multihost")
     args = p.parse_args(argv)
     os.makedirs(args.log_dir, exist_ok=True)
@@ -126,8 +205,12 @@ def main(argv=None) -> int:
 
     ports = {n: (_free_udp_port(), _free_udp_port()) for n in ("A", "B")}
     procs = {}
-    router = FleetRouter()
-    snap = os.path.join(tempfile.mkdtemp(dir=args.log_dir), "snapA")
+    ctls = {}
+    router = None if args.controller else FleetRouter()
+    controller = adm = None
+    snap_dir = tempfile.mkdtemp(dir=args.log_dir)
+    # fleet_main's failover convention is --snapshot_dir/<host name>.
+    snap = os.path.join(snap_dir, "A" if args.controller else "snapA")
     try:
         # Sequential startup: one first-tick compile at a time.
         for name in ("A", "B"):
@@ -141,14 +224,26 @@ def main(argv=None) -> int:
                                       args.log_dir, extra)
             ctl = HostControl(("127.0.0.1", ctl_port))
             ctl.wait_ready(180)
-            router.add_host(name, ("127.0.0.1", data_port), ctl, cap,
-                            standby=name == "B")
+            ctls[name] = ctl
+            if router is not None:
+                router.add_host(name, ("127.0.0.1", data_port), ctl, cap,
+                                standby=name == "B")
             print(f"host {name} ready (data :{data_port}, "
                   f"control :{ctl_port}"
                   + (", standby" if name == "B" else "") + ")", flush=True)
+        if args.controller:
+            controller, adm = _spawn_controller(
+                ports, cap, snap_dir, args.log_dir, args.watch_every)
+            print("fleet controller up (third process)", flush=True)
+
+        def admit(sid):
+            return adm.seat("admit", sid) if adm else router.admit(sid)
+
+        def locate(sid):
+            return adm.seat("locate", sid) if adm else router.locate(sid)
 
         # Seat every caller: B is a warm standby, so they all land on A.
-        seats = {c: router.admit(f"caller{c}") for c in range(cap)}
+        seats = {c: admit(f"caller{c}") for c in range(cap)}
         assert all(s[0] == "A" for s in seats.values()), (
             "expected all callers seated on A")
 
@@ -169,10 +264,12 @@ def main(argv=None) -> int:
         t_migrate = None
 
         def send_tick():
+            # Real callers aim at their cached seat; a migration re-aims
+            # them via the explicit locate() refresh after the cutover.
             nonlocal seq
             cycle = packets[seq % len(packets)]
             for c in range(cap):
-                _, data_addr, slot = router.locate(f"caller{c}")
+                _, data_addr, slot = seats[c]
                 tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
                           + cycle[c], data_addr)
             seq += 1
@@ -185,7 +282,28 @@ def main(argv=None) -> int:
             send_tick()
 
         t_migrate = time.perf_counter()
-        if args.failover:
+        if args.failover and adm is not None:
+            # The controller's watchdog owns detection AND recovery; this
+            # process behaves like a real caller — keeps streaming at the
+            # dead address on the 20 ms grid and polls locate until its
+            # seat flips to the standby.
+            procs["A"].kill()  # simulated crash: no drain, no goodbye
+            procs["A"].wait(timeout=30)
+            flip_deadline = time.perf_counter() + 30
+            next_tick = time.perf_counter()
+            while True:
+                while time.perf_counter() < next_tick:
+                    time.sleep(0.001)
+                next_tick = max(next_tick, time.perf_counter()) + 0.02
+                send_tick()
+                if seq % 3 == 0 and locate("caller0")[0] != "A":
+                    break
+                if time.perf_counter() > flip_deadline:
+                    raise RuntimeError("the watchdog never failed over")
+            moved = cap
+            verb = ("failed over", "autonomous watchdog detection + "
+                                   "stale-snapshot restore")
+        elif args.failover:
             procs["A"].kill()  # simulated crash: no drain, no goodbye
             procs["A"].wait(timeout=30)
             while router.alive("A", timeout=0.2, retries=1):
@@ -193,9 +311,15 @@ def main(argv=None) -> int:
             moved = router.failover("A", "B", snap)
             verb = ("failed over", "death detection + stale-snapshot "
                                    "restore")
+        elif adm is not None:
+            moved = adm.request("migrate", src="A", dst="B")["moved"]
+            verb = ("migrated", "controller drain + restore")
         else:
             moved = router.migrate("A", "B", snap)
             verb = ("migrated", "control drain + restore")
+        for c in range(cap):  # callers re-resolve their seats
+            seats[c] = locate(f"caller{c}")
+        assert all(s[0] == "B" for s in seats.values())
         t_migrated = time.perf_counter()
         print(f"{verb[0]} {moved} streams A→B in "
               f"{(t_migrated - t_migrate) * 1e3:.0f} ms ({verb[1]})",
@@ -210,13 +334,22 @@ def main(argv=None) -> int:
             next_tick = max(next_tick, time.perf_counter()) + 0.02
             send_tick()
 
-        b_stats = router._hosts["B"].control.stats()
+        b_stats = ctls["B"].stats()
         print(f"host B after cutover: ticks={b_stats['ticks']} "
               f"occupied={b_stats['occupied']}/{b_stats['capacity']} "
               f"jb={b_stats['jb']}", flush=True)
-        router._hosts["B"].control.quit()
+        ctls["B"].quit()
         procs["B"].wait(timeout=60)
     finally:
+        if adm is not None:
+            try:
+                adm.request("quit")
+            except (socket.timeout, RuntimeError, OSError):
+                pass  # already down; terminate below
+            adm.close()
+        if controller is not None and controller.poll() is None:
+            controller.terminate()
+            controller.wait(timeout=30)
         for name, proc in procs.items():
             if proc.poll() is None:
                 proc.terminate()
@@ -224,7 +357,11 @@ def main(argv=None) -> int:
         col_stop.set()
         col_thread.join(timeout=5)
         col.close()
-        router.close()
+        if router is not None:
+            router.close()
+        else:
+            for ctl in ctls.values():
+                ctl.close()
 
     # Analysis: per caller, the longest gap between consecutive
     # speech-level downlink hops (tone RMS decodes well above 1000; CNG
