@@ -223,3 +223,108 @@ def test_fleet_admission_and_auto_failover(model_path, tmp_path):
             th.join(timeout=120)
             assert not th.is_alive()
         echo_rx.close()
+
+class _FakeControl:
+    """Duck-typed HostControl for watchdog unit tests (same pattern as
+    tests/test_fleet.py); dead=True times out like a crashed process,
+    fail_restore=True makes the standby reject the snapshot."""
+
+    def __init__(self, dead=False, fail_restore=False):
+        self.dead = dead
+        self.fail_restore = fail_restore
+        self.calls = []
+
+    def request(self, cmd, _timeout=None, _retries=None, **fields):
+        self.calls.append((cmd, fields))
+        if self.dead:
+            raise socket.timeout("host is dead")
+        return {"ok": True}
+
+    def restore(self, path):
+        self.calls.append(("restore", path))
+        if self.fail_restore:
+            from lyra_tpu.tools.fleet import ControlError
+
+            raise ControlError("snapshot capacity mismatch")
+        return {"ok": True}
+
+    def close(self):
+        pass
+
+
+def _watchdog_fixture(snapshot_dir="/tmp/snaps", fail_restore=False):
+    """A router with active host a (1 caller) + standby spare, and a
+    quiet-logging watchdog over it."""
+    from lyra_tpu.tools.fleet import FleetRouter
+    from lyra_tpu.tools.fleet_main import _Watchdog
+
+    r = FleetRouter()
+    ctls = {"a": _FakeControl(),
+            "spare": _FakeControl(fail_restore=fail_restore)}
+    r.add_host("a", ("127.0.0.1", 1), ctls["a"], 2)
+    r.add_host("spare", ("127.0.0.1", 2), ctls["spare"], 2, standby=True)
+    r.admit("caller")
+    logs = []
+    wd = _Watchdog(r, snapshot_dir, log=logs.append)
+    return r, ctls, wd, logs
+
+
+def test_watchdog_healthy_sweep_is_quiet():
+    r, ctls, wd, logs = _watchdog_fixture()
+    wd.sweep()
+    assert wd.failovers == 0 and wd.failover_errors == 0
+    assert not wd.dead_unrecovered and not logs
+
+
+def test_watchdog_fails_over_dead_active_host_once():
+    r, ctls, wd, logs = _watchdog_fixture()
+    ctls["a"].dead = True
+    wd.sweep()
+    assert wd.failovers == 1 and wd.failover_errors == 0
+    assert r.locate("caller")[0] == "spare"
+    assert "a" not in r.hosts()
+    assert ("restore", os.path.join("/tmp/snaps", "a")) in ctls["spare"].calls
+    # Next sweeps see a healthy fleet (spare active, a gone): no churn.
+    wd.sweep()
+    assert wd.failovers == 1 and len(logs) == 1
+
+
+def test_watchdog_dead_standby_is_reported_not_failed_over():
+    r, ctls, wd, logs = _watchdog_fixture()
+    ctls["spare"].dead = True
+    wd.sweep()
+    assert wd.failovers == 0 and wd.failover_errors == 0
+    assert wd.dead_unrecovered == ["spare"]
+    assert any("standby" in line for line in logs)
+    wd.sweep()  # reported once, not every sweep
+    assert len(logs) == 1
+    # The dead standby is excluded as a failover target: when a also
+    # dies, the sweep counts an error instead of restoring into a corpse.
+    ctls["a"].dead = True
+    wd.sweep()
+    assert wd.failovers == 0 and wd.failover_errors == 1
+    assert ("restore", os.path.join("/tmp/snaps", "a")) not in ctls["spare"].calls
+
+
+def test_watchdog_without_snapshot_dir_counts_the_error():
+    r, ctls, wd, logs = _watchdog_fixture(snapshot_dir=None)
+    ctls["a"].dead = True
+    wd.sweep()
+    assert wd.failovers == 0 and wd.failover_errors == 1
+    assert wd.dead_unrecovered == ["a"]
+    assert any("snapshot_dir" in line for line in logs)
+    # The host stays registered (operator action needed), but the sweep
+    # never retries a reported host.
+    wd.sweep()
+    assert wd.failover_errors == 1
+
+
+def test_watchdog_failed_restore_is_counted_and_not_retried():
+    r, ctls, wd, logs = _watchdog_fixture(fail_restore=True)
+    ctls["a"].dead = True
+    wd.sweep()
+    assert wd.failovers == 0 and wd.failover_errors == 1
+    assert wd.dead_unrecovered == ["a"]
+    assert any("failed" in line for line in logs)
+    wd.sweep()
+    assert wd.failover_errors == 1  # no retry storm against a bad snapshot
