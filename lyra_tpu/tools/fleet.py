@@ -232,6 +232,13 @@ class FleetRouter:
         name, slot = self._streams[stream_id]
         return name, self._hosts[name].data_addr, slot
 
+    def set_bitrate(self, stream_id, bitrate: int) -> None:
+        """Relay a per-stream mid-call rate change to the stream's host
+        (encode/bridge hosts; a decode host refuses — it follows wire
+        sizes).  The fleet-level knob a congestion controller turns."""
+        name, slot = self._streams[stream_id]
+        self._hosts[name].control.set_bitrate(slot, bitrate)
+
     def alive(self, name: str, timeout: float = 0.5,
               retries: int = 2) -> bool:
         """Failure detection: does the host's serve loop still answer

@@ -18,10 +18,15 @@ It owns a `FleetRouter` (tools/fleet.py) and exposes two behaviors:
 
     {"cmd": "admit",  "stream": ID}  -> {"ok": true, "host": name,
                                          "addr": [ip, port], "slot": N}
+      (+ optional "bitrate": B on encode/bridge fleets — relayed to the
+       host's set_bitrate; a refused rate frees the seat again)
     {"cmd": "release","stream": ID}  -> {"ok": true}
     {"cmd": "locate", "stream": ID}  -> as admit (after a migration the
                                         addr points at the new host —
                                         callers re-resolve on RTP silence)
+    {"cmd": "set_bitrate", "stream": ID, "bitrate": B}
+                                     -> mid-call rate change, relayed to
+                                        the stream's current host
     {"cmd": "stats"}                 -> {"ok": true, "stats": {...}}
     {"cmd": "migrate","src": A, "dst": B}
                                      -> maintenance drain (management op)
@@ -187,6 +192,18 @@ class _AdmissionService:
                 if name == "admit":
                     host, data_addr, slot = self._router.admit(
                         cmd["stream"])
+                    if "bitrate" in cmd:
+                        # Caller-requested downlink rate (encode/bridge
+                        # fleets).  All-or-nothing: a refused rate (bad
+                        # value, decode host) frees the seat again —
+                        # otherwise the caller retries admit and leaks a
+                        # slot per attempt.
+                        try:
+                            self._router.set_bitrate(
+                                cmd["stream"], int(cmd["bitrate"]))
+                        except Exception:
+                            self._router.release(cmd["stream"])
+                            raise
                     self.admitted += 1
                     reply.update(host=host, addr=_addr_json(data_addr),
                                  slot=slot)
@@ -198,6 +215,9 @@ class _AdmissionService:
                         cmd["stream"])
                     reply.update(host=host, addr=_addr_json(data_addr),
                                  slot=slot)
+                elif name == "set_bitrate":
+                    self._router.set_bitrate(cmd["stream"],
+                                             int(cmd["bitrate"]))
                 elif name == "stats":
                     reply["stats"] = self.stats()
                 elif name == "migrate":

@@ -328,3 +328,55 @@ def test_watchdog_failed_restore_is_counted_and_not_retried():
     assert any("failed" in line for line in logs)
     wd.sweep()
     assert wd.failover_errors == 1  # no retry storm against a bad snapshot
+
+def test_admission_with_bitrate_relays_and_rolls_back():
+    """admit+bitrate relays set_bitrate to the seat's host; a refused
+    rate frees the seat (all-or-nothing), and the standalone set_bitrate
+    verb reaches the stream's current host mid-call."""
+    from lyra_tpu.tools.fleet import ControlError, FleetRouter
+    from lyra_tpu.tools.fleet_main import _AdmissionService, _Watchdog
+
+    class _RateControl(_FakeControl):
+        def set_bitrate(self, slot, bitrate):
+            self.calls.append(("set_bitrate", slot, bitrate))
+            if bitrate not in (3200, 6000, 9200):
+                raise ControlError("ValueError: unsupported bitrate")
+            return {"ok": True}
+
+    r = FleetRouter()
+    ctl = _RateControl()
+    r.add_host("a", ("127.0.0.1", 1), ctl, 2)
+    svc = _AdmissionService(r, _Watchdog(r, None, log=lambda *_: None),
+                            0, "127.0.0.1")
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            svc.poll(None)
+            time.sleep(0.002)
+
+    th = threading.Thread(target=pump)
+    th.start()
+    cli = _FleetClient(("127.0.0.1", svc.port))
+    try:
+        seat = cli.request("admit", stream="c1", bitrate=6000)
+        assert seat["ok"] and seat["slot"] == 0
+        assert ("set_bitrate", 0, 6000) in ctl.calls
+
+        # Mid-call change through the controller.
+        assert cli.request("set_bitrate", stream="c1", bitrate=9200)["ok"]
+        assert ("set_bitrate", 0, 9200) in ctl.calls
+        bad = cli.request("set_bitrate", stream="c1", bitrate=1234)
+        assert not bad["ok"] and "bitrate" in bad["error"]
+
+        # A refused rate at admission frees the seat again.
+        refused = cli.request("admit", stream="c2", bitrate=1234)
+        assert not refused["ok"]
+        retry = cli.request("admit", stream="c2", bitrate=3200)
+        assert retry["ok"] and retry["slot"] == 1
+    finally:
+        stop.set()
+        th.join(timeout=10)
+        cli.close()
+        svc.close()
+        r.close()
