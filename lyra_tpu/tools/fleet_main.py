@@ -30,6 +30,14 @@ It owns a `FleetRouter` (tools/fleet.py) and exposes two behaviors:
     {"cmd": "stats"}                 -> {"ok": true, "stats": {...}}
     {"cmd": "migrate","src": A, "dst": B}
                                      -> maintenance drain (management op)
+    {"cmd": "add_host", "spec": "name=ip:dport:cport:cap",
+     "standby": bool}                -> runtime fleet growth / dead-host
+                                        replacement (resets the
+                                        watchdog's retry suppression, so
+                                        a stuck failover retries against
+                                        the new target)
+    {"cmd": "remove_host", "host": N}-> deregister (refused while it
+                                        carries streams)
     {"cmd": "quit"}                  -> stop the controller
 
 - **Failure watchdog**: every --watch_every seconds each registered host
@@ -92,6 +100,14 @@ class _Watchdog:
         self.failovers = 0
         self.failover_errors = 0
         self.dead_unrecovered: list[str] = []
+
+    def notify_fleet_changed(self) -> None:
+        """The dead_unrecovered list exists to stop retry storms against
+        an UNCHANGED fleet (a dead host with no failover target stays
+        dead).  A runtime add_host/remove_host changes the premise — a
+        freshly added standby may be exactly the missing target — so the
+        suppression resets and the next sweep retries every dead host."""
+        self.dead_unrecovered.clear()
 
     def sweep(self) -> None:
         """One watchdog pass: ping every host, fail over the dead active
@@ -218,6 +234,29 @@ class _AdmissionService:
                 elif name == "set_bitrate":
                     self._router.set_bitrate(cmd["stream"],
                                              int(cmd["bitrate"]))
+                elif name == "add_host":
+                    # Runtime fleet growth / dead-host replacement: same
+                    # spec grammar as the --host flag, capacity required
+                    # (there is no --capacity default to fall back on).
+                    hname, ip, dport, cport, cap = _parse_host(cmd["spec"])
+                    if cap is None:
+                        raise ValueError(
+                            "runtime add_host spec needs :CAP "
+                            "(name=ip:dport:cport:capacity)")
+                    ctl = HostControl((ip, cport))
+                    try:
+                        self._router.add_host(
+                            hname, (ip, dport), ctl, cap,
+                            standby=bool(cmd.get("standby", False)))
+                    except Exception:
+                        ctl.close()
+                        raise
+                    self._watchdog.notify_fleet_changed()
+                elif name == "remove_host":
+                    # Refused while the host carries streams (FleetRouter
+                    # fails loudly) — migrate them first.
+                    self._router.remove_host(cmd["host"])
+                    self._watchdog.notify_fleet_changed()
                 elif name == "stats":
                     reply["stats"] = self.stats()
                 elif name == "migrate":

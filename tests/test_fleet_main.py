@@ -380,3 +380,77 @@ def test_admission_with_bitrate_relays_and_rolls_back():
         cli.close()
         svc.close()
         r.close()
+
+def test_runtime_add_host_unsticks_a_failed_failover(monkeypatch):
+    """The operator story for a stuck failover: host a dies with NO
+    standby registered (error counted, retries suppressed); adding a
+    standby at runtime via the add_host verb resets the suppression and
+    the next sweep fails a's callers over to it.  remove_host refuses
+    while a host carries streams and works once it is empty."""
+    from lyra_tpu.tools import fleet_main
+    from lyra_tpu.tools.fleet import FleetRouter
+    from lyra_tpu.tools.fleet_main import _AdmissionService, _Watchdog
+
+    r = FleetRouter()
+    ctl_a = _FakeControl()
+    r.add_host("a", ("127.0.0.1", 1), ctl_a, 2)
+    r.admit("caller")
+    logs = []
+    wd = _Watchdog(r, "/tmp/snaps", log=logs.append)
+    svc = _AdmissionService(r, wd, 0, "127.0.0.1")
+
+    # The runtime-added host's HostControl must be a fake too: intercept
+    # construction (the admission service builds it from the spec).
+    spare_ctl = _FakeControl()
+    monkeypatch.setattr(fleet_main, "HostControl",
+                        lambda addr, **kw: spare_ctl)
+
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            svc.poll(None)
+            time.sleep(0.002)
+
+    th = threading.Thread(target=pump)
+    th.start()
+    cli = _FleetClient(("127.0.0.1", svc.port))
+    try:
+        # a dies; no standby -> failover error, retries suppressed.
+        ctl_a.dead = True
+        wd.sweep()
+        assert wd.failover_errors == 1 and wd.dead_unrecovered == ["a"]
+        wd.sweep()
+        assert wd.failover_errors == 1  # suppressed
+
+        # Spec without capacity is refused; malformed spec is refused.
+        bad = cli.request("add_host", spec="spare=127.0.0.1:3:4")
+        assert not bad["ok"] and "CAP" in bad["error"]
+        assert not cli.request("add_host", spec="nonsense")["ok"]
+
+        # Runtime standby registration resets the suppression...
+        ok = cli.request("add_host", spec="spare=127.0.0.1:3:4:2",
+                         standby=True)
+        assert ok["ok"]
+        assert wd.dead_unrecovered == []
+        # ...and the next sweep completes the stuck failover.
+        wd.sweep()
+        assert wd.failovers == 1 and r.locate("caller")[0] == "spare"
+        assert ("restore", os.path.join("/tmp/snaps", "a")) in spare_ctl.calls
+
+        # remove_host: refused while carrying streams, works when empty.
+        busy = cli.request("remove_host", host="spare")
+        assert not busy["ok"] and "streams" in busy["error"]
+        r.release("caller")
+        assert cli.request("remove_host", host="spare")["ok"]
+        assert "spare" not in cli.request("stats")["stats"]["hosts"]
+        # Duplicate add is refused (and must not leak the control).
+        cli.request("add_host", spec="x=127.0.0.1:5:6:2")
+        dup = cli.request("add_host", spec="x=127.0.0.1:5:6:2")
+        assert not dup["ok"] and "registered" in dup["error"]
+    finally:
+        stop.set()
+        th.join(timeout=10)
+        cli.close()
+        svc.close()
+        r.close()
