@@ -38,6 +38,29 @@ class ControlError(RuntimeError):
     serving its previous state; restore validates before mutating)."""
 
 
+class StatsSink:
+    """Operator-facing stats exit (--stats PATH): one JSON object per
+    line, appended at every report interval plus a final record
+    (``"final": true``) at shutdown.  The human status line on stdout and
+    this sink consume the same snapshot dict, so they can never disagree.
+    Shared by serve_main (host tier) and fleet_main (fleet tier); the
+    reference has no serving tier to instrument — this is the
+    deployment-grade counterpart of its benchmark CSV exit
+    (reference: lyra/lyra_benchmark_lib.cc:164-197 output path)."""
+
+    def __init__(self, path: Optional[str]):
+        self._f = open(path, "a", buffering=1) if path else None
+
+    def emit(self, snapshot: dict) -> None:
+        if self._f is not None:
+            self._f.write(json.dumps(snapshot) + "\n")
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
 class HostControl:
     """Client for one serving host's --control endpoint.
 

@@ -70,7 +70,8 @@ import os
 import socket
 import time
 
-from lyra_tpu.tools.fleet import ControlError, FleetRouter, HostControl
+from lyra_tpu.tools.fleet import (ControlError, FleetRouter, HostControl,
+                                  StatsSink)
 
 
 def _parse_host(spec: str):
@@ -323,6 +324,10 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                    help="Block until every registered host answers its "
                         "control ping before opening admission.")
     p.add_argument("--report_every", type=float, default=10.0)
+    p.add_argument("--stats", default=None, metavar="PATH",
+                   help="Append one JSON stats line per --report_every "
+                        "interval (+ a final record) — the fleet-tier "
+                        "twin of serve_main --stats.")
     p.add_argument("--seconds", type=float, default=0,
                    help="Run duration (0 = until quit/SIGINT).")
     args = p.parse_args(argv)
@@ -350,6 +355,7 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
 
     watchdog = _Watchdog(router, args.snapshot_dir)
     svc = _AdmissionService(router, watchdog, args.port, args.bind)
+    sink = StatsSink(args.stats)
     print(f"fleet controller on UDP :{svc.port} "
           f"({len(args.host)} hosts, {len(args.standby)} standbys, "
           f"watch_every={args.watch_every}s)", flush=True)
@@ -370,12 +376,17 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                 watchdog.sweep()
             if now >= next_report:
                 next_report = now + args.report_every
-                print(f"fleet: {json.dumps(svc.stats())}", flush=True)
+                snap = {"ts": round(time.time(), 3), **svc.stats()}
+                sink.emit(snap)
+                print(f"fleet: {json.dumps(snap)}", flush=True)
             time.sleep(0.01)
     except KeyboardInterrupt:
         pass
     finally:
-        print(f"fleet: final {json.dumps(svc.stats())}", flush=True)
+        snap = {"ts": round(time.time(), 3), **svc.stats(), "final": True}
+        sink.emit(snap)
+        sink.close()
+        print(f"fleet: final {json.dumps(snap)}", flush=True)
         svc.close()
         router.close()
     return 0

@@ -41,26 +41,8 @@ from lyra_tpu.tools.stream_server import DecoderServer
 _HDR = 6  # 2 B slot + 4 B seq, big-endian (examples/udp_call.py layout)
 
 
-class _StatsSink:
-    """Operator-facing stats exit (--stats PATH): one JSON object per
-    line, appended at every --report_every interval plus a final record
-    (``"final": true``) at shutdown.  The human status line on stdout and
-    this sink consume the same snapshot dict, so they can never disagree.
-    The reference has no serving tier to instrument; this is the
-    deployment-grade counterpart of its benchmark CSV exit
-    (reference: lyra/cli_example/benchmark_main.cc output path)."""
-
-    def __init__(self, path: str | None):
-        self._f = open(path, "a", buffering=1) if path else None
-
-    def emit(self, snapshot: dict) -> None:
-        if self._f is not None:
-            self._f.write(json.dumps(snapshot) + "\n")
-
-    def close(self) -> None:
-        if self._f is not None:
-            self._f.close()
-            self._f = None
+# Shared with the fleet tier: one JSON snapshot per line + final record.
+from lyra_tpu.tools.fleet import StatsSink as _StatsSink  # noqa: E402
 
 
 class _Control:

@@ -125,7 +125,8 @@ def test_fleet_admission_and_auto_failover(model_path, tmp_path):
         argv=["--host", f"a=127.0.0.1:{port_a}:{ctl_a}:2",
               "--standby", f"spare=127.0.0.1:{port_b}:{ctl_b}:2",
               "--snapshot_dir", snap_dir, "--watch_every", "0.3",
-              "--wait_ready", "--report_every", "60", "--seconds", "0"],
+              "--wait_ready", "--report_every", "60", "--seconds", "0",
+              "--stats", os.path.join(snap_dir, "fleet_stats.jsonl")],
         _on_ready=lambda port: (fleet_box.update(port=port),
                                 fleet_ready.set()),
         _stop=fleet_stop))
@@ -213,6 +214,14 @@ def test_fleet_admission_and_auto_failover(model_path, tmp_path):
         assert cli.request("quit")["ok"]
         th_f.join(timeout=60)
         assert not th_f.is_alive()
+
+        # The --stats sink got at least the final record, and it carries
+        # the failover the run performed.
+        with open(os.path.join(snap_dir, "fleet_stats.jsonl")) as f:
+            lines = [json.loads(line) for line in f]
+        assert lines and lines[-1]["final"] is True
+        assert lines[-1]["failovers"] == 1
+        assert "spare" in lines[-1]["hosts"]
     finally:
         if cli is not None:
             cli.close()
