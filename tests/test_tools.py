@@ -925,3 +925,23 @@ def test_serve_main_sharded_pcm_encode_with_multiegress(model_path):
         th.join(timeout=120)
         assert not th.is_alive(), "encode loop failed to stop"
         echo_rx.close()
+
+
+def test_rate_adapt_example(monkeypatch, model_path, testdata_path, capsys):
+    del model_path, testdata_path  # gate: skip when assets are absent
+    """The congestion loop end to end: an oversubscribed token-bucket
+    link drives the controller to walk the fleet down the bitrate ladder
+    via control-plane set_bitrate until the loss clears (the example's
+    own exit code asserts convergence)."""
+    import importlib
+
+    examples = os.path.join(os.path.dirname(__file__), "..", "examples")
+    monkeypatch.syspath_prepend(examples)
+    rate_adapt = importlib.import_module("rate_adapt_call")
+
+    assert rate_adapt.main(["--callers", "2", "--seconds", "5",
+                            "--window_s", "0.4"]) == 0
+    out = capsys.readouterr().out
+    assert "ADAPT OK" in out
+    assert "rates s0:9200 s1:9200" in out  # started high...
+    assert "rates s0:3200 s1:3200" in out  # ...converged low
