@@ -76,41 +76,14 @@ def _free_udp_port() -> int:
     return port
 
 
-class _Admission:
-    """Caller-side client for fleet_main's UDP admission endpoint (same
-    req-token envelope as HostControl; see tools/fleet_main.py)."""
-
-    def __init__(self, addr):
-        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self._sock.connect(addr)
-        self._sock.settimeout(2.0)
-        self._req = 0
-
-    def request(self, cmd, **fields):
-        import json
-
-        self._req += 1
-        token = f"x{self._req}"
-        for _ in range(5):
-            self._sock.send(json.dumps(
-                {"cmd": cmd, "req": token, **fields}).encode())
-            try:
-                while True:
-                    reply = json.loads(self._sock.recv(64 * 1024).decode())
-                    if reply.get("req") == token:
-                        if not reply.get("ok"):
-                            raise RuntimeError(reply.get("error"))
-                        return reply
-            except socket.timeout:
-                continue
-        raise socket.timeout(f"no controller reply to {cmd!r}")
+class _Admission(HostControl):
+    """Caller-side client for fleet_main's UDP admission endpoint — the
+    same req-token envelope as the host control plane, so HostControl IS
+    the client; this only adds the seat-tuple convenience."""
 
     def seat(self, cmd, stream):
         r = self.request(cmd, stream=stream)
         return r["host"], (r["addr"][0], r["addr"][1]), r["slot"]
-
-    def close(self):
-        self._sock.close()
 
 
 def _spawn_controller(ports: dict, cap: int, snap_dir: str, log_dir: str,

@@ -241,13 +241,18 @@ def main(argv=None) -> int:
 
         # Success = the loop converged: the fleet stepped down to the
         # fitting rate and the final window(s) are clean.
-        final_rates, final_loss = windows[-1]
-        ok = (all(r == 3200 for r in final_rates.values())
-              and final_loss <= args.loss_threshold
-              and clean_windows >= 1)
-        print(f"converged: {windows[0][1]:.0%} link loss at 9.2 kbps "
-              f"→ {final_loss:.1%} at 3.2 kbps over "
-              f"{len(windows)} windows", flush=True)
+        if not windows:
+            print("no measurement window completed — raise --seconds "
+                  "above --window_s", flush=True)
+            ok = False
+        else:
+            final_rates, final_loss = windows[-1]
+            ok = (all(r == 3200 for r in final_rates.values())
+                  and final_loss <= args.loss_threshold
+                  and clean_windows >= 1)
+            print(f"converged: {windows[0][1]:.0%} link loss at 9.2 kbps "
+                  f"→ {final_loss:.1%} at 3.2 kbps over "
+                  f"{len(windows)} windows", flush=True)
     finally:
         try:
             ctl.quit()

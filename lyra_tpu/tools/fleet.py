@@ -30,6 +30,7 @@ from __future__ import annotations
 import itertools
 import json
 import socket
+import threading
 from typing import Dict, Optional, Tuple
 
 
@@ -69,7 +70,9 @@ class HostControl:
     for the current one.  `timeout` is per attempt; `retries` attempts
     total.  Requests are idempotent by design (save/restore overwrite,
     drain of a stopped host times out) — safe to retry on a silent UDP
-    loss."""
+    loss.  Thread-safe: one request at a time per instance (a watchdog
+    probing off-thread must not steal the reply to an admission-thread
+    command riding the same socket)."""
 
     _req_counter = itertools.count(1)
 
@@ -78,6 +81,7 @@ class HostControl:
         self.addr = addr
         self._timeout = timeout
         self._retries = retries
+        self._lock = threading.Lock()
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         # connect() the UDP socket: ICMP port-unreachable then surfaces as
         # ConnectionRefusedError on the next send/recv instead of a silent
@@ -96,27 +100,29 @@ class HostControl:
         req = f"r{next(self._req_counter)}"
         msg = json.dumps({"cmd": cmd, "req": req, **fields}).encode()
         retries = self._retries if _retries is None else _retries
-        if _timeout is not None:
-            self._sock.settimeout(_timeout)
         last_exc: Optional[Exception] = None
-        try:
-            for _ in range(retries):
-                self._sock.send(msg)
-                try:
-                    while True:
-                        data = self._sock.recv(64 * 1024)
-                        reply = json.loads(data.decode())
-                        if reply.get("req") != req:
-                            continue  # stale reply to an earlier retry
-                        if not reply.get("ok"):
-                            raise ControlError(
-                                f"{cmd} @ {self.addr}: {reply.get('error')}")
-                        return reply
-                except socket.timeout as e:
-                    last_exc = e
-        finally:
+        with self._lock:
             if _timeout is not None:
-                self._sock.settimeout(self._timeout)
+                self._sock.settimeout(_timeout)
+            try:
+                for _ in range(retries):
+                    self._sock.send(msg)
+                    try:
+                        while True:
+                            data = self._sock.recv(64 * 1024)
+                            reply = json.loads(data.decode())
+                            if reply.get("req") != req:
+                                continue  # stale reply to an earlier retry
+                            if not reply.get("ok"):
+                                raise ControlError(
+                                    f"{cmd} @ {self.addr}: "
+                                    f"{reply.get('error')}")
+                            return reply
+                    except socket.timeout as e:
+                        last_exc = e
+            finally:
+                if _timeout is not None:
+                    self._sock.settimeout(self._timeout)
         raise socket.timeout(
             f"no reply to {cmd!r} from {self.addr} after "
             f"{retries} attempts") from last_exc

@@ -67,21 +67,36 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import socket
+import threading
 import time
 
 from lyra_tpu.tools.fleet import (ControlError, FleetRouter, HostControl,
                                   StatsSink)
 
 
+_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
+
+
 def _parse_host(spec: str):
-    """name=ip:data_port:control_port[:capacity] -> parsed tuple."""
+    """name=ip:data_port:control_port[:capacity] -> parsed tuple.
+
+    Names are restricted to [A-Za-z0-9._-] (alnum first): they become
+    snapshot FILENAMES under --snapshot_dir, and add_host/migrate are
+    reachable from the admission socket — a name with a path separator
+    would let a datagram point drain/restore writes outside the snapshot
+    directory."""
     name, _, rest = spec.partition("=")
     parts = rest.split(":")
     if not name or len(parts) not in (3, 4):
         raise argparse.ArgumentTypeError(
             f"host spec must be name=ip:data_port:control_port[:capacity],"
             f" got {spec!r}")
+    if not _NAME_RE.fullmatch(name):
+        raise argparse.ArgumentTypeError(
+            f"host name {name!r} must match {_NAME_RE.pattern} "
+            "(it names the snapshot file)")
     ip, dport, cport = parts[0], int(parts[1]), int(parts[2])
     cap = int(parts[3]) if len(parts) == 4 else None
     return name, ip, dport, cport, cap
@@ -94,10 +109,15 @@ class _Watchdog:
     what makes this tier's handoffs survivable for the caller)."""
 
     def __init__(self, router: FleetRouter, snapshot_dir: str | None,
-                 log=print):
+                 log=print, lock=None):
         self._router = router
         self._snapshot_dir = snapshot_dir
         self._log = log
+        # Shared with the admission service: fleet bookkeeping (router
+        # tables, these counters) mutates under it, so sweeps can run in
+        # their own thread without racing admit/locate.  Re-entrant:
+        # stats() is reached both directly and from under _dispatch.
+        self._lock = lock if lock is not None else threading.RLock()
         self.failovers = 0
         self.failover_errors = 0
         self.dead_unrecovered: list[str] = []
@@ -107,25 +127,40 @@ class _Watchdog:
         an UNCHANGED fleet (a dead host with no failover target stays
         dead).  A runtime add_host/remove_host changes the premise — a
         freshly added standby may be exactly the missing target — so the
-        suppression resets and the next sweep retries every dead host."""
+        suppression resets and the next sweep retries every dead host.
+        (Caller holds the fleet lock: the admission service invokes this
+        while handling the add_host/remove_host command.)"""
         self.dead_unrecovered.clear()
 
     def sweep(self) -> None:
         """One watchdog pass: ping every host, fail over the dead active
         ones.  Never raises — a watchdog that dies with its patient is
-        useless; errors are counted and logged."""
-        hosts = self._router.hosts()
-        for name, info in list(hosts.items()):
+        useless; errors are counted and logged.
+
+        Probes run OUTSIDE the fleet lock: a silent host (network
+        partition, power loss) costs retries x timeout of blocking UDP
+        wait, and admit/locate must keep answering through exactly that
+        window (HostControl serializes per-socket use itself).  Only the
+        mutation — the failover decision and bookkeeping — takes the
+        lock, re-validating the host under it since the fleet may have
+        changed while the probe blocked."""
+        with self._lock:
+            hosts = self._router.hosts()
+        for name in list(hosts):
             if name in self.dead_unrecovered:
                 continue  # already reported; operator action needed
             if self._router.alive(name):
                 continue
-            if info["standby"]:
-                self._log(f"fleet: standby {name!r} is dead "
-                          "(no failover target lost, but replace it)")
-                self.dead_unrecovered.append(name)
-                continue
-            self._failover(name, info)
+            with self._lock:
+                info = self._router.hosts().get(name)
+                if info is None or name in self.dead_unrecovered:
+                    continue  # removed or reported while we probed
+                if info["standby"]:
+                    self._log(f"fleet: standby {name!r} is dead "
+                              "(no failover target lost, but replace it)")
+                    self.dead_unrecovered.append(name)
+                    continue
+                self._failover(name, info)
 
     def _failover(self, name: str, info: dict) -> None:
         if self._snapshot_dir is None:
@@ -172,6 +207,7 @@ class _AdmissionService:
                  port: int, bind: str):
         self._router = router
         self._watchdog = watchdog
+        self._lock = watchdog._lock  # one fleet-state lock for both
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.bind((bind, port))
         self._sock.setblocking(False)
@@ -180,11 +216,43 @@ class _AdmissionService:
         self.released = 0
 
     def stats(self) -> dict:
-        return {"hosts": self._router.hosts(),
-                "admitted": self.admitted, "released": self.released,
-                "failovers": self._watchdog.failovers,
-                "failover_errors": self._watchdog.failover_errors,
-                "dead_unrecovered": list(self._watchdog.dead_unrecovered)}
+        with self._lock:
+            return {"hosts": self._router.hosts(),
+                    "admitted": self.admitted, "released": self.released,
+                    "failovers": self._watchdog.failovers,
+                    "failover_errors": self._watchdog.failover_errors,
+                    "dead_unrecovered":
+                        list(self._watchdog.dead_unrecovered)}
+
+    def _admit(self, cmd: dict, reply: dict) -> dict:
+        """Seat a caller.  Idempotent per stream id: a lost reply makes
+        the caller retransmit the same admit, and the retry must get the
+        seat the first attempt granted (locate semantics), not a
+        duplicate-stream error that strands a leaked slot (the envelope's
+        retry-safety contract, fleet.py HostControl)."""
+        sid = cmd["stream"]
+        try:
+            host, data_addr, slot = self._router.admit(sid)
+            fresh = True
+        except KeyError:
+            host, data_addr, slot = self._router.locate(sid)
+            fresh = False
+        if "bitrate" in cmd:
+            # Caller-requested downlink rate (encode/bridge fleets).
+            # All-or-nothing on a fresh seat: a refused rate (bad value,
+            # decode host) frees it again — otherwise the caller retries
+            # admit and leaks a slot per attempt.  On a retried admit the
+            # seat predates this datagram, so it stays.
+            try:
+                self._router.set_bitrate(sid, int(cmd["bitrate"]))
+            except Exception:
+                if fresh:
+                    self._router.release(sid)
+                raise
+        if fresh:
+            self.admitted += 1
+        reply.update(host=host, addr=_addr_json(data_addr), slot=slot)
+        return reply
 
     def poll(self, snapshot_dir: str | None) -> bool:
         """Drain queued commands; True means quit."""
@@ -206,79 +274,74 @@ class _AdmissionService:
             reply = {"req": cmd.get("req"), "ok": True}
             name = cmd.get("cmd")
             try:
-                if name == "admit":
-                    host, data_addr, slot = self._router.admit(
-                        cmd["stream"])
-                    if "bitrate" in cmd:
-                        # Caller-requested downlink rate (encode/bridge
-                        # fleets).  All-or-nothing: a refused rate (bad
-                        # value, decode host) frees the seat again —
-                        # otherwise the caller retries admit and leaks a
-                        # slot per attempt.
-                        try:
-                            self._router.set_bitrate(
-                                cmd["stream"], int(cmd["bitrate"]))
-                        except Exception:
-                            self._router.release(cmd["stream"])
-                            raise
-                    self.admitted += 1
-                    reply.update(host=host, addr=_addr_json(data_addr),
-                                 slot=slot)
-                elif name == "release":
-                    self._router.release(cmd["stream"])
-                    self.released += 1
-                elif name == "locate":
-                    host, data_addr, slot = self._router.locate(
-                        cmd["stream"])
-                    reply.update(host=host, addr=_addr_json(data_addr),
-                                 slot=slot)
-                elif name == "set_bitrate":
-                    self._router.set_bitrate(cmd["stream"],
-                                             int(cmd["bitrate"]))
-                elif name == "add_host":
-                    # Runtime fleet growth / dead-host replacement: same
-                    # spec grammar as the --host flag, capacity required
-                    # (there is no --capacity default to fall back on).
-                    hname, ip, dport, cport, cap = _parse_host(cmd["spec"])
-                    if cap is None:
-                        raise ValueError(
-                            "runtime add_host spec needs :CAP "
-                            "(name=ip:dport:cport:capacity)")
-                    ctl = HostControl((ip, cport))
-                    try:
-                        self._router.add_host(
-                            hname, (ip, dport), ctl, cap,
-                            standby=bool(cmd.get("standby", False)))
-                    except Exception:
-                        ctl.close()
-                        raise
-                    self._watchdog.notify_fleet_changed()
-                elif name == "remove_host":
-                    # Refused while the host carries streams (FleetRouter
-                    # fails loudly) — migrate them first.
-                    self._router.remove_host(cmd["host"])
-                    self._watchdog.notify_fleet_changed()
-                elif name == "stats":
-                    reply["stats"] = self.stats()
-                elif name == "migrate":
-                    if snapshot_dir is None:
-                        raise RuntimeError(
-                            "migrate needs --snapshot_dir for the drain "
-                            "snapshot")
-                    snap = os.path.join(snapshot_dir,
-                                        f"{cmd['src']}.drain")
-                    reply["moved"] = self._router.migrate(
-                        cmd["src"], cmd["dst"], snap)
-                elif name == "quit":
-                    stop = True
-                else:
-                    reply = {"req": cmd.get("req"), "ok": False,
-                             "error": f"unknown cmd {name!r}"}
+                # The fleet lock spans the whole command: router tables and
+                # watchdog counters mutate atomically with respect to the
+                # sweep thread's failover decisions.
+                with self._lock:
+                    reply = self._dispatch(name, cmd, reply, snapshot_dir)
+                    stop = stop or reply.pop("_stop", False)
             except Exception as e:  # the fleet outlives a bad request
                 reply = {"req": cmd.get("req"), "ok": False,
                          "error": f"{type(e).__name__}: {e}"}
             self._reply(addr, reply)
         return stop
+
+    def _dispatch(self, name, cmd, reply, snapshot_dir):
+        """One command under the fleet lock; may raise (poll turns the
+        exception into an ok=false reply).  reply["_stop"] signals quit."""
+        if name == "admit":
+            reply = self._admit(cmd, reply)
+        elif name == "release":
+            # Idempotent (the envelope's UDP-retry contract): a retry of
+            # a completed release must be an ok, not an error that makes
+            # the caller believe the seat leaked.
+            try:
+                self._router.release(cmd["stream"])
+                self.released += 1
+            except KeyError:
+                pass
+        elif name == "locate":
+            host, data_addr, slot = self._router.locate(cmd["stream"])
+            reply.update(host=host, addr=_addr_json(data_addr), slot=slot)
+        elif name == "set_bitrate":
+            self._router.set_bitrate(cmd["stream"], int(cmd["bitrate"]))
+        elif name == "add_host":
+            # Runtime fleet growth / dead-host replacement: same spec
+            # grammar as the --host flag, capacity required (there is no
+            # --capacity default to fall back on).
+            hname, ip, dport, cport, cap = _parse_host(cmd["spec"])
+            if cap is None:
+                raise ValueError("runtime add_host spec needs :CAP "
+                                 "(name=ip:dport:cport:capacity)")
+            ctl = HostControl((ip, cport))
+            try:
+                self._router.add_host(hname, (ip, dport), ctl, cap,
+                                      standby=bool(cmd.get("standby",
+                                                           False)))
+            except Exception:
+                ctl.close()
+                raise
+            self._watchdog.notify_fleet_changed()
+        elif name == "remove_host":
+            # Refused while the host carries streams (FleetRouter fails
+            # loudly) — migrate them first.
+            self._router.remove_host(cmd["host"])
+            self._watchdog.notify_fleet_changed()
+        elif name == "stats":
+            reply["stats"] = self.stats()
+        elif name == "migrate":
+            if snapshot_dir is None:
+                raise RuntimeError(
+                    "migrate needs --snapshot_dir for the drain snapshot")
+            snap = os.path.join(snapshot_dir, f"{cmd['src']}.drain")
+            reply["moved"] = self._router.migrate(cmd["src"], cmd["dst"],
+                                                  snap)
+        elif name == "quit":
+            reply["_stop"] = True
+        else:
+            reply = {"req": cmd.get("req"), "ok": False,
+                     "error": f"unknown cmd {name!r}"}
+        return reply
 
     def _reply(self, addr, obj) -> None:
         try:
@@ -339,6 +402,10 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     caps = [c for *_, c in args.host + args.standby]
     if args.capacity is None and any(c is None for c in caps):
         p.error("give --capacity or a :CAP suffix on every host spec")
+    names = [n for n, *_ in args.host + args.standby]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        p.error(f"duplicate host name(s): {', '.join(dupes)}")
 
     router = FleetRouter()
     controls = {}
@@ -362,20 +429,32 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     if _on_ready is not None:
         _on_ready(svc.port)
 
+    # The watchdog sweeps in its own thread: a silent host (partition,
+    # power loss) costs retries x timeout of blocking probe wait, and the
+    # admission loop must keep answering admit/locate through exactly
+    # that window.  Fleet-state mutations share one lock (see _Watchdog).
+    watch_stop = threading.Event()
+
+    def watch_loop():
+        # Wait-first: give freshly registered hosts one interval before
+        # the first probe (deeper startup grace is --wait_ready's job).
+        while not watch_stop.wait(args.watch_every):
+            watchdog.sweep()
+
+    watcher = None
+    if args.watch_every > 0:
+        watcher = threading.Thread(target=watch_loop, daemon=True)
+        watcher.start()
+
     t_end = (time.monotonic() + args.seconds) if args.seconds else None
-    next_watch = time.monotonic() + args.watch_every
     next_report = time.monotonic() + args.report_every
     try:
         while ((t_end is None or time.monotonic() < t_end)
                and not (_stop is not None and _stop.is_set())):
             if svc.poll(args.snapshot_dir):
                 break
-            now = time.monotonic()
-            if args.watch_every > 0 and now >= next_watch:
-                next_watch = now + args.watch_every
-                watchdog.sweep()
-            if now >= next_report:
-                next_report = now + args.report_every
+            if time.monotonic() >= next_report:
+                next_report = time.monotonic() + args.report_every
                 snap = {"ts": round(time.time(), 3), **svc.stats()}
                 sink.emit(snap)
                 print(f"fleet: {json.dumps(snap)}", flush=True)
@@ -383,6 +462,9 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        watch_stop.set()
+        if watcher is not None:
+            watcher.join(timeout=30)
         snap = {"ts": round(time.time(), 3), **svc.stats(), "final": True}
         sink.emit(snap)
         sink.close()

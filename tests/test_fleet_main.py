@@ -66,7 +66,12 @@ def test_parse_host_specs():
         "b", "127.0.0.1", 1, 2, 4096)
     import argparse
 
-    for bad in ("a", "a=1.2.3.4:5", "=1.2.3.4:5:6", "a=1.2.3.4:5:6:7:8"):
+    for bad in ("a", "a=1.2.3.4:5", "=1.2.3.4:5:6", "a=1.2.3.4:5:6:7:8",
+                # names become snapshot filenames and add_host is
+                # reachable from the admission socket: path separators
+                # and dot-leading names are refused (traversal)
+                "../evil=1.2.3.4:5:6", "a/b=1.2.3.4:5:6",
+                ".hidden=1.2.3.4:5:6"):
         with pytest.raises(argparse.ArgumentTypeError):
             _parse_host(bad)
 
@@ -77,6 +82,8 @@ def test_fleet_main_flag_refusals():
         [],  # no hosts at all
         ["--host", "a=127.0.0.1:1:2"],  # no capacity anywhere
         ["--host", "a=127.0.0.1:1:2:4", "--watch_every", "-1"],
+        # duplicate names would shadow each other's snapshots/routes
+        ["--host", "a=127.0.0.1:1:2:4", "--standby", "a=127.0.0.2:1:2:4"],
     ):
         with pytest.raises(SystemExit):
             fleet_main(argv=argv)
@@ -141,9 +148,14 @@ def test_fleet_admission_and_auto_failover(model_path, tmp_path):
         assert seat["ok"] and seat["host"] == "a"
         assert seat["addr"] == ["127.0.0.1", port_a]
         slot = seat["slot"]
-        # Double admission is refused loudly; stats show the occupancy.
-        assert not cli.request("admit", stream="caller1")["ok"]
+        # admit is idempotent per stream id (the envelope's UDP-retry
+        # contract): a retransmitted admit gets the same seat back, not a
+        # duplicate error, and the seat counts once.
+        again = cli.request("admit", stream="caller1")
+        assert again["ok"] and again["slot"] == slot
+        assert again["host"] == "a"
         st = cli.request("stats")["stats"]
+        assert st["admitted"] == 1
         assert st["hosts"]["a"]["occupied"] == 1
         assert st["hosts"]["spare"]["standby"] is True
 
@@ -383,6 +395,15 @@ def test_admission_with_bitrate_relays_and_rolls_back():
         assert not refused["ok"]
         retry = cli.request("admit", stream="c2", bitrate=3200)
         assert retry["ok"] and retry["slot"] == 1
+        # ...but a retried admit of an EXISTING seat with a bad rate must
+        # NOT release it (the seat predates the datagram).
+        bad_retry = cli.request("admit", stream="c2", bitrate=1234)
+        assert not bad_retry["ok"]
+        assert cli.request("locate", stream="c2")["slot"] == 1
+
+        # release is idempotent: the retry of a completed release is ok.
+        assert cli.request("release", stream="c2")["ok"]
+        assert cli.request("release", stream="c2")["ok"]
     finally:
         stop.set()
         th.join(timeout=10)
