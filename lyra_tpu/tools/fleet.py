@@ -181,16 +181,23 @@ class HostControl:
 
 class _Host:
     def __init__(self, data_addr, control: HostControl, capacity: int,
-                 standby: bool):
+                 standby: bool, room_size: Optional[int] = None):
         self.data_addr = data_addr
         self.control = control
         self.capacity = capacity
         self.standby = standby
+        self.room_size = room_size  # bridge hosts: room = slot // size
         self.slots: Dict[int, object] = {}  # slot -> stream_id
 
     @property
     def free(self) -> int:
         return self.capacity - len(self.slots)
+
+    def free_block(self) -> Optional[int]:
+        """First room block with no occupant, or None (bridge hosts)."""
+        used = {s // self.room_size for s in self.slots}
+        return next((b for b in range(self.capacity // self.room_size)
+                     if b not in used), None)
 
 
 class FleetRouter:
@@ -208,18 +215,33 @@ class FleetRouter:
     def __init__(self):
         self._hosts: Dict[str, _Host] = {}
         self._streams: Dict[object, Tuple[str, int]] = {}
+        self._rooms: Dict[object, Tuple[str, int]] = {}  # room -> (host, block)
+        self._room_of: Dict[object, object] = {}  # stream -> room
 
     def add_host(self, name: str, data_addr: Tuple[str, int],
                  control: HostControl, capacity: int,
-                 standby: bool = False) -> None:
+                 standby: bool = False,
+                 room_size: Optional[int] = None) -> None:
         """Register a host.  `standby` keeps it out of the admission pool
         (a warm spare, compiled and ticking, waiting to receive a drained
-        host's snapshot); migrate() into it flips it active."""
+        host's snapshot); migrate() into it flips it active.
+
+        `room_size` marks a BRIDGE host (serve_main --mode bridge): its
+        slots tile into rooms of that many seats (room = slot //
+        room_size, serve_main.py), and admission is room-directed —
+        admit(stream, room=R) co-locates R's members in one block on one
+        host, which the bridge's mixer geometry requires."""
         if name in self._hosts:
             raise KeyError(f"host {name!r} already registered")
         if capacity <= 0:
             raise ValueError(f"capacity must be positive, got {capacity}")
-        self._hosts[name] = _Host(data_addr, control, capacity, standby)
+        if room_size is not None and (
+                room_size <= 0 or capacity % room_size):
+            raise ValueError(
+                f"room_size {room_size} must be positive and tile the "
+                f"capacity {capacity} (the bridge refuses ragged rooms)")
+        self._hosts[name] = _Host(data_addr, control, capacity, standby,
+                                  room_size)
 
     def remove_host(self, name: str) -> None:
         """Deregister a host; refuses while it still carries streams
@@ -234,28 +256,78 @@ class FleetRouter:
 
     def hosts(self) -> Dict[str, dict]:
         return {name: {"data_addr": h.data_addr, "capacity": h.capacity,
-                       "occupied": len(h.slots), "standby": h.standby}
+                       "occupied": len(h.slots), "standby": h.standby,
+                       **({"room_size": h.room_size}
+                          if h.room_size is not None else {})}
                 for name, h in self._hosts.items()}
 
-    def admit(self, stream_id) -> Tuple[str, Tuple[str, int], int]:
+    def admit(self, stream_id,
+              room=None) -> Tuple[str, Tuple[str, int], int]:
         """Seat a stream on the least-loaded non-standby host; returns
         (host_name, data_addr, slot).  Raises when the fleet is full or
-        the stream is already seated."""
+        the stream is already seated.
+
+        With `room=R` (bridge fleets): R's members are co-located in one
+        room block on one host — the first member claims the least-loaded
+        bridge host's first free block, later members fill its remaining
+        seats (a full room is a loud refusal, the fleet-level mirror of
+        the bridge refusing ragged rooms).  Roomless admission never
+        seats onto a bridge host (it would fragment a room block with a
+        stream the mixer would treat as a roommate), and room admission
+        needs a bridge host."""
         if stream_id in self._streams:
             raise KeyError(f"stream {stream_id!r} already admitted")
-        candidates = [h for h in self._hosts.items()
-                      if h[1].free > 0 and not h[1].standby]
-        if not candidates:
-            raise RuntimeError("fleet at capacity")
-        name, host = min(candidates, key=lambda kv: len(kv[1].slots))
-        slot = next(i for i in range(host.capacity) if i not in host.slots)
+        if room is not None:
+            name, host, slot = self._admit_room(room)
+            self._room_of[stream_id] = room
+        else:
+            candidates = [h for h in self._hosts.items()
+                          if h[1].free > 0 and not h[1].standby
+                          and h[1].room_size is None]
+            if not candidates:
+                raise RuntimeError("fleet at capacity")
+            name, host = min(candidates, key=lambda kv: len(kv[1].slots))
+            slot = next(i for i in range(host.capacity)
+                        if i not in host.slots)
         host.slots[slot] = stream_id
         self._streams[stream_id] = (name, slot)
         return name, host.data_addr, slot
 
+    def _admit_room(self, room) -> Tuple[str, _Host, int]:
+        if room in self._rooms:
+            name, block = self._rooms[room]
+            host = self._hosts[name]
+            rs = host.room_size
+            slot = next((i for i in range(block * rs, (block + 1) * rs)
+                         if i not in host.slots), None)
+            if slot is None:
+                raise RuntimeError(
+                    f"room {room!r} is full ({rs} seats on {name!r})")
+            return name, host, slot
+        candidates = [(len(h.slots), name, h, h.free_block())
+                      for name, h in self._hosts.items()
+                      if h.room_size is not None and not h.standby]
+        candidates = [c for c in candidates if c[3] is not None]
+        if not candidates:
+            raise RuntimeError(
+                "no bridge host has a free room block (register bridge "
+                "hosts with room_size, or the fleet is full)")
+        _, name, host, block = min(candidates, key=lambda c: (c[0], c[1]))
+        self._rooms[room] = (name, block)
+        return name, host, block * host.room_size
+
     def release(self, stream_id) -> None:
         name, slot = self._streams.pop(stream_id)
-        del self._hosts[name].slots[slot]
+        host = self._hosts[name]
+        del host.slots[slot]
+        room = self._room_of.pop(stream_id, None)
+        if room is not None:
+            # Last member out releases the room's block for reuse.
+            _, block = self._rooms[room]
+            rs = host.room_size
+            if not any(block * rs <= s < (block + 1) * rs
+                       for s in host.slots):
+                del self._rooms[room]
 
     def locate(self, stream_id) -> Tuple[str, Tuple[str, int], int]:
         name, slot = self._streams[stream_id]
@@ -307,6 +379,11 @@ class FleetRouter:
             raise RuntimeError(
                 f"snapshot capacity {src_h.capacity} != destination "
                 f"capacity {dst_h.capacity} (positional slot handoff)")
+        if dst_h.room_size != src_h.room_size:
+            raise RuntimeError(
+                f"room geometry mismatch: {src!r} has room_size "
+                f"{src_h.room_size}, {dst!r} {dst_h.room_size} (room "
+                "blocks are positional too)")
         if self.alive(src):
             raise RuntimeError(
                 f"host {src!r} still answers pings; failover would fork "
@@ -317,11 +394,19 @@ class FleetRouter:
             dst_h.slots[slot] = sid
             self._streams[sid] = (dst, slot)
             moved += 1
+        self._rehome_rooms(src, dst)
         src_h.slots = {}
         dst_h.standby = False
         src_h.control.close()
         del self._hosts[src]
         return moved
+
+    def _rehome_rooms(self, src: str, dst: str) -> None:
+        """Rooms are positional like slots: a whole-host move carries
+        every room block to the destination unchanged."""
+        for room, (name, block) in list(self._rooms.items()):
+            if name == src:
+                self._rooms[room] = (dst, block)
 
     def migrate(self, src: str, dst: str, snapshot_path: str) -> int:
         """Maintenance migration: drain `src` (snapshot + stop), restore
@@ -346,6 +431,11 @@ class FleetRouter:
             raise RuntimeError(
                 f"snapshot capacity {src_h.capacity} != destination "
                 f"capacity {dst_h.capacity} (positional slot handoff)")
+        if dst_h.room_size != src_h.room_size:
+            raise RuntimeError(
+                f"room geometry mismatch: {src!r} has room_size "
+                f"{src_h.room_size}, {dst!r} {dst_h.room_size} (room "
+                "blocks are positional too)")
         src_h.control.drain(snapshot_path)
         dst_h.control.restore(snapshot_path)
         moved = 0
@@ -353,6 +443,7 @@ class FleetRouter:
             dst_h.slots[slot] = sid
             self._streams[sid] = (dst, slot)
             moved += 1
+        self._rehome_rooms(src, dst)
         src_h.slots = {}
         dst_h.standby = False  # carries live calls now
         # The drained host's serve loop has STOPPED (drain = snapshot +

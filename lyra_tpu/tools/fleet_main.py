@@ -19,7 +19,9 @@ It owns a `FleetRouter` (tools/fleet.py) and exposes two behaviors:
     {"cmd": "admit",  "stream": ID}  -> {"ok": true, "host": name,
                                          "addr": [ip, port], "slot": N}
       (+ optional "bitrate": B on encode/bridge fleets — relayed to the
-       host's set_bitrate; a refused rate frees the seat again)
+       host's set_bitrate; a refused rate frees the seat again;
+       + optional "room": R on bridge fleets (--room_size) — members of
+       one room co-locate in one block on one host)
     {"cmd": "release","stream": ID}  -> {"ok": true}
     {"cmd": "locate", "stream": ID}  -> as admit (after a migration the
                                         addr points at the new host —
@@ -171,6 +173,7 @@ class _Watchdog:
             return
         standbys = [(n, h) for n, h in self._router.hosts().items()
                     if h["standby"] and h["capacity"] == info["capacity"]
+                    and h.get("room_size") == info.get("room_size")
                     and n not in self.dead_unrecovered
                     and self._router.alive(n)]
         if not standbys:
@@ -204,9 +207,10 @@ class _AdmissionService:
     Same wire envelope as serve_main's control plane."""
 
     def __init__(self, router: FleetRouter, watchdog: _Watchdog,
-                 port: int, bind: str):
+                 port: int, bind: str, room_size=None):
         self._router = router
         self._watchdog = watchdog
+        self._room_size = room_size
         self._lock = watchdog._lock  # one fleet-state lock for both
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.bind((bind, port))
@@ -232,7 +236,8 @@ class _AdmissionService:
         retry-safety contract, fleet.py HostControl)."""
         sid = cmd["stream"]
         try:
-            host, data_addr, slot = self._router.admit(sid)
+            host, data_addr, slot = self._router.admit(
+                sid, room=cmd.get("room"))
             fresh = True
         except KeyError:
             host, data_addr, slot = self._router.locate(sid)
@@ -315,9 +320,13 @@ class _AdmissionService:
                                  "(name=ip:dport:cport:capacity)")
             ctl = HostControl((ip, cport))
             try:
+                # Runtime hosts inherit the fleet's room geometry: a
+                # bridge fleet's replacement standby must tile the same
+                # blocks or restore would mis-seat every room.
                 self._router.add_host(hname, (ip, dport), ctl, cap,
                                       standby=bool(cmd.get("standby",
-                                                           False)))
+                                                           False)),
+                                      room_size=self._room_size)
             except Exception:
                 ctl.close()
                 raise
@@ -367,6 +376,12 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     p.add_argument("--capacity", type=int, default=None,
                    help="Default per-host capacity (streams) for specs "
                         "without their own :CAP suffix.")
+    p.add_argument("--room_size", type=int, default=None,
+                   help="Bridge fleets: every registered host serves "
+                        "rooms of this many seats (serve_main --mode "
+                        "bridge --room_size K); admission becomes "
+                        "room-directed (admit takes a \"room\" field, "
+                        "members co-locate in one block on one host).")
     p.add_argument("--port", type=int, default=0,
                    help="Admission endpoint port (0 = ephemeral, printed "
                         "in the startup line).")
@@ -415,13 +430,14 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
             controls[name] = ctl  # router owns it; kept for wait_ready
             router.add_host(name, (ip, dport), ctl,
                             cap if cap is not None else args.capacity,
-                            standby=standby)
+                            standby=standby, room_size=args.room_size)
     if args.wait_ready:
         for ctl in controls.values():
             ctl.wait_ready()
 
     watchdog = _Watchdog(router, args.snapshot_dir)
-    svc = _AdmissionService(router, watchdog, args.port, args.bind)
+    svc = _AdmissionService(router, watchdog, args.port, args.bind,
+                            room_size=args.room_size)
     sink = StatsSink(args.stats)
     print(f"fleet controller on UDP :{svc.port} "
           f"({len(args.host)} hosts, {len(args.standby)} standbys, "

@@ -396,3 +396,53 @@ def test_set_bitrate_mid_call(model_path):
         assert not th.is_alive()
         ctl.close()
         echo_rx.close()
+
+def test_router_room_directed_admission_and_rehoming():
+    """Bridge fleets: a room's members co-locate in one slot block on one
+    host (the mixer's geometry, room = slot // room_size in serve_main);
+    full rooms and roomless-vs-bridge mixing are loud refusals; room
+    blocks are freed on last-member release and re-homed by whole-host
+    moves."""
+    r = FleetRouter()
+    r.add_host("b1", ("127.0.0.1", 1), _FakeControl(), 4, room_size=2)
+    r.add_host("b2", ("127.0.0.1", 2), _FakeControl(), 4, room_size=2)
+
+    n1, _, s1 = r.admit("alice", room="R1")
+    n2, _, s2 = r.admit("bob", room="R1")
+    assert n1 == n2 and {s1, s2} == {0, 1}  # same host, one block
+    with pytest.raises(RuntimeError, match="full"):
+        r.admit("carol", room="R1")  # a third seat in a 2-room
+
+    # A new room opens on the least-loaded bridge host.
+    n3, _, s3 = r.admit("carol", room="R2")
+    assert n3 != n1 and s3 == 0
+
+    # Roomless admission never fragments a bridge host's blocks...
+    with pytest.raises(RuntimeError, match="capacity"):
+        r.admit("dave")
+    # ...and room admission needs a bridge host.
+    plain = _router(("a", 2, False))
+    with pytest.raises(RuntimeError, match="bridge"):
+        plain.admit("x", room="R")
+
+    # Last member out frees the block for a new room.
+    r.release("carol")
+    n4, _, s4 = r.admit("dan", room="R3")
+    assert (n4, s4) == (n3, 0)
+
+    # A whole-host move carries the room: later members land on the
+    # destination's same block.
+    r.add_host("b3", ("127.0.0.1", 3), _FakeControl(), 4, standby=True,
+               room_size=2)
+    assert r.migrate(n4, "b3", "/tmp/snap") == 1
+    assert r.locate("dan")[0] == "b3"
+    n5, _, s5 = r.admit("erin", room="R3")
+    assert (n5, s5) == ("b3", 1)
+
+    # Geometry is part of the positional contract.
+    r.add_host("plain", ("127.0.0.1", 4), _FakeControl(), 4, standby=True)
+    with pytest.raises(RuntimeError, match="geometry"):
+        r.migrate("b1", "plain", "/tmp/snap")
+    with pytest.raises(ValueError, match="tile"):
+        r.add_host("ragged", ("127.0.0.1", 5), _FakeControl(), 5,
+                   room_size=2)
