@@ -404,6 +404,11 @@ def test_admission_with_bitrate_relays_and_rolls_back():
         # release is idempotent: the retry of a completed release is ok.
         assert cli.request("release", stream="c2")["ok"]
         assert cli.request("release", stream="c2")["ok"]
+
+        # The admit "room" field reaches the router: this fleet has no
+        # bridge hosts, so a room-directed admit is refused loudly.
+        roomless = cli.request("admit", stream="c9", room="R1")
+        assert not roomless["ok"] and "bridge" in roomless["error"]
     finally:
         stop.set()
         th.join(timeout=10)
