@@ -110,7 +110,15 @@ class HostControl:
                     try:
                         while True:
                             data = self._sock.recv(64 * 1024)
-                            reply = json.loads(data.decode())
+                            try:
+                                reply = json.loads(data.decode())
+                            except (ValueError, UnicodeDecodeError):
+                                continue  # garbage datagram: not our reply
+                            if not isinstance(reply, dict):
+                                continue  # hostile/foreign sender on the
+                                # port (e.g. a reused port after a crash):
+                                # a counted non-reply, never an exception
+                                # out of the control client
                             if reply.get("req") != req:
                                 continue  # stale reply to an earlier retry
                             if not reply.get("ok"):
@@ -188,6 +196,11 @@ class _Host:
         self.standby = standby
         self.room_size = room_size  # bridge hosts: room = slot // size
         self.slots: Dict[int, object] = {}  # slot -> stream_id
+        # A handoff (migrate/failover) is in flight: admission and
+        # remove_host refuse until commit/abort clears it, so the
+        # blocking RPC phase of a two-phase handoff can run outside the
+        # fleet lock without the tables shifting under it.
+        self.busy = False
 
     @property
     def free(self) -> int:
@@ -246,17 +259,25 @@ class FleetRouter:
     def remove_host(self, name: str) -> None:
         """Deregister a host; refuses while it still carries streams
         (drain or migrate them first — silently orphaning live calls is
-        exactly the failure this tier exists to prevent)."""
+        exactly the failure this tier exists to prevent) or while a
+        handoff involving it is in flight.  Closes its control socket:
+        deregistration releases the fd deterministically instead of at
+        GC time (failover does the same for its dead src)."""
         host = self._hosts[name]
         if host.slots:
             raise RuntimeError(
                 f"host {name!r} still carries {len(host.slots)} streams; "
                 "migrate() or release() them first")
+        if host.busy:
+            raise RuntimeError(
+                f"host {name!r} has a migration/failover in flight")
+        host.control.close()
         del self._hosts[name]
 
     def hosts(self) -> Dict[str, dict]:
         return {name: {"data_addr": h.data_addr, "capacity": h.capacity,
                        "occupied": len(h.slots), "standby": h.standby,
+                       "busy": h.busy,
                        **({"room_size": h.room_size}
                           if h.room_size is not None else {})}
                 for name, h in self._hosts.items()}
@@ -283,7 +304,7 @@ class FleetRouter:
         else:
             candidates = [h for h in self._hosts.items()
                           if h[1].free > 0 and not h[1].standby
-                          and h[1].room_size is None]
+                          and not h[1].busy and h[1].room_size is None]
             if not candidates:
                 raise RuntimeError("fleet at capacity")
             name, host = min(candidates, key=lambda kv: len(kv[1].slots))
@@ -304,15 +325,19 @@ class FleetRouter:
                 raise RuntimeError(
                     f"room {room!r} is full ({rs} seats on {name!r})")
             return name, host, slot
-        candidates = [(len(h.slots), name, h, h.free_block())
-                      for name, h in self._hosts.items()
-                      if h.room_size is not None and not h.standby]
-        candidates = [c for c in candidates if c[3] is not None]
+        # Least-loaded-first, ties broken by REGISTRATION order (the
+        # enumerate index) — the same contract as roomless admission.
+        candidates = [(len(h.slots), idx, name, h, h.free_block())
+                      for idx, (name, h) in enumerate(self._hosts.items())
+                      if h.room_size is not None and not h.standby
+                      and not h.busy]
+        candidates = [c for c in candidates if c[4] is not None]
         if not candidates:
             raise RuntimeError(
                 "no bridge host has a free room block (register bridge "
                 "hosts with room_size, or the fleet is full)")
-        _, name, host, block = min(candidates, key=lambda c: (c[0], c[1]))
+        _, _, name, host, block = min(candidates,
+                                      key=lambda c: (c[0], c[1]))
         self._rooms[room] = (name, block)
         return name, host, block * host.room_size
 
@@ -370,7 +395,36 @@ class FleetRouter:
         moved.  Refuses if src still answers pings (use migrate for an
         orderly drain — failing over a live host would fork its calls
         onto two servers)."""
+        src_ctl, dst_ctl = self.begin_handoff(src, dst)
+        try:
+            if self.alive(src):
+                raise RuntimeError(
+                    f"host {src!r} still answers pings; failover would "
+                    "fork its calls — use migrate() for an orderly drain")
+            dst_ctl.restore(snapshot_path)
+        except BaseException:
+            self.abort_handoff(src, dst)
+            raise
+        return self.commit_handoff(src, dst, deregister_src=True)
+
+    def begin_handoff(self, src: str, dst: str
+                      ) -> Tuple[HostControl, HostControl]:
+        """Phase 1 of a two-phase handoff: validate the slot geometry and
+        mark both hosts busy, so the blocking control RPCs (drain /
+        restore — seconds on a slow snapshot) can run OUTSIDE the
+        caller's fleet lock while admission and remove_host refuse to
+        touch either host.  Returns (src_control, dst_control) for the
+        caller to drive; finish with commit_handoff or abort_handoff.
+        The one-shot migrate()/failover() wrap exactly this sequence for
+        single-threaded callers."""
+        if src == dst:
+            raise RuntimeError(f"handoff source and destination are "
+                               f"both {src!r}")
         src_h, dst_h = self._hosts[src], self._hosts[dst]
+        if src_h.busy or dst_h.busy:
+            raise RuntimeError(
+                f"a handoff involving {src if src_h.busy else dst!r} "
+                "is already in flight")
         if dst_h.slots:
             raise RuntimeError(
                 f"destination {dst!r} already carries "
@@ -384,11 +438,32 @@ class FleetRouter:
                 f"room geometry mismatch: {src!r} has room_size "
                 f"{src_h.room_size}, {dst!r} {dst_h.room_size} (room "
                 "blocks are positional too)")
-        if self.alive(src):
-            raise RuntimeError(
-                f"host {src!r} still answers pings; failover would fork "
-                "its calls — use migrate() for an orderly drain")
-        dst_h.control.restore(snapshot_path)
+        src_h.busy = dst_h.busy = True
+        return src_h.control, dst_h.control
+
+    def abort_handoff(self, src: str, dst: str,
+                      src_stopped: bool = False) -> None:
+        """Phase 2 on failure: release the reservations.  `src_stopped`
+        (a migrate whose drain succeeded but whose restore failed) parks
+        src as a standby — its serve loop has STOPPED, so leaving it in
+        the admission pool would seat new callers on a dead data
+        address; the operator restores its snapshot elsewhere or
+        restarts it."""
+        for name in (src, dst):
+            h = self._hosts.get(name)
+            if h is not None:
+                h.busy = False
+        if src_stopped and src in self._hosts:
+            self._hosts[src].standby = True
+
+    def commit_handoff(self, src: str, dst: str,
+                       deregister_src: bool) -> int:
+        """Phase 2 on success: re-home the routing tables (slot k on src
+        becomes slot k on dst, room blocks positionally) and flip dst
+        active.  failover deregisters its dead src (closing the control
+        socket); migrate parks the drained src as a standby for the
+        operator to remove_host() or restart.  Returns streams moved."""
+        src_h, dst_h = self._hosts[src], self._hosts[dst]
         moved = 0
         for slot, sid in src_h.slots.items():
             dst_h.slots[slot] = sid
@@ -396,9 +471,20 @@ class FleetRouter:
             moved += 1
         self._rehome_rooms(src, dst)
         src_h.slots = {}
-        dst_h.standby = False
-        src_h.control.close()
-        del self._hosts[src]
+        dst_h.standby = False  # carries the live calls now
+        src_h.busy = dst_h.busy = False
+        if deregister_src:
+            src_h.control.close()
+            del self._hosts[src]
+        else:
+            # The drained host's serve loop has STOPPED (drain =
+            # snapshot + stop): it must leave the admission pool
+            # immediately, or being empty makes it the least-loaded
+            # winner and the next caller is seated on a dead data
+            # address.  Standby keeps it registered for the operator to
+            # remove_host() (or re-register after a restart) — the same
+            # end state failover() reaches by deregistering outright.
+            src_h.standby = True
         return moved
 
     def _rehome_rooms(self, src: str, dst: str) -> None:
@@ -422,39 +508,16 @@ class FleetRouter:
         the handoff window are lost; the decoder's PLC conceals them,
         the same contract as network loss (reference:
         lyra/lyra_decoder.cc:228-315 is what makes this seamless)."""
-        src_h, dst_h = self._hosts[src], self._hosts[dst]
-        if dst_h.slots:
-            raise RuntimeError(
-                f"destination {dst!r} already carries "
-                f"{len(dst_h.slots)} streams")
-        if dst_h.capacity != src_h.capacity:
-            raise RuntimeError(
-                f"snapshot capacity {src_h.capacity} != destination "
-                f"capacity {dst_h.capacity} (positional slot handoff)")
-        if dst_h.room_size != src_h.room_size:
-            raise RuntimeError(
-                f"room geometry mismatch: {src!r} has room_size "
-                f"{src_h.room_size}, {dst!r} {dst_h.room_size} (room "
-                "blocks are positional too)")
-        src_h.control.drain(snapshot_path)
-        dst_h.control.restore(snapshot_path)
-        moved = 0
-        for slot, sid in src_h.slots.items():
-            dst_h.slots[slot] = sid
-            self._streams[sid] = (dst, slot)
-            moved += 1
-        self._rehome_rooms(src, dst)
-        src_h.slots = {}
-        dst_h.standby = False  # carries live calls now
-        # The drained host's serve loop has STOPPED (drain = snapshot +
-        # stop): it must leave the admission pool immediately, or being
-        # empty makes it the least-loaded winner and the next caller is
-        # seated on a dead data address.  Marking it standby keeps it
-        # registered for the operator to remove_host() (or re-register
-        # after a restart) — the same end state failover() reaches by
-        # deregistering its dead src outright.
-        src_h.standby = True
-        return moved
+        src_ctl, dst_ctl = self.begin_handoff(src, dst)
+        drained = False
+        try:
+            src_ctl.drain(snapshot_path)
+            drained = True
+            dst_ctl.restore(snapshot_path)
+        except BaseException:
+            self.abort_handoff(src, dst, src_stopped=drained)
+            raise
+        return self.commit_handoff(src, dst, deregister_src=False)
 
     def close(self) -> None:
         for h in self._hosts.values():

@@ -123,6 +123,12 @@ class _Watchdog:
         self.failovers = 0
         self.failover_errors = 0
         self.dead_unrecovered: list[str] = []
+        # Fleet generation: bumped by notify_fleet_changed.  A sweep
+        # records it before its unlocked probes; any verdict reached
+        # after the fleet changed (host removed/re-added while the probe
+        # blocked) is discarded instead of suppressing or failing over a
+        # host the verdict was never about.
+        self._gen = 0
 
     def notify_fleet_changed(self) -> None:
         """The dead_unrecovered list exists to stop retry storms against
@@ -132,67 +138,134 @@ class _Watchdog:
         suppression resets and the next sweep retries every dead host.
         (Caller holds the fleet lock: the admission service invokes this
         while handling the add_host/remove_host command.)"""
+        self._gen += 1
         self.dead_unrecovered.clear()
+
+    def _suppress(self, name: str, gen0: int) -> None:
+        """Stop retrying `name` — valid only if the fleet is UNCHANGED
+        since the verdict's probes ran (caller holds the lock); a stale
+        verdict must not suppress a host that was replaced meanwhile."""
+        if self._gen == gen0:
+            self.dead_unrecovered.append(name)
 
     def sweep(self) -> None:
         """One watchdog pass: ping every host, fail over the dead active
         ones.  Never raises — a watchdog that dies with its patient is
         useless; errors are counted and logged.
 
-        Probes run OUTSIDE the fleet lock: a silent host (network
-        partition, power loss) costs retries x timeout of blocking UDP
-        wait, and admit/locate must keep answering through exactly that
-        window (HostControl serializes per-socket use itself).  Only the
-        mutation — the failover decision and bookkeeping — takes the
-        lock, re-validating the host under it since the fleet may have
-        changed while the probe blocked."""
+        Probes AND the failover's blocking control RPCs run OUTSIDE the
+        fleet lock: a silent host (network partition, power loss) costs
+        retries x timeout of blocking UDP wait, a restore can take
+        seconds, and admit/locate must keep answering through exactly
+        those windows (HostControl serializes per-socket use itself;
+        begin_handoff's busy marks keep admission and remove_host off
+        both hosts meanwhile).  Only bookkeeping takes the lock,
+        re-validated against the fleet generation recorded before the
+        probes."""
         with self._lock:
             hosts = self._router.hosts()
-        for name in list(hosts):
+            gen0 = self._gen
+        for name, info in hosts.items():
             if name in self.dead_unrecovered:
                 continue  # already reported; operator action needed
-            if self._router.alive(name):
-                continue
-            with self._lock:
-                info = self._router.hosts().get(name)
-                if info is None or name in self.dead_unrecovered:
-                    continue  # removed or reported while we probed
-                if info["standby"]:
-                    self._log(f"fleet: standby {name!r} is dead "
-                              "(no failover target lost, but replace it)")
-                    self.dead_unrecovered.append(name)
+            if info.get("busy"):
+                continue  # a handoff is already moving this host
+            try:
+                if self._router.alive(name):
                     continue
-                self._failover(name, info)
+            except KeyError:
+                continue  # removed while we swept; nothing to judge
+            self._handle_dead(name, gen0)
 
-    def _failover(self, name: str, info: dict) -> None:
-        if self._snapshot_dir is None:
-            self._log(f"fleet: host {name!r} is dead and --snapshot_dir "
-                      "is not set; cannot fail over")
-            self.failover_errors += 1
-            self.dead_unrecovered.append(name)
+    def _handle_dead(self, name: str, gen0: int) -> None:
+        """Judge one dead-probing host: report a dead standby, fail an
+        active one over onto a live standby.  Entered WITHOUT the lock;
+        takes it only around bookkeeping."""
+        with self._lock:
+            if self._gen != gen0:
+                return  # fleet changed while we probed; re-judge next sweep
+            info = self._router.hosts().get(name)
+            if (info is None or info.get("busy")
+                    or name in self.dead_unrecovered):
+                return  # removed, reported, or already being moved
+            if info["standby"]:
+                self._log(f"fleet: standby {name!r} is dead "
+                          "(no failover target lost, but replace it)")
+                self._suppress(name, gen0)
+                return
+            if self._snapshot_dir is None:
+                self._log(f"fleet: host {name!r} is dead and "
+                          "--snapshot_dir is not set; cannot fail over")
+                self.failover_errors += 1
+                self._suppress(name, gen0)
+                return
+            candidates = [
+                n for n, h in self._router.hosts().items()
+                if h["standby"] and not h.get("busy")
+                and h["capacity"] == info["capacity"]
+                and h.get("room_size") == info.get("room_size")
+                and n not in self.dead_unrecovered]
+        # Probe candidate standbys OUTSIDE the lock (each probe is
+        # blocking UDP; a silently-partitioned standby costs the full
+        # retries x timeout).
+        dst = None
+        for n in candidates:
+            try:
+                if self._router.alive(n):
+                    dst = n
+                    break
+            except KeyError:
+                continue  # removed while probing
+        if dst is None:
+            with self._lock:
+                self._log(f"fleet: host {name!r} is dead and no live "
+                          f"standby of capacity {info['capacity']} is "
+                          "registered; its callers are down until one "
+                          "is added")
+                self.failover_errors += 1
+                self._suppress(name, gen0)
             return
-        standbys = [(n, h) for n, h in self._router.hosts().items()
-                    if h["standby"] and h["capacity"] == info["capacity"]
-                    and h.get("room_size") == info.get("room_size")
-                    and n not in self.dead_unrecovered
-                    and self._router.alive(n)]
-        if not standbys:
-            self._log(f"fleet: host {name!r} is dead and no live standby "
-                      f"of capacity {info['capacity']} is registered; its "
-                      "callers are down until one is added")
-            self.failover_errors += 1
-            self.dead_unrecovered.append(name)
-            return
-        dst = standbys[0][0]
         snap = os.path.join(self._snapshot_dir, name)
+        with self._lock:
+            if self._gen != gen0:
+                return  # fleet changed under the standby probes
+            try:
+                _, dst_ctl = self._router.begin_handoff(name, dst)
+            except (KeyError, RuntimeError) as e:
+                self._log(f"fleet: failover {name!r} -> {dst!r} "
+                          f"failed: {e}")
+                self.failover_errors += 1
+                self._suppress(name, gen0)
+                return
+        # The blocking phase, outside the lock: recheck the source is
+        # still dead (a flapping or replaced host must NOT be failed
+        # over — that would fork its calls), then restore.
+        err = flap = None
         try:
-            moved = self._router.failover(name, dst, snap)
+            if self._router.alive(name):
+                flap = (f"fleet: host {name!r} answers pings again; "
+                        "not failing over")
+            else:
+                dst_ctl.restore(snap)
         except (ControlError, OSError, RuntimeError) as e:
-            self._log(f"fleet: failover {name!r} -> {dst!r} failed: {e}")
-            self.failover_errors += 1
-            self.dead_unrecovered.append(name)
-            return
-        self.failovers += 1
+            err = str(e)
+        with self._lock:
+            if flap is not None:
+                # Alive again: no error, no suppression — the watchdog
+                # keeps watching it like any healthy host.
+                self._router.abort_handoff(name, dst)
+                self._log(flap)
+                return
+            if err is not None:
+                self._router.abort_handoff(name, dst)
+                self._log(f"fleet: failover {name!r} -> {dst!r} "
+                          f"failed: {err}")
+                self.failover_errors += 1
+                self._suppress(name, gen0)
+                return
+            moved = self._router.commit_handoff(name, dst,
+                                                deregister_src=True)
+            self.failovers += 1
         self._log(f"fleet: host {name!r} died; failed over {moved} "
                   f"streams to {dst!r} from {snap}")
 
@@ -218,6 +291,11 @@ class _AdmissionService:
         self.port = self._sock.getsockname()[1]
         self.admitted = 0
         self.released = 0
+        # (src, dst) -> req token of the migrate currently in flight on a
+        # worker thread; UDP retries of that same command are dropped (its
+        # reply comes when the RPCs complete), anything else conflicting
+        # is refused by begin_handoff's busy marks.  Guarded by _lock.
+        self._mig_inflight: dict = {}
 
     def stats(self) -> dict:
         with self._lock:
@@ -281,15 +359,58 @@ class _AdmissionService:
             try:
                 # The fleet lock spans the whole command: router tables and
                 # watchdog counters mutate atomically with respect to the
-                # sweep thread's failover decisions.
+                # sweep thread's failover decisions.  (Exception: migrate
+                # defers its blocking drain/restore RPCs past the lock —
+                # see _finish_migrate.)
                 with self._lock:
                     reply = self._dispatch(name, cmd, reply, snapshot_dir)
                     stop = stop or reply.pop("_stop", False)
+                if reply.pop("_drop", False):
+                    continue  # retry of an in-flight migrate: its reply
+                    # is sent by the worker when the RPCs complete
+                mig = reply.pop("_migrate", None)
+                if mig is not None:
+                    # The blocking drain/restore RPCs run on a worker
+                    # thread so this loop keeps answering admit/locate;
+                    # the reply rides out when the migration completes.
+                    threading.Thread(
+                        target=self._finish_migrate,
+                        args=(mig, reply, addr), daemon=True).start()
+                    continue
             except Exception as e:  # the fleet outlives a bad request
                 reply = {"req": cmd.get("req"), "ok": False,
                          "error": f"{type(e).__name__}: {e}"}
             self._reply(addr, reply)
         return stop
+
+    def _finish_migrate(self, mig, reply, addr) -> None:
+        """Phase 2 of the migrate verb, on a worker thread: the blocking
+        drain + restore RPCs run here, OUTSIDE the fleet lock and off the
+        admission loop, so admit/locate keep answering during a
+        maintenance migration (begin_handoff's busy marks keep admission,
+        remove_host, and the watchdog off both hosts meanwhile).  Sends
+        the deferred reply itself."""
+        src, dst, snap, src_ctl, dst_ctl = mig
+        drained = False
+        try:
+            try:
+                src_ctl.drain(snap)
+                drained = True
+                dst_ctl.restore(snap)
+            except Exception as e:
+                with self._lock:
+                    self._router.abort_handoff(src, dst,
+                                               src_stopped=drained)
+                reply = {"req": reply.get("req"), "ok": False,
+                         "error": f"{type(e).__name__}: {e}"}
+            else:
+                with self._lock:
+                    reply["moved"] = self._router.commit_handoff(
+                        src, dst, deregister_src=False)
+        finally:
+            with self._lock:
+                self._mig_inflight.pop((src, dst), None)
+        self._reply(addr, reply)
 
     def _dispatch(self, name, cmd, reply, snapshot_dir):
         """One command under the fleet lock; may raise (poll turns the
@@ -343,8 +464,19 @@ class _AdmissionService:
                 raise RuntimeError(
                     "migrate needs --snapshot_dir for the drain snapshot")
             snap = os.path.join(snapshot_dir, f"{cmd['src']}.drain")
-            reply["moved"] = self._router.migrate(cmd["src"], cmd["dst"],
-                                                  snap)
+            key = (cmd["src"], cmd["dst"])
+            if self._mig_inflight.get(key) == cmd.get("req"):
+                reply["_drop"] = True  # UDP retry of the in-flight one
+                return reply
+            # Phase 1 under the lock (validate + reserve); the blocking
+            # drain/restore RPCs run on a worker thread
+            # (_finish_migrate), so a multi-second migration does not
+            # stall admit/locate or the watchdog.
+            src_ctl, dst_ctl = self._router.begin_handoff(cmd["src"],
+                                                          cmd["dst"])
+            self._mig_inflight[key] = cmd.get("req")
+            reply["_migrate"] = (cmd["src"], cmd["dst"], snap,
+                                 src_ctl, dst_ctl)
         elif name == "quit":
             reply["_stop"] = True
         else:

@@ -391,7 +391,12 @@ def _serve_encode(args, _on_ready, _stop) -> int:
                 break  # drained or told to quit
             if (next_snap is not None
                     and time.perf_counter() >= next_snap):
-                next_snap += args.snapshot_every
+                # Reschedule from NOW, not the missed grid point: after a
+                # stall (first-tick compile, slow disk) a grid-based
+                # scheduler would emit a catch-up burst of back-to-back
+                # snapshots, each skipping a downlink hop; a staleness-
+                # bounded snapshot only ever needs the newest state.
+                next_snap = time.perf_counter() + args.snapshot_every
                 enc.flush_async()  # one hop skips; PLC covers
                 enc.save(args.snapshot)
             t0 = time.perf_counter()
@@ -584,7 +589,12 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
                 break  # drained or told to quit
             if (next_snap is not None
                     and time.perf_counter() >= next_snap):
-                next_snap += args.snapshot_every
+                # Reschedule from NOW, not the missed grid point: after a
+                # stall (first-tick compile, slow disk) a grid-based
+                # scheduler would emit a catch-up burst of back-to-back
+                # snapshots, each skipping a downlink hop; a staleness-
+                # bounded snapshot only ever needs the newest state.
+                next_snap = time.perf_counter() + args.snapshot_every
                 bridge.flush_async()  # one hop skips; PLC covers
                 bridge.save(args.snapshot, _transport_state(ingest))
             t0 = time.perf_counter()
@@ -912,7 +922,12 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                 break  # drained or told to quit
             if (next_snap is not None
                     and time.perf_counter() >= next_snap):
-                next_snap += args.snapshot_every
+                # Reschedule from NOW, not the missed grid point: after a
+                # stall (first-tick compile, slow disk) a grid-based
+                # scheduler would emit a catch-up burst of back-to-back
+                # snapshots, each skipping a downlink hop; a staleness-
+                # bounded snapshot only ever needs the newest state.
+                next_snap = time.perf_counter() + args.snapshot_every
                 dec.flush_async()  # one hop skips; PLC covers
                 dec.save(args.snapshot, _transport_state(ingest))
             t0 = time.perf_counter()

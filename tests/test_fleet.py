@@ -121,6 +121,91 @@ def test_router_failover_from_dead_host():
     assert ("restore", "/tmp/snap") in r._hosts["b"].control.calls
 
 
+def test_room_tiebreak_is_registration_order():
+    """Equal-load ties break by REGISTRATION order on both admission
+    paths (the FleetRouter docstring's contract) — not alphabetically,
+    which would seat the first room on 'alpha' below."""
+    r = FleetRouter()
+    r.add_host("zeta", ("127.0.0.1", 1), _FakeControl(), 4, room_size=2)
+    r.add_host("alpha", ("127.0.0.1", 2), _FakeControl(), 4, room_size=2)
+    assert r.admit("x", room="R1")[0] == "zeta"
+    assert r.admit("y", room="R2")[0] == "alpha"  # now least-loaded
+
+
+def test_remove_host_closes_control_socket():
+    """Deregistration releases the control fd deterministically (a
+    long-running controller cycling hosts through maintenance must not
+    accumulate sockets until GC)."""
+    ctl = HostControl(("127.0.0.1", 9))  # connect() needs no listener
+    r = FleetRouter()
+    r.add_host("a", ("127.0.0.1", 1000), ctl, 2)
+    r.remove_host("a")
+    assert ctl._sock.fileno() == -1  # closed
+
+
+def test_two_phase_handoff_reserves_both_hosts():
+    """begin_handoff's busy marks keep admission, remove_host, and a
+    second handoff off both hosts while the blocking RPC phase runs
+    outside the fleet lock; abort/commit release them.  A migrate whose
+    drain succeeded but restore failed parks the (stopped) source as a
+    standby instead of leaving it in the admission pool."""
+    r = _router(("a", 2, False), ("b", 2, True), ("c", 2, False))
+    src_ctl, dst_ctl = r.begin_handoff("a", "b")
+    assert src_ctl is r._hosts["a"].control
+    with pytest.raises(RuntimeError, match="in flight"):
+        r.begin_handoff("a", "b")
+    with pytest.raises(RuntimeError, match="in flight"):
+        r.remove_host("a")
+    # Admission skips the busy host even though it is the least loaded.
+    assert r.admit("s0")[0] == "c"
+    assert r.hosts()["a"]["busy"] is True
+    r.abort_handoff("a", "b")
+    assert r.admit("s1")[0] == "a"  # released
+
+    # Failed-restore abort: the drained source must leave the pool.
+    src_ctl, _ = r.begin_handoff("a", "b")
+    src_ctl.drain("/tmp/snap")
+    r.abort_handoff("a", "b", src_stopped=True)
+    assert r.hosts()["a"]["standby"] is True and not r.hosts()["a"]["busy"]
+
+    # Commit re-homes positionally and flips the destination active.
+    r2 = _router(("a", 2, False), ("b", 2, True))
+    r2.admit("s0")
+    r2.begin_handoff("a", "b")
+    assert r2.commit_handoff("a", "b", deregister_src=True) == 1
+    assert "a" not in r2.hosts()
+    assert r2.locate("s0")[0] == "b" and not r2.hosts()["b"]["standby"]
+
+
+def test_control_request_tolerates_garbage_replies():
+    """A garbage or foreign datagram on the control socket (a reused
+    port after a crash, a hostile sender) is a non-reply — skipped by
+    the matcher, never an exception out of the control client — and the
+    real reply is still accepted (the watchdog's probe path relies on
+    this: one bad datagram must not kill the sweep thread)."""
+    srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+
+    def answer():
+        data, addr = srv.recvfrom(64 * 1024)
+        req = json.loads(data.decode())["req"]
+        srv.sendto(b"\xff\xfe not json", addr)
+        srv.sendto(json.dumps(["not", "an", "object"]).encode(), addr)
+        srv.sendto(json.dumps({"req": "stale", "ok": True}).encode(), addr)
+        srv.sendto(json.dumps({"req": req, "ok": True,
+                               "pong": 1}).encode(), addr)
+
+    th = threading.Thread(target=answer)
+    th.start()
+    ctl = HostControl(srv.getsockname(), timeout=5.0, retries=1)
+    try:
+        assert ctl.ping()["pong"] == 1
+    finally:
+        th.join(timeout=10)
+        ctl.close()
+        srv.close()
+
+
 def _free_udp_port() -> int:
     s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     s.bind(("127.0.0.1", 0))

@@ -350,6 +350,69 @@ def test_watchdog_failed_restore_is_counted_and_not_retried():
     wd.sweep()
     assert wd.failover_errors == 1  # no retry storm against a bad snapshot
 
+def test_watchdog_survives_host_removed_mid_sweep():
+    """An operator's remove_host can land between the sweep's host-list
+    snapshot and its unlocked probe; the probe's KeyError must be a
+    skipped host, not an exception that kills the watchdog thread."""
+    r, ctls, wd, logs = _watchdog_fixture()
+    real_alive = r.alive
+
+    def racy_alive(name, **kw):
+        if name == "a":
+            raise KeyError(name)  # removed while the sweep probed
+        return real_alive(name, **kw)
+
+    r.alive = racy_alive
+    wd.sweep()  # must not raise
+    assert wd.failovers == 0 and wd.failover_errors == 0
+    assert not wd.dead_unrecovered
+
+
+def test_watchdog_flap_aborts_failover_without_suppression():
+    """A host that answers pings again at the pre-restore recheck (flap,
+    or a replacement re-registered under the same name) is NOT failed
+    over — that would fork its calls — and is NOT suppressed either: it
+    keeps full watchdog protection for a later real death."""
+    r, ctls, wd, logs = _watchdog_fixture()
+
+    flaps = {"remaining": 1}
+    real_request = ctls["a"].request
+
+    def flappy_request(cmd, _timeout=None, _retries=None, **fields):
+        if flaps["remaining"] > 0:
+            flaps["remaining"] -= 1
+            raise socket.timeout("flap")
+        return real_request(cmd, _timeout=_timeout, _retries=_retries,
+                            **fields)
+
+    ctls["a"].request = flappy_request
+    wd.sweep()
+    assert wd.failovers == 0 and wd.failover_errors == 0
+    assert not wd.dead_unrecovered  # still watched
+    assert "a" in r.hosts() and not r.hosts()["a"]["busy"]
+    assert r.hosts()["spare"]["standby"] is True  # untouched
+    assert not any(c[0] == "restore" for c in ctls["spare"].calls)
+    assert any("answers pings again" in line for line in logs)
+    # The real death later is still handled.
+    ctls["a"].dead = True
+    ctls["a"].request = _FakeControl.__dict__["request"].__get__(ctls["a"])
+    wd.sweep()
+    assert wd.failovers == 1 and r.locate("caller")[0] == "spare"
+
+
+def test_watchdog_stale_verdict_does_not_suppress():
+    """A verdict reached before a fleet change (generation bump) must not
+    suppress a host the verdict was never about — the re-added
+    replacement would silently lose watchdog protection."""
+    r, ctls, wd, logs = _watchdog_fixture()
+    with wd._lock:
+        gen0 = wd._gen
+    wd.notify_fleet_changed()
+    with wd._lock:
+        wd._suppress("a", gen0)
+    assert not wd.dead_unrecovered
+
+
 def test_admission_with_bitrate_relays_and_rolls_back():
     """admit+bitrate relays set_bitrate to the seat's host; a refused
     rate frees the seat (all-or-nothing), and the standalone set_bitrate
