@@ -269,6 +269,12 @@ class _FakeControl:
             raise ControlError("snapshot capacity mismatch")
         return {"ok": True}
 
+    def drain(self, path):
+        self.calls.append(("drain", path))
+        if self.dead:
+            raise socket.timeout("host is dead")
+        return {"ok": True, "ticks": 7}
+
     def close(self):
         pass
 
@@ -410,6 +416,82 @@ def test_watchdog_stale_verdict_does_not_suppress():
     wd.notify_fleet_changed()
     with wd._lock:
         wd._suppress("a", gen0)
+    assert not wd.dead_unrecovered
+
+
+def test_fleet_churn_soak():
+    """Long mixed workload against the fleet bookkeeping: admit/release
+    churn interleaved with migrations, crashes + watchdog failovers, and
+    runtime host replacement.  Invariants checked every round: seat
+    accounting matches the stream table, every stream locates to a live
+    registered host, and no busy reservation is left behind (a stuck
+    reservation would silently shrink the admission pool forever)."""
+    import random
+
+    from lyra_tpu.tools.fleet import FleetRouter
+    from lyra_tpu.tools.fleet_main import _Watchdog
+
+    rng = random.Random(7)
+    r = FleetRouter()
+    ctls = {}
+    counter = itertools.count()
+
+    def new_host(name, standby):
+        ctls[name] = _FakeControl()
+        r.add_host(name, ("127.0.0.1", 1), ctls[name], 8, standby=standby)
+
+    new_host("h0", False)
+    new_host("h1", False)
+    new_host("spare0", True)
+    new_host("spare1", True)
+    wd = _Watchdog(r, "/tmp/snaps", log=lambda s: None)
+    live = set()
+
+    def check_invariants():
+        hosts = r.hosts()
+        assert sum(h["occupied"] for h in hosts.values()) == len(live)
+        assert not any(h["busy"] for h in hosts.values())
+        for sid in live:
+            name, _, _ = r.locate(sid)
+            assert name in hosts and not hosts[name]["standby"]
+
+    for round_no in range(120):
+        # Churn seats.
+        for _ in range(rng.randrange(4)):
+            sid = f"s{next(counter)}"
+            try:
+                r.admit(sid)
+                live.add(sid)
+            except RuntimeError:
+                break  # fleet full this round
+        for sid in rng.sample(sorted(live), k=min(len(live),
+                                                  rng.randrange(3))):
+            r.release(sid)
+            live.discard(sid)
+        op = rng.random()
+        hosts = r.hosts()
+        actives = [n for n, h in hosts.items() if not h["standby"]]
+        standbys = [n for n, h in hosts.items()
+                    if h["standby"] and not ctls[n].dead]
+        if op < 0.25 and actives and standbys:
+            # Maintenance migration into a warm standby, then replace
+            # the drained (stopped) source with a fresh spare.
+            src, dst = rng.choice(actives), rng.choice(standbys)
+            r.migrate(src, dst, "/tmp/snaps/x")
+            r.remove_host(src)
+            new_host(f"spare{next(counter)}", True)
+            wd.notify_fleet_changed()
+        elif op < 0.45 and actives and standbys:
+            # Crash + autonomous watchdog failover + replacement.
+            victim = rng.choice(actives)
+            ctls[victim].dead = True
+            wd.sweep()
+            assert victim not in r.hosts()
+            new_host(f"spare{next(counter)}", True)
+            wd.notify_fleet_changed()
+        check_invariants()
+
+    assert wd.failovers > 0  # the crash branch actually ran
     assert not wd.dead_unrecovered
 
 
