@@ -68,6 +68,14 @@ def main(argv=None) -> int:
                         "back sustained excess cushion.  A/B vs static "
                         "--playout_delay: benchmarks/adaptive_jitter_probe"
                         ".py has the measured tradeoff.")
+    p.add_argument("--red", type=int, default=0, metavar="D",
+                   help="RED packet redundancy: each datagram also "
+                        "carries the packet D ticks earlier "
+                        "(packet.build_red framing; needs "
+                        "--playout_delay >= D+1), so a lost datagram is "
+                        "healed by its successor instead of concealed.  "
+                        "A/B vs --loss: benchmarks/red_probe.py has the "
+                        "measured tradeoff.")
     p.add_argument("--realtime", action="store_true",
                    help="Pace ticks on the 20 ms wall-clock grid.")
     p.add_argument("--ingest", choices=("python", "native"),
@@ -78,6 +86,11 @@ def main(argv=None) -> int:
     p.add_argument("--out_dir", default="/tmp/lyra_tpu_udp_call")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+
+    if args.red and args.playout_delay < args.red + 1:
+        p.error(f"--red {args.red} needs --playout_delay >= {args.red + 1} "
+                "(the redundant copy must arrive before its sequence is "
+                "due)")
 
     rng = np.random.RandomState(args.seed)
     data = wav.read_wav_int16(args.input)
@@ -107,6 +120,8 @@ def main(argv=None) -> int:
         parts = [int(x) for x in args.adaptive.split(":")]
         window = parts[2] if len(parts) > 2 else 50
         ingest.set_adaptive(parts[0], parts[1], window)
+    if args.red and pump is not None:
+        pump.set_red(args.red)  # python path parses in the drain below
     for c in range(cap):
         enc.add_stream(c, bitrate=rates[c % len(rates)])
         ingest.add_stream(dec.add_stream(c),
@@ -161,12 +176,26 @@ def main(argv=None) -> int:
             seq = t - 1
             for c in range(cap):
                 if sizes[c] == 0:
+                    if args.red:
+                        prev_pkt[c] = b""  # a silent tick heals nothing
                     continue  # DTX / inactive: nothing on the wire
+                cur = bytes(wire[c, : sizes[c]])
+                payload = cur
+                if args.red:
+                    # The datagram for seq also carries the packet emitted
+                    # `red` ticks earlier — framed regardless of what the
+                    # lossy network below does to either datagram (the
+                    # sender can't know; that's the point).
+                    payload = packet.build_red(cur, prev_pkt[c])
+                    prev_hist[c].append(cur)
+                    prev_pkt[c] = (prev_hist[c].pop(0)
+                                   if len(prev_hist[c]) > args.red - 1
+                                   else b"")
                 if rng.uniform() < args.loss:
                     lost += 1
                     continue
                 pkt = (c.to_bytes(2, "big") + seq.to_bytes(4, "big")
-                       + bytes(wire[c, : sizes[c]]))
+                       + payload)
                 d = network_delay(c)
                 if d > 0:
                     held.setdefault(t + d, []).append((c, seq, pkt))

@@ -267,3 +267,67 @@ def unpack_wire_device_mixed(packets, nq_row):
     idx = unpack_wire_device(packets, packets.shape[1] * 8)
     stage = jnp.arange(idx.shape[1])
     return jnp.where(stage[None, :] < nq_row[:, None], idx, -1)
+
+
+def build_red(cur: bytes, prev: bytes = b"") -> bytes:
+    """RED wire framing for one datagram: [1B len][cur][1B len][prev].
+
+    A datagram for sequence t carries packet t-D alongside (D = the
+    fleet's redundancy distance), so one lost datagram is healed by its
+    successor's redundant copy instead of concealed — the deployment-
+    grade shield in front of the PLC machine the reference relies on
+    alone (reference: lyra/lyra_decoder.cc:228-315).  `prev` may be empty
+    (stream start).  Zero-length blocks are valid: a DTX empty packet is
+    "received, no payload" on the wire (reference:
+    lyra/lyra_encoder.cc:136-141)."""
+    if len(cur) > 255 or len(prev) > 255:
+        raise ValueError("RED block exceeds the 1-byte length prefix")
+    return bytes([len(cur)]) + cur + bytes([len(prev)]) + prev
+
+
+def parse_red(payload: bytes) -> tuple[bytes, bytes]:
+    """Inverse of build_red; raises ValueError on a ragged payload (a
+    short datagram is garbage, not a quieter packet)."""
+    if len(payload) < 2:
+        raise ValueError("RED payload shorter than its length prefixes")
+    l1 = payload[0]
+    if 2 + l1 > len(payload):
+        raise ValueError("RED primary block overruns the payload")
+    l2 = payload[1 + l1]
+    if 2 + l1 + l2 != len(payload):
+        raise ValueError("RED blocks do not tile the payload")
+    return payload[1:1 + l1], payload[2 + l1:2 + l1 + l2]
+
+
+def build_red_batch(cur: np.ndarray, cur_sizes: np.ndarray,
+                    prev: np.ndarray, prev_sizes: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized RED framing for a serving tick's wire matrix.
+
+    cur/prev: [B, max_size] u8 rows (row k's packet in the first
+    cur_sizes[k]/prev_sizes[k] bytes); returns (red [B, 2 + 2*max_size]
+    u8, red_sizes [B] = 2 + cur + prev) ready for the egress.  Rows group
+    by their (cur, prev) size pair — at most bitrates² distinct pairs —
+    so the assembly is a handful of slice assignments, not a per-row
+    loop."""
+    cur = np.ascontiguousarray(cur, np.uint8)
+    prev = np.ascontiguousarray(prev, np.uint8)
+    cur_sizes = np.asarray(cur_sizes, np.int64)
+    prev_sizes = np.asarray(prev_sizes, np.int64)
+    b, max_size = cur.shape
+    if prev.shape != cur.shape:
+        raise ValueError(f"cur {cur.shape} / prev {prev.shape} mismatch")
+    if cur_sizes.max(initial=0) > max_size or \
+            prev_sizes.max(initial=0) > max_size:
+        raise ValueError("a size exceeds the matrix row width")
+    out = np.zeros((b, 2 + 2 * max_size), np.uint8)
+    out_sizes = (2 + cur_sizes + prev_sizes).astype(np.int32)
+    out[:, 0] = cur_sizes
+    for s1 in np.unique(cur_sizes):
+        rows = cur_sizes == s1
+        out[rows, 1:1 + s1] = cur[rows, :s1]
+        out[rows, 1 + s1] = prev_sizes[rows]
+        for s2 in np.unique(prev_sizes[rows]):
+            rr = rows & (prev_sizes == s2)
+            out[rr, 2 + s1:2 + s1 + s2] = prev[rr, :s2]
+    return out, out_sizes

@@ -57,6 +57,27 @@ class JitterBuffer:
             raise ValueError(f"bad insert args (stream {stream})")
         return rc
 
+    def insert_red(self, stream: int, seq: int, packet: bytes) -> int:
+        """File a REDUNDANT copy (RED framing: packet `seq` carried
+        alongside a later datagram).  Files only into an empty ring slot
+        and counts the fill as a red_heal; never touches the adaptive
+        margins, the desync streak, or the drop counters (a redundant
+        whose primary already arrived is the normal case, not an
+        anomaly).  Returns 0 healed, 2 too late, 3 already there,
+        4 ahead of window, 5 inactive."""
+        buf = (ctypes.c_uint8 * max(len(packet), 1)).from_buffer_copy(
+            packet or b"\x00")
+        rc = self._lib.lyra_jb_insert_red(self._h, stream, seq, buf,
+                                          len(packet))
+        if rc == 1:
+            raise ValueError(f"bad insert args (stream {stream})")
+        return rc
+
+    @property
+    def red_heals(self) -> int:
+        """Redundant copies that filled a real hole — what RED bought."""
+        return int(self._lib.lyra_jb_red_heals(self._h))
+
     def collect(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """One tick: → (packets [capacity, packet_size] u8,
         received [capacity] bool, sizes [capacity] u8)."""

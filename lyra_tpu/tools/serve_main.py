@@ -35,6 +35,7 @@ import time
 import numpy as np
 
 from lyra_tpu import config
+from lyra_tpu import packet as pkt
 from lyra_tpu.tools.jitter_buffer import JitterBuffer
 from lyra_tpu.tools.stream_server import DecoderServer
 
@@ -196,6 +197,80 @@ def _reseed_transport(ingest, transport, capacity: int,
                               playout_delay=playout_delay)
 
 
+class _RedDownlink:
+    """Sender-side RED framing for a packet downlink: datagram t carries
+    packet t-D alongside packet t ([1B len][cur][1B len][prev],
+    packet.build_red_batch), so the far receiver heals one lost datagram
+    from its successor's redundant copy instead of concealing it — the
+    transport-level shield in FRONT of the PLC machine the reference
+    relies on alone (reference: lyra/lyra_decoder.cc:228-315).  Rows
+    that emit nothing this tick (inactive slots, DTX noise hops:
+    size <= 0) still send nothing, and the redundant block for a tick
+    that emitted nothing is empty (len 0 — nothing to heal with; the
+    far side's PLC/CNG covers it, same as a plain loss).  Costs one
+    extra packet of payload per datagram: bandwidth for robustness,
+    the sender twin of UdpIngest.set_red."""
+
+    def __init__(self, offset: int, capacity: int):
+        import collections
+
+        self._hist = collections.deque(maxlen=offset)
+        self._offset = offset
+        self._zero_sizes = np.zeros(capacity, np.int32)
+
+    def frame(self, wire: np.ndarray, sizes: np.ndarray):
+        """→ (red_wire, red_sizes) for the egress; records this tick as
+        history for the datagram D ticks from now."""
+        wire = np.ascontiguousarray(wire)
+        sizes = np.asarray(sizes, np.int32)
+        if len(self._hist) == self._offset:
+            prev, prev_sizes = self._hist[0]
+        else:
+            prev, prev_sizes = np.zeros_like(wire), self._zero_sizes
+        if prev.shape[1] != wire.shape[1]:
+            # A mid-call set_bitrate can widen/narrow the wire matrix;
+            # frame at the union width so neither tick's packets truncate
+            # (sizes bound the real bytes, the tails are padding).
+            w = max(prev.shape[1], wire.shape[1])
+            wide = np.zeros((wire.shape[0], w), np.uint8)
+            wide[:, :wire.shape[1]] = wire
+            pwide = np.zeros((prev.shape[0], w), np.uint8)
+            pwide[:, :prev.shape[1]] = prev
+            wire_f, prev = wide, pwide
+        else:
+            wire_f = wire
+        red, red_sizes = pkt.build_red_batch(wire_f, sizes, prev, prev_sizes)
+        red_sizes = np.where(sizes > 0, red_sizes, 0).astype(np.int32)
+        self._hist.append((wire.copy(), sizes.copy()))
+        return red, red_sizes
+
+
+def _drain_python_rx(rx, jb, red: int) -> None:
+    """Per-datagram python ingest drain (the no-native fallback; shared
+    by the decode and bridge loops): parse the 6 B header and file into
+    the jitter buffer.  With RED framing the payload splits into a
+    primary + a redundant block (the mirror of the native pump's parse);
+    junk — a ragged RED payload, a slot past capacity — is dropped,
+    never filed and never an exception out of a serving tick."""
+    while True:
+        try:
+            dgram, _ = rx.recvfrom(2048)
+        except BlockingIOError:
+            break
+        slot = int.from_bytes(dgram[:2], "big")
+        seq = int.from_bytes(dgram[2:_HDR], "big")
+        try:
+            if not red:
+                jb.insert(slot, seq, dgram[_HDR:])
+                continue
+            cur, prev = pkt.parse_red(dgram[_HDR:])
+            jb.insert(slot, seq, cur)
+            if prev and seq >= red:
+                jb.insert_red(slot, seq - red, prev)
+        except ValueError:
+            continue  # malformed-drop class (bad slot / ragged RED)
+
+
 def _tick_pcts(tick_ms, tail: int | None = 256):
     """(p50, p95) of the recent tick latencies, rounded for reporting."""
     lat = np.array(tick_ms[-tail:] if tail else tick_ms)
@@ -345,6 +420,7 @@ def _serve_encode(args, _on_ready, _stop) -> int:
         rx.setblocking(False)
         port = rx.getsockname()[1]
     tx = _make_tx(args, args.capacity, pcm)
+    red_tx = _RedDownlink(args.red, args.capacity) if args.red else None
     sink = _StatsSink(args.stats)
     ctl = (_Control(args.control, args.control_bind)
            if args.control is not None else None)
@@ -429,6 +505,8 @@ def _serve_encode(args, _on_ready, _stop) -> int:
             if tx is not None:
                 if args.echo == "reply":
                     tx.route_from_pump(pcm)
+                if red_tx is not None:
+                    wire, sizes = red_tx.frame(wire, sizes)
                 tx.send(wire, sizes, ticks)
             ticks += 1
 
@@ -540,7 +618,10 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
                       args.playout_delay)
     if args.adaptive:
         ingest.set_adaptive(*args.adaptive)
+    if args.red and pump is not None:
+        pump.set_red(args.red)  # python-jb path parses in the drain loop
     tx = _make_tx(args, args.capacity, pump)
+    red_tx = _RedDownlink(args.red, args.capacity) if args.red else None
     sink = _StatsSink(args.stats)
     ctl = (_Control(args.control, args.control_bind)
            if args.control is not None else None)
@@ -556,6 +637,8 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
                 "jb": (pump.jb_stats() if pump is not None else jb.stats()),
                 **({"adapt": (pump or jb).adapt_stats()}
                    if args.adaptive else {}),
+                **({"red_heals": (pump or jb).red_heals}
+                   if args.red else {}),
                 "egress": (tx.stats() if tx is not None else {}),
                 "bad_packets": int(bridge.bad_packets.sum())}
 
@@ -600,14 +683,7 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
             t0 = time.perf_counter()
 
             if pump is None:
-                while True:
-                    try:
-                        dgram, _ = rx.recvfrom(2048)
-                    except BlockingIOError:
-                        break
-                    slot = int.from_bytes(dgram[:2], "big")
-                    seq = int.from_bytes(dgram[2:_HDR], "big")
-                    jb.insert(slot, seq, dgram[_HDR:])
+                _drain_python_rx(rx, jb, args.red)
                 pkts, received, sizes = jb.collect()
             else:
                 pkts, received, sizes = pump.collect()
@@ -622,6 +698,8 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
             if tx is not None:
                 if args.echo == "reply":
                     tx.route_from_pump(pump)
+                if red_tx is not None:
+                    wire, out_sizes = red_tx.frame(wire, out_sizes)
                 tx.send(wire, out_sizes, ticks)
             ticks += 1
 
@@ -719,6 +797,19 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "'reply' routes each slot back to its last uplink "
                         "source — the real-MCU shape (any mode, native "
                         "ingest+egress).  Default: none (stats only).")
+    p.add_argument("--red", type=int, default=0, metavar="D",
+                   help="RED packet redundancy distance: every packet "
+                        "datagram for sequence t also carries packet t-D "
+                        "([1B len][cur][1B len][prev] framing), so one "
+                        "lost datagram is healed by its successor instead "
+                        "of concealed — at the cost of ~2x packet payload. "
+                        "A wire contract for the whole port: every sender "
+                        "must frame the same way (packet.build_red; "
+                        "examples/udp_call.py --red).  decode/bridge: "
+                        "uplink ingest parses RED (needs --playout_delay "
+                        ">= D+1 so the copy arrives before its sequence "
+                        "is due); encode/bridge: downlink datagrams are "
+                        "RED-framed.  0 = plain framing.")
     p.add_argument("--report_every", type=float, default=1.0)
     p.add_argument("--control", type=int, default=None, metavar="PORT",
                    help="Bind a UDP JSON control endpoint (0 = ephemeral, "
@@ -821,6 +912,19 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
             p.error("--adaptive applies to the packet jitter buffer; the "
                     "encode relay's PCM pump is latest-wins (no playout "
                     "queue to adapt)")
+    if args.red:
+        if not 1 <= args.red <= 8:
+            p.error("--red must be in 1..8 (ticks of redundancy distance)")
+        if args.mode in ("decode", "bridge"):
+            if args.playout_delay < args.red + 1:
+                p.error(f"--red {args.red} needs --playout_delay >= "
+                        f"{args.red + 1}: the redundant copy rides the "
+                        "datagram D ticks later and must arrive before "
+                        "its sequence is due")
+            if args.adaptive is not None and args.adaptive[0] < args.red + 1:
+                p.error(f"--red {args.red} needs adaptive MIN >= "
+                        f"{args.red + 1} (a shrink below it would play "
+                        "sequences before their redundant copy can land)")
     if args.mode == "encode":
         return _serve_encode(args, _on_ready, _stop)
     if args.mode == "bridge":
@@ -873,6 +977,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
 
     if args.adaptive:
         ingest.set_adaptive(*args.adaptive)
+    if args.red and pump is not None:
+        pump.set_red(args.red)  # python-jb path parses in the drain loop
 
     tx = _make_tx(args, args.capacity, pump)
     pcm_sizes = np.full(args.capacity, dec.hop_samples * 2, np.int32)
@@ -890,6 +996,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                 "jb": (pump.jb_stats() if pump is not None else jb.stats()),
                 **({"adapt": (pump or jb).adapt_stats()}
                    if args.adaptive else {}),
+                **({"red_heals": (pump or jb).red_heals}
+                   if args.red else {}),
                 "egress": (tx.stats() if tx is not None else {}),
                 "bad_packets": int(dec.bad_packets.sum())}
 
@@ -933,14 +1041,7 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
             t0 = time.perf_counter()
 
             if pump is None:
-                while True:
-                    try:
-                        dgram, _ = rx.recvfrom(2048)
-                    except BlockingIOError:
-                        break
-                    slot = int.from_bytes(dgram[:2], "big")
-                    seq = int.from_bytes(dgram[2:_HDR], "big")
-                    jb.insert(slot, seq, dgram[_HDR:])
+                _drain_python_rx(rx, jb, args.red)
                 pkts, received, sizes = jb.collect()
             else:
                 pkts, received, sizes = pump.collect()

@@ -156,6 +156,25 @@ class UdpIngest:
                 f"bad adaptive bounds [{min_delay}, {max_delay}] / "
                 f"window {window}")
 
+    def set_red(self, offset: int) -> None:
+        """Switch the wire framing to RED with redundancy distance
+        `offset`: every datagram for sequence t must then carry
+        [1B len][packet t][1B len][packet t-offset] (packet.build_red),
+        and a lost datagram is healed by its successor's redundant copy
+        instead of concealed.  0 restores plain framing.  A wire contract
+        for the whole port — set before traffic flows, and give every
+        stream a playout delay of at least offset+1 ticks or the copy
+        arrives after its sequence was due."""
+        self._check_open()
+        if self._lib.lyra_pump_set_red(self._h, offset):
+            raise ValueError(f"bad RED offset {offset} (need 0..8)")
+
+    @property
+    def red_heals(self) -> int:
+        """Redundant copies that filled a real hole (locked read)."""
+        self._check_open()
+        return int(self._lib.lyra_pump_red_heals(self._h))
+
     def adapt_stats(self) -> dict:
         """Adaptive-delay decisions + current latency position, read under
         the pump lock (JitterBuffer.adapt_stats contract)."""
@@ -488,6 +507,17 @@ class ShardedUdpIngest(_ShardGroupBase):
         adapts its delay; the others see a silent sender (no decision)."""
         for s in self._shards:
             s.set_adaptive(min_delay, max_delay, window)
+
+    def set_red(self, offset: int) -> None:
+        """RED wire framing on every member (the kernel picks a flow's
+        shard, so all must parse the same framing — see
+        UdpIngest.set_red)."""
+        for s in self._shards:
+            s.set_red(offset)
+
+    @property
+    def red_heals(self) -> int:
+        return sum(s.red_heals for s in self._shards)
 
     def adapt_stats(self) -> dict:
         """Group adaptive stats, same keys as UdpIngest.adapt_stats.

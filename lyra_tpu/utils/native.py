@@ -66,6 +66,14 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_pump_jb_adapt_stats.restype = None
     lib.lyra_pump_jb_resyncs.argtypes = [vp]
     lib.lyra_pump_jb_resyncs.restype = i64
+    lib.lyra_jb_insert_red.argtypes = [vp, i64, i64, u8p, i64]
+    lib.lyra_jb_insert_red.restype = ctypes.c_int
+    lib.lyra_jb_red_heals.argtypes = [vp]
+    lib.lyra_jb_red_heals.restype = i64
+    lib.lyra_pump_set_red.argtypes = [vp, i64]
+    lib.lyra_pump_set_red.restype = ctypes.c_int
+    lib.lyra_pump_red_heals.argtypes = [vp]
+    lib.lyra_pump_red_heals.restype = i64
     lib.lyra_pump_create.argtypes = [vp, ctypes.c_int]
     lib.lyra_pump_create.restype = vp
     lib.lyra_sink_pump_create.argtypes = [ctypes.c_int, ctypes.c_int]

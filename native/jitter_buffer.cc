@@ -88,6 +88,7 @@ struct JitterBuffer {
   int64_t late_drops = 0, dup_drops = 0, overflow_drops = 0;
   int64_t inactive_drops = 0;
   int64_t resyncs = 0;
+  int64_t red_heals = 0;  // redundant copies that filled a real hole
   // adaptive playout (all zero = disabled, the static-depth default)
   int64_t ad_min = 0, ad_max = 0, ad_window = 0;
   std::vector<int64_t> margin_min;    // per stream, window min arrival margin
@@ -311,6 +312,47 @@ int lyra_jb_insert(void* h, int64_t stream, int64_t seq,
     std::memcpy(&jb->payload[idx * jb->packet_size], data, size);
   }
   return 0;
+}
+
+// File a REDUNDANT copy (RED framing: a datagram for sequence t carries
+// packet t-D alongside, so one lost datagram is healed by its successor
+// instead of concealed).  Unlike lyra_jb_insert this is side-effect-free
+// beyond the filing itself: it never records adaptive arrival margins
+// (the copy is systematically D ticks "later" than the live traffic and
+// would bias delay adaptation), never feeds the desync-resync streak
+// (the primary insert is the schedule evidence), and never bumps the
+// late/dup/inactive drop counters (a redundant whose primary already
+// arrived is the NORMAL case, not a transport anomaly worth alarming
+// on).  It files only into an empty ring slot and counts the fill as a
+// red_heal — the measure of what the redundancy actually bought.
+// Returns 0 filed (healed), 2 too late, 3 primary already there,
+// 4 ahead of the window, 5 inactive, 1 bad args.
+int lyra_jb_insert_red(void* h, int64_t stream, int64_t seq,
+                       const uint8_t* data, int64_t size) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  if (stream < 0 || stream >= jb->capacity ||
+      size < 0 || size > jb->packet_size) {
+    return 1;
+  }
+  if (!jb->active[stream]) return 5;
+  const int64_t head = jb->head_seq[stream];
+  if (seq < head) return 2;  // playout already passed: too late to heal
+  if (seq >= head + jb->depth) return 4;
+  Slot& slot = jb->slots[stream * jb->depth + (seq % jb->depth)];
+  if (slot.occupied && slot.seq == seq) return 3;
+  slot.occupied = true;
+  slot.seq = seq;
+  const int64_t idx = stream * jb->depth + (seq % jb->depth);
+  jb->sizes[idx] = static_cast<uint8_t>(size);
+  if (size > 0) {
+    std::memcpy(&jb->payload[idx * jb->packet_size], data, size);
+  }
+  ++jb->red_heals;
+  return 0;
+}
+
+int64_t lyra_jb_red_heals(void* h) {
+  return static_cast<JitterBuffer*>(h)->red_heals;
 }
 
 // Drain one tick for all streams: for each active stream, pop the packet at

@@ -56,6 +56,9 @@ int64_t lyra_jb_collect(void* h, uint8_t* out, uint8_t* received,
 void lyra_jb_stats2(void* h, int64_t* late, int64_t* dup, int64_t* overflow,
                     int64_t* inactive);
 int64_t lyra_jb_resyncs(void* h);
+int lyra_jb_insert_red(void* h, int64_t stream, int64_t seq,
+                       const uint8_t* packet, int64_t size);
+int64_t lyra_jb_red_heals(void* h);
 int lyra_jb_set_adaptive(void* h, int64_t min_delay, int64_t max_delay,
                          int64_t window);
 void lyra_jb_adapt_stats(void* h, int64_t* grows, int64_t* shrinks,
@@ -200,13 +203,41 @@ struct PumpBase {
 struct UdpPump : PumpBase {
   UdpPump() : PumpBase(0) {}
   void* jb = nullptr;
+  // RED wire mode (lyra_pump_set_red): each datagram for sequence t is
+  // [1B len1][packet t][1B len2][packet t-red_offset] instead of a bare
+  // packet, so one lost datagram is healed by its successor's redundant
+  // copy instead of concealed.  0 = plain framing.  A fleet-level wire
+  // contract: every sender on this port must use the same framing.
+  int64_t red_offset = 0;
 
   void Run() {
     RunLoop(kMaxDatagram, [this](int64_t slot, int64_t seq,
                                  const uint8_t* payload, int len) {
-      return lyra_jb_insert(jb, slot, seq, payload, len) == 0
-                 ? Verdict::kAccepted
-                 : Verdict::kDropped;
+      if (red_offset == 0) {
+        return lyra_jb_insert(jb, slot, seq, payload, len) == 0
+                   ? Verdict::kAccepted
+                   : Verdict::kDropped;
+      }
+      // RED framing.  Block lengths must tile the payload exactly — a
+      // ragged datagram is garbage, not "a quieter packet".  len2 == 0
+      // (stream start, or a sender declining redundancy this packet)
+      // is valid: the primary block stands alone.
+      if (len < 2) return Verdict::kMalformed;
+      const int l1 = payload[0];
+      if (2 + l1 > len) return Verdict::kMalformed;
+      const int l2 = payload[1 + l1];
+      if (2 + l1 + l2 != len) return Verdict::kMalformed;
+      const bool primary_ok =
+          lyra_jb_insert(jb, slot, seq, payload + 1, l1) == 0;
+      bool heal = false;
+      if (l2 > 0 && seq >= red_offset) {
+        heal = lyra_jb_insert_red(jb, slot, seq - red_offset,
+                                  payload + 2 + l1, l2) == 0;
+      }
+      // Accepted if either block was filed (route learning should
+      // follow a datagram whose redundant copy healed a hole even if
+      // its primary was a dup).
+      return (primary_ok || heal) ? Verdict::kAccepted : Verdict::kDropped;
     });
   }
 };
@@ -544,6 +575,31 @@ int64_t lyra_pump_jb_resyncs(void* h) {
   if (p->kind != 0) return -1;
   std::lock_guard<std::mutex> lock(p->mu);
   return lyra_jb_resyncs(static_cast<UdpPump*>(p)->jb);
+}
+
+// Switch the pump's wire framing to RED with redundancy distance
+// `offset` (see UdpPump::red_offset; 0 restores plain framing).  A wire
+// contract for the whole port: set it before traffic flows, on every
+// member of a shard group.  The receiver needs a playout delay of at
+// least offset+1 ticks for the redundant copy to arrive before its
+// sequence is due — enforced by the callers (serve_main --red), not
+// here (the pump doesn't know the buffer's delays).  Returns 0, or -1
+// on a wrong-kind handle / offset out of [0, 8].
+int lyra_pump_set_red(void* h, int64_t offset) {
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 0 || offset < 0 || offset > 8) return -1;
+  std::lock_guard<std::mutex> lock(p->mu);
+  static_cast<UdpPump*>(p)->red_offset = offset;
+  return 0;
+}
+
+// Redundant copies that filled a real hole (locked read; the measure of
+// what RED bought).  -1 on a wrong-kind handle.
+int64_t lyra_pump_red_heals(void* h) {
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 0) return -1;
+  std::lock_guard<std::mutex> lock(p->mu);
+  return lyra_jb_red_heals(static_cast<UdpPump*>(p)->jb);
 }
 
 // Locked playout-schedule export (see lyra_jb_heads): heads_out must hold

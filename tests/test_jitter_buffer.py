@@ -353,3 +353,30 @@ def test_heads_export_and_reseed_locks_on_immediately():
     # Silent ticks per slot: 1 re-absorbing the playout delay + 1 PLC for
     # seq 39 (in flight at handoff, lost); the other 10 of 12 play.
     assert played == 2 * 10
+
+
+def test_insert_red_heals_without_counter_pollution():
+    """insert_red files only into real holes and counts red_heals; the
+    normal cases (primary already arrived, copy too late) return their
+    codes WITHOUT touching the transport drop counters or the resync
+    streak — redundancy traffic must not read as a network anomaly."""
+    jb = JitterBuffer(capacity=4, packet_size=23, depth=8)
+    jb.add_stream(0, playout_delay=0)
+    assert jb.insert_red(0, 0, b"a" * 8) == 0  # heals a hole
+    assert jb.red_heals == 1
+    assert jb.insert_red(0, 0, b"a" * 8) == 3  # already there
+    assert jb.insert(0, 1, b"b" * 8) == 0
+    assert jb.insert_red(0, 1, b"c" * 8) == 3  # primary won; keep it
+    out, received, sizes = jb.collect()
+    assert received[0] and bytes(out[0, :sizes[0]]) == b"a" * 8
+    assert jb.insert_red(0, 0, b"z" * 8) == 2   # playout passed: too late
+    assert jb.insert_red(0, 99, b"z" * 8) == 4  # ahead of the window
+    assert jb.insert_red(1, 0, b"z" * 8) == 5   # inactive slot
+    st = jb.stats()
+    assert st["late_drops"] == 0 and st["dup_drops"] == 0
+    assert st["overflow_drops"] == 0 and st["inactive_drops"] == 0
+    assert st["resyncs"] == 0
+    assert jb.red_heals == 1
+    # The primary's payload was kept over the redundant copy for seq 1.
+    out, received, sizes = jb.collect()
+    assert bytes(out[0, :sizes[0]]) == b"b" * 8

@@ -141,3 +141,44 @@ def test_mixed_device_wire_codec_matches_host_codec():
     for r, n in enumerate(nq):
         np.testing.assert_array_equal(back[r, :n], idx[r, :n])
         assert (back[r, n:] == -1).all()
+
+
+def test_red_framing_roundtrip_and_refusals():
+    """RED wire framing [len][cur][len][prev]: exact round trip, empty
+    blocks valid (stream start, DTX empty packets), ragged payloads
+    refused loudly (a short datagram is garbage, never a quieter
+    packet)."""
+    cases = [(b"\x01" * 8, b"\x02" * 8), (b"\x03" * 23, b""),
+             (b"", b"\x04" * 15), (b"", b"")]
+    for cur, prev in cases:
+        assert packet.parse_red(packet.build_red(cur, prev)) == (cur, prev)
+    with pytest.raises(ValueError):
+        packet.parse_red(b"\x08" + b"x" * 4)  # primary overruns
+    with pytest.raises(ValueError):
+        packet.parse_red(b"\x02xx\x05xx")  # blocks don't tile
+    with pytest.raises(ValueError):
+        packet.parse_red(b"\x00")  # shorter than the prefixes
+    with pytest.raises(ValueError):
+        packet.build_red(b"x" * 256)  # exceeds the 1-byte prefix
+
+
+def test_red_batch_matches_scalar():
+    """The vectorized tick-matrix RED builder agrees byte-for-byte with
+    the scalar framing across mixed per-row sizes (a mixed-bitrate
+    fleet's downlink)."""
+    rng = np.random.default_rng(3)
+    sizes = np.array([8, 15, 23, 0, 8, 23], np.int64)
+    prev_sizes = np.array([8, 8, 23, 15, 0, 0], np.int64)
+    cur = np.zeros((6, 23), np.uint8)
+    prev = np.zeros((6, 23), np.uint8)
+    for r in range(6):
+        cur[r, :sizes[r]] = rng.integers(0, 256, sizes[r])
+        prev[r, :prev_sizes[r]] = rng.integers(0, 256, prev_sizes[r])
+    red, red_sizes = packet.build_red_batch(cur, sizes, prev, prev_sizes)
+    assert red.shape == (6, 2 + 2 * 23)
+    for r in range(6):
+        want = packet.build_red(bytes(cur[r, :sizes[r]]),
+                                bytes(prev[r, :prev_sizes[r]]))
+        assert red_sizes[r] == len(want) == 2 + sizes[r] + prev_sizes[r]
+        assert bytes(red[r, :red_sizes[r]]) == want
+        assert not red[r, red_sizes[r]:].any()

@@ -945,3 +945,105 @@ def test_rate_adapt_example(monkeypatch, model_path, testdata_path, capsys):
     assert "ADAPT OK" in out
     assert "rates s0:9200 s1:9200" in out  # started high...
     assert "rates s0:3200 s1:3200" in out  # ...converged low
+
+
+@pytest.mark.parametrize("ingest", ("native", "python"))
+def test_serve_main_decode_red_heals_losses(model_path, ingest, tmp_path):
+    """--red on the decode server end to end (both ingest paths): callers
+    send RED-framed datagrams (packet t + packet t-1), the test drops a
+    third of slot 0's datagrams entirely, and the server still plays the
+    lost sequences from the redundant copies — counted as red_heals in
+    the operator stats."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    stats_path = tmp_path / "red_stats.jsonl"
+    echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    echo_rx.bind(("127.0.0.1", 0))
+    echo_rx.settimeout(0.05)
+
+    port_box = {}
+    ready = threading.Event()
+    stop = threading.Event()
+    th = threading.Thread(target=serve_main.main, kwargs=dict(
+        argv=["--capacity", "2", "--seconds", "0", "--max_bitrate", "3200",
+              "--model_path", model_path, "--playout_delay", "2",
+              "--red", "1", "--ingest", ingest,
+              "--echo", f"127.0.0.1:{echo_rx.getsockname()[1]}",
+              "--report_every", "30", "--stats", str(stats_path)],
+        _on_ready=lambda port: (port_box.update(port=port), ready.set()),
+        _stop=stop))
+    th.start()
+    try:
+        assert ready.wait(60), "server never bound its port"
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        wire = pkt.pack_indices_batch(np.zeros((2, 16), np.int32), 64)
+        rows = [wire[s].tobytes() for s in range(2)]
+
+        def send(slot, seq):
+            payload = pkt.build_red(rows[slot], rows[slot] if seq else b"")
+            tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                      + payload, ("127.0.0.1", port_box["port"]))
+
+        # Phase 1: no loss, until the first decoded hop echoes back
+        # (first tick compiles the program).
+        seq = 0
+        got = None
+        deadline = time.time() + 180
+        while got is None and time.time() < deadline:
+            for slot in range(2):
+                send(slot, seq)
+            seq += 1
+            try:
+                got = echo_rx.recvfrom(4096)[0]
+            except socket.timeout:
+                pass
+        assert got is not None, "no decoded PCM echoed within the deadline"
+
+        # Phase 2: the network eats every third datagram on slot 0; the
+        # successor's redundant copy must heal each hole.
+        for k in range(45):
+            if k % 3:
+                send(0, seq)
+            send(1, seq)
+            seq += 1
+            try:
+                echo_rx.recvfrom(4096)
+            except socket.timeout:
+                pass
+        tx.close()
+        time.sleep(0.3)  # let the last redundant copies land and play
+    finally:
+        stop.set()
+        th.join(timeout=120)
+        assert not th.is_alive(), "serve loop failed to stop"
+        echo_rx.close()
+
+    final = [json.loads(line)
+             for line in stats_path.read_text().splitlines()][-1]
+    assert final["final"] is True and final["mode"] == "decode"
+    # ~15 eaten datagrams; allow slop for ticks racing the sender, but
+    # healing must clearly have happened and not read as dup anomalies.
+    assert final["red_heals"] >= 5, final
+    assert final["jb"]["dup_drops"] == 0, final
+
+
+def test_serve_main_red_flag_refusals():
+    """--red misconfiguration is loud at argparse time: a playout delay
+    too short for the redundancy distance would silently play sequences
+    before their copy could land."""
+    from lyra_tpu.tools import serve_main
+
+    for argv in (
+        ["--red", "1", "--playout_delay", "1"],
+        ["--red", "9", "--playout_delay", "12"],
+        ["--red", "2", "--playout_delay", "3", "--adaptive", "1:6:25"],
+    ):
+        with pytest.raises(SystemExit):
+            serve_main.main(argv=argv + ["--capacity", "2", "--seconds",
+                                         "0.1"])

@@ -572,3 +572,62 @@ def test_sink_pump_counts_and_files_nothing():
         sink.stats()
     with pytest.raises(ValueError, match="sink pump"):
         SinkIngest(max_payload=70000)
+
+
+def test_red_framing_heals_lost_datagrams():
+    """RED wire mode end to end: datagram t carries packet t-1, the
+    network eats one datagram entirely, and every sequence still plays —
+    the successor's redundant copy heals the hole (counted as a
+    red_heal), with zero pollution of the late/dup transport counters."""
+    from lyra_tpu import packet as pkt
+
+    with UdpIngest(JitterBuffer(capacity=2, packet_size=23, depth=8)) as pump:
+        pump.set_red(1)
+        pump.add_stream(0, playout_delay=2)  # >= offset+1 for the heal
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        packets = [bytes([0x10 + t]) * 8 for t in range(5)]
+        sent = 0
+        for t in range(5):
+            if t == 2:
+                continue  # the network eats datagram 2
+            payload = pkt.build_red(packets[t],
+                                    packets[t - 1] if t else b"")
+            tx.sendto(_dgram(0, t, payload), ("127.0.0.1", pump.port))
+            sent += 1
+        tx.close()
+        _wait_for(pump, sent)
+        got = []
+        for _ in range(2 + 5):
+            out, received, sizes = pump.collect()
+            if received[0]:
+                got.append(bytes(out[0, :sizes[0]]))
+        assert got == packets  # all 5 played, incl. the eaten sequence 2
+        assert pump.red_heals == 1
+        st = pump.jb_stats()
+        assert st["late_drops"] == 0 and st["dup_drops"] == 0
+        assert pump.stats()["insert_drops"] == 0
+
+
+def test_red_ragged_payload_is_malformed():
+    """A RED datagram whose blocks don't tile the payload is garbage —
+    a counted malformed drop, never filed, never an exception."""
+    with UdpIngest(JitterBuffer(capacity=2, packet_size=23, depth=8)) as pump:
+        pump.set_red(1)
+        pump.add_stream(0)
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        tx.sendto(_dgram(0, 0, b"\x08" + b"x" * 4), ("127.0.0.1", pump.port))
+        tx.sendto(_dgram(0, 0, b""), ("127.0.0.1", pump.port))  # no prefixes
+        from lyra_tpu import packet as pkt
+        tx.sendto(_dgram(0, 0, pkt.build_red(b"y" * 8)),
+                  ("127.0.0.1", pump.port))  # one good one
+        tx.close()
+        _wait_for(pump, 1)
+        deadline = time.time() + 5.0
+        while pump.stats()["malformed_drops"] < 2 and time.time() < deadline:
+            time.sleep(0.005)
+        st = pump.stats()
+        assert st["datagrams"] == 1 and st["malformed_drops"] == 2
+        _, received, sizes = pump.collect()
+        assert received[0] and sizes[0] == 8
+        with pytest.raises(ValueError):
+            pump.set_red(9)  # out of range, refused loudly
