@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import os
 import socket
 import threading
 from typing import Dict, Optional, Tuple
@@ -62,6 +63,59 @@ class StatsSink:
             self._f = None
 
 
+class FleetJournal:
+    """Append-only routing-state journal: one JSON record per mutation.
+
+    The fleet controller's seat table, standby set, and room homes must
+    survive a controller crash — round 4 made hosts replaceable, which
+    makes the controller the last single point of failure (its amnesia
+    orphans every locate/failover).  Every FleetRouter mutation appends
+    one line here (line-buffered; a process crash loses at most the
+    OS-buffer tail, the same durability class as the host snapshots), and
+    a restarted controller rebuilds its router with `FleetRouter.replay`.
+
+    Compaction: when the journal exceeds `compact_every` records it is
+    rewritten as a single full-state record via the same tmp+rename
+    discipline as utils/checkpoint.py, so the file stays O(fleet size),
+    not O(call history).
+
+    The reference's only recovery mechanism is its weights/version gate
+    (reference: lyra/lyra_config.h:131-167); this is the fleet tier's
+    equivalent for routing state.
+    """
+
+    def __init__(self, path: str, compact_every: int = 20000):
+        self.path = path
+        self._compact_every = compact_every
+        self._f = open(path, "a", buffering=1)
+        # Existing records count toward the compaction threshold: a
+        # controller restarted on a huge journal compacts on the first
+        # mutation instead of doubling the file first.
+        self._n = sum(1 for _ in open(path)) if os.path.getsize(path) else 0
+
+    def append(self, record: dict) -> None:
+        self._f.write(json.dumps(record) + "\n")
+        self._n += 1
+
+    def should_compact(self) -> bool:
+        return self._n >= self._compact_every
+
+    def compact(self, state_record: dict) -> None:
+        """Atomically replace the journal with one full-state record."""
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(state_record) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+        self._f.close()
+        self._f = open(self.path, "a", buffering=1)
+        self._n = 1
+
+    def close(self) -> None:
+        self._f.close()
+
+
 class HostControl:
     """Client for one serving host's --control endpoint.
 
@@ -72,13 +126,19 @@ class HostControl:
     drain of a stopped host times out) — safe to retry on a silent UDP
     loss.  Thread-safe: one request at a time per instance (a watchdog
     probing off-thread must not steal the reply to an admission-thread
-    command riding the same socket)."""
+    command riding the same socket).
+
+    With `key` (the shared management HMAC key, tools/control_auth.py)
+    every request is signed ONCE — retries resend the identical bytes,
+    which the far side's replay rule accepts as the same request — for
+    hosts running `serve_main --control_key` on a routable bind."""
 
     _req_counter = itertools.count(1)
 
     def __init__(self, addr: Tuple[str, int], timeout: float = 2.0,
-                 retries: int = 5):
+                 retries: int = 5, key: Optional[bytes] = None):
         self.addr = addr
+        self._key = key
         self._timeout = timeout
         self._retries = retries
         self._lock = threading.Lock()
@@ -98,7 +158,12 @@ class HostControl:
         the instance defaults for this one request (failure detection
         wants a short probe, not the admin-command patience)."""
         req = f"r{next(self._req_counter)}"
-        msg = json.dumps({"cmd": cmd, "req": req, **fields}).encode()
+        body = {"cmd": cmd, "req": req, **fields}
+        if self._key is not None:
+            from lyra_tpu.tools.control_auth import sign
+
+            body = sign(body, self._key)
+        msg = json.dumps(body).encode()
         retries = self._retries if _retries is None else _retries
         last_exc: Optional[Exception] = None
         with self._lock:
@@ -225,11 +290,128 @@ class FleetRouter:
     everyone lives when a host must drain.
     """
 
-    def __init__(self):
+    def __init__(self, journal: Optional[FleetJournal] = None):
         self._hosts: Dict[str, _Host] = {}
         self._streams: Dict[object, Tuple[str, int]] = {}
         self._rooms: Dict[object, Tuple[str, int]] = {}  # room -> (host, block)
         self._room_of: Dict[object, object] = {}  # stream -> room
+        # Crash tolerance: every mutation below appends one record here
+        # (see FleetJournal); a restarted controller rebuilds with replay().
+        self._journal = journal
+
+    def _log(self, **record) -> None:
+        if self._journal is None:
+            return
+        self._journal.append(record)
+        if self._journal.should_compact():
+            self._journal.compact(self._state_record())
+
+    def _state_record(self) -> dict:
+        """Full routing state as one journal record (compaction target and
+        replay seed).  Slot keys are ints, so slot tables serialize as
+        [slot, stream] pairs (JSON objects can't carry int keys)."""
+        return {
+            "op": "state",
+            "hosts": [
+                {"name": n, "data_addr": list(h.data_addr),
+                 "ctl_addr": list(h.control.addr), "capacity": h.capacity,
+                 "standby": h.standby, "room_size": h.room_size,
+                 "busy": h.busy,
+                 "slots": [[s, sid] for s, sid in h.slots.items()]}
+                for n, h in self._hosts.items()],
+            "rooms": [[room, name, block]
+                      for room, (name, block) in self._rooms.items()],
+            "room_of": [[sid, room] for sid, room in self._room_of.items()],
+        }
+
+    @classmethod
+    def replay(cls, path: str, journal: Optional[FleetJournal] = None,
+               control_factory=None) -> Tuple["FleetRouter", list]:
+        """Rebuild a router from a journal written by a previous controller
+        (crash recovery).  Returns (router, open_hosts): hosts whose
+        handoff was in flight when the controller died are un-reserved in
+        the rebuilt tables (busy cleared) and returned for the caller to
+        log — the watchdog re-judges them on its next sweep (a drained-
+        but-unrestored source probes dead and fails over from its periodic
+        snapshot; a completed-but-uncommitted restore is re-restored,
+        costing one PLC-concealed transient).
+
+        `journal` (usually a FleetJournal on the same path) is attached to
+        the rebuilt router AFTER replay so replaying never re-journals.
+        `control_factory(addr) -> HostControl` exists for tests."""
+        make_ctl = control_factory if control_factory is not None else (
+            lambda addr: HostControl(addr))
+        router = cls()
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                router._apply(json.loads(line), make_ctl)
+        # Hosts left busy = a handoff was in flight when the controller
+        # died.  Clear the marks (admission must not stay blocked on a
+        # handoff whose driver is gone) and report them: the watchdog
+        # re-judges those hosts on its next sweep.
+        open_hosts = [n for n, h in router._hosts.items() if h.busy]
+        for n in open_hosts:
+            router._hosts[n].busy = False
+        router._journal = journal
+        return router, open_hosts
+
+    def _apply(self, rec: dict, make_ctl) -> None:
+        """Re-execute one journal record against the in-memory tables
+        (no journaling, no control RPCs — replay is pure bookkeeping)."""
+        op = rec["op"]
+        if op == "state":
+            for h in list(self._hosts.values()):
+                h.control.close()
+            self._hosts.clear()
+            self._streams.clear()
+            self._rooms.clear()
+            self._room_of.clear()
+            for h in rec["hosts"]:
+                host = _Host(tuple(h["data_addr"]),
+                             make_ctl(tuple(h["ctl_addr"])),
+                             h["capacity"], h["standby"], h["room_size"])
+                host.busy = h["busy"]
+                for slot, sid in h["slots"]:
+                    host.slots[slot] = sid
+                    self._streams[sid] = (h["name"], slot)
+                self._hosts[h["name"]] = host
+            for room, name, block in rec["rooms"]:
+                self._rooms[room] = (name, block)
+            for sid, room in rec["room_of"]:
+                self._room_of[sid] = room
+        elif op == "add_host":
+            host = _Host(tuple(rec["data_addr"]),
+                         make_ctl(tuple(rec["ctl_addr"])),
+                         rec["capacity"], rec["standby"], rec["room_size"])
+            self._hosts[rec["name"]] = host
+        elif op == "remove_host":
+            self._hosts.pop(rec["name"]).control.close()
+        elif op == "admit":
+            name, slot = rec["host"], rec["slot"]
+            self._hosts[name].slots[slot] = rec["stream"]
+            self._streams[rec["stream"]] = (name, slot)
+            if rec.get("room") is not None:
+                self._room_of[rec["stream"]] = rec["room"]
+                self._rooms[rec["room"]] = (
+                    name, slot // self._hosts[name].room_size)
+        elif op == "release":
+            # Re-run the real release (it owns the last-member-out room
+            # bookkeeping) — journaling is off during replay.
+            self.release(rec["stream"])
+        elif op == "begin_handoff":
+            self._hosts[rec["src"]].busy = True
+            self._hosts[rec["dst"]].busy = True
+        elif op == "abort_handoff":
+            self.abort_handoff(rec["src"], rec["dst"],
+                               src_stopped=rec["src_stopped"])
+        elif op == "commit_handoff":
+            self.commit_handoff(rec["src"], rec["dst"],
+                                deregister_src=rec["deregister_src"])
+        else:
+            raise ValueError(f"unknown journal record op {op!r}")
 
     def add_host(self, name: str, data_addr: Tuple[str, int],
                  control: HostControl, capacity: int,
@@ -255,6 +437,11 @@ class FleetRouter:
                 f"capacity {capacity} (the bridge refuses ragged rooms)")
         self._hosts[name] = _Host(data_addr, control, capacity, standby,
                                   room_size)
+        if self._journal is not None:  # control.addr only exists on real
+            # HostControls; journal-less routers accept any duck-typed one
+            self._log(op="add_host", name=name, data_addr=list(data_addr),
+                      ctl_addr=list(control.addr), capacity=capacity,
+                      standby=standby, room_size=room_size)
 
     def remove_host(self, name: str) -> None:
         """Deregister a host; refuses while it still carries streams
@@ -273,6 +460,13 @@ class FleetRouter:
                 f"host {name!r} has a migration/failover in flight")
         host.control.close()
         del self._hosts[name]
+        self._log(op="remove_host", name=name)
+
+    def control(self, name: str) -> HostControl:
+        """The host's control client (fleet_main's wait_ready needs it for
+        hosts rebuilt by replay, which never pass through its own
+        registration loop)."""
+        return self._hosts[name].control
 
     def hosts(self) -> Dict[str, dict]:
         return {name: {"data_addr": h.data_addr, "capacity": h.capacity,
@@ -312,6 +506,8 @@ class FleetRouter:
                         if i not in host.slots)
         host.slots[slot] = stream_id
         self._streams[stream_id] = (name, slot)
+        self._log(op="admit", stream=stream_id, host=name, slot=slot,
+                  room=room)
         return name, host.data_addr, slot
 
     def _admit_room(self, room) -> Tuple[str, _Host, int]:
@@ -353,6 +549,7 @@ class FleetRouter:
             if not any(block * rs <= s < (block + 1) * rs
                        for s in host.slots):
                 del self._rooms[room]
+        self._log(op="release", stream=stream_id)
 
     def locate(self, stream_id) -> Tuple[str, Tuple[str, int], int]:
         name, slot = self._streams[stream_id]
@@ -439,6 +636,7 @@ class FleetRouter:
                 f"{src_h.room_size}, {dst!r} {dst_h.room_size} (room "
                 "blocks are positional too)")
         src_h.busy = dst_h.busy = True
+        self._log(op="begin_handoff", src=src, dst=dst)
         return src_h.control, dst_h.control
 
     def abort_handoff(self, src: str, dst: str,
@@ -455,6 +653,8 @@ class FleetRouter:
                 h.busy = False
         if src_stopped and src in self._hosts:
             self._hosts[src].standby = True
+        self._log(op="abort_handoff", src=src, dst=dst,
+                  src_stopped=src_stopped)
 
     def commit_handoff(self, src: str, dst: str,
                        deregister_src: bool) -> int:
@@ -485,6 +685,8 @@ class FleetRouter:
             # remove_host() (or re-register after a restart) — the same
             # end state failover() reaches by deregistering outright.
             src_h.standby = True
+        self._log(op="commit_handoff", src=src, dst=dst,
+                  deregister_src=deregister_src)
         return moved
 
     def _rehome_rooms(self, src: str, dst: str) -> None:
@@ -522,3 +724,5 @@ class FleetRouter:
     def close(self) -> None:
         for h in self._hosts.values():
             h.control.close()
+        if self._journal is not None:
+            self._journal.close()

@@ -42,6 +42,15 @@ It owns a `FleetRouter` (tools/fleet.py) and exposes two behaviors:
                                         carries streams)
     {"cmd": "quit"}                  -> stop the controller
 
+- **Crash tolerance**: with --snapshot_dir the controller journals every
+  routing mutation (seat admissions, releases, host set changes,
+  handoffs) to <DIR>/.fleet_journal.jsonl (append-only, compacted
+  atomically).  A restarted controller replays the journal, answers
+  locate for every pre-existing seat, un-reserves handoffs that were in
+  flight at the crash (the watchdog re-judges those hosts), and verifies
+  the --host/--standby flags against the resumed state — the journal is
+  authoritative for routing, flags may only add hosts or must agree.
+
 - **Failure watchdog**: every --watch_every seconds each registered host
   is pinged (FleetRouter.alive: short probe, ICMP-fast on a crashed
   process).  A dead ACTIVE host is failed over automatically onto a
@@ -53,10 +62,11 @@ It owns a `FleetRouter` (tools/fleet.py) and exposes two behaviors:
   surviving hosts.
 
 The admission endpoint is caller-facing (admit/release/locate/stats are
-not destructive); the management verbs (migrate/quit) ride the same
-socket for operational simplicity, so in production bind --port on a
-private interface or firewall it like serve_main's control plane
-(DEPLOYMENT.md, Trust boundary).
+not destructive and stay keyless); the management verbs (migrate/quit/
+add_host/remove_host/set_bitrate) ride the same socket for operational
+simplicity but are HMAC-gated when --key is given — and a routable
+--bind REQUIRES --key (refused at startup), so reachability alone is
+never authority over the fleet (DEPLOYMENT.md, Trust boundary).
 
 The reference is a single-process codec with no serving tier (its
 deployment unit is a phone app, lyra/android_example/); this command is
@@ -74,11 +84,16 @@ import socket
 import threading
 import time
 
-from lyra_tpu.tools.fleet import (ControlError, FleetRouter, HostControl,
-                                  StatsSink)
+from lyra_tpu.tools.fleet import (ControlError, FleetJournal, FleetRouter,
+                                  HostControl, StatsSink)
 
 
 _NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
+
+# Routing journal filename under --snapshot_dir.  The leading dot keeps it
+# out of the host-name namespace: host names must start alphanumeric
+# (_NAME_RE), so no host snapshot can ever collide with it.
+_JOURNAL_NAME = ".fleet_journal.jsonl"
 
 
 def _parse_host(spec: str):
@@ -277,13 +292,28 @@ def _addr_json(addr):
 class _AdmissionService:
     """UDP JSON endpoint: the fleet's front door for callers (admit /
     release / locate / stats) plus the operator verbs (migrate / quit).
-    Same wire envelope as serve_main's control plane."""
+    Same wire envelope as serve_main's control plane.
+
+    With `key` the ADMIN verbs (migrate / quit / add_host / remove_host /
+    set_bitrate) require a valid HMAC + fresh ts/nonce
+    (tools/control_auth.py); the caller-facing verbs (admit / release /
+    locate / stats) stay keyless — they are non-destructive and must be
+    reachable by every caller.  Tampered/stale/spliced admin datagrams
+    are counted auth_rejects, never fatal."""
+
+    ADMIN_VERBS = frozenset(
+        {"migrate", "quit", "add_host", "remove_host", "set_bitrate"})
 
     def __init__(self, router: FleetRouter, watchdog: _Watchdog,
-                 port: int, bind: str, room_size=None):
+                 port: int, bind: str, room_size=None, key=None):
+        from lyra_tpu.tools.control_auth import Verifier
+
         self._router = router
         self._watchdog = watchdog
         self._room_size = room_size
+        self._key = key
+        self._verifier = Verifier(key) if key is not None else None
+        self.auth_rejects = 0
         self._lock = watchdog._lock  # one fleet-state lock for both
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.bind((bind, port))
@@ -303,6 +333,8 @@ class _AdmissionService:
                     "admitted": self.admitted, "released": self.released,
                     "failovers": self._watchdog.failovers,
                     "failover_errors": self._watchdog.failover_errors,
+                    **({"auth_rejects": self.auth_rejects}
+                       if self._verifier is not None else {}),
                     "dead_unrecovered":
                         list(self._watchdog.dead_unrecovered)}
 
@@ -356,6 +388,18 @@ class _AdmissionService:
                 continue
             reply = {"req": cmd.get("req"), "ok": True}
             name = cmd.get("cmd")
+            if (self._verifier is not None
+                    and name in self.ADMIN_VERBS):
+                from lyra_tpu.tools.control_auth import AuthError
+
+                try:
+                    self._verifier.verify(cmd)
+                except AuthError as e:
+                    with self._lock:
+                        self.auth_rejects += 1  # counted, never fatal
+                    self._reply(addr, {"req": cmd.get("req"), "ok": False,
+                                       "error": f"auth: {e}"})
+                    continue
             try:
                 # The fleet lock spans the whole command: router tables and
                 # watchdog counters mutate atomically with respect to the
@@ -439,7 +483,7 @@ class _AdmissionService:
             if cap is None:
                 raise ValueError("runtime add_host spec needs :CAP "
                                  "(name=ip:dport:cport:capacity)")
-            ctl = HostControl((ip, cport))
+            ctl = HostControl((ip, cport), key=self._key)
             try:
                 # Runtime hosts inherit the fleet's room geometry: a
                 # bridge fleet's replacement standby must tile the same
@@ -494,6 +538,73 @@ class _AdmissionService:
         self._sock.close()
 
 
+def _build_router(args):
+    """Construct the FleetRouter: fresh, or rebuilt from the routing
+    journal a previous controller left under --snapshot_dir (crash
+    recovery — VERDICT r4 item 1: the controller must not be a single
+    point of failure with amnesia).
+
+    Resume rules: the journal is authoritative for routing state (seat
+    table, room homes, standby flips — a host that failed over during the
+    previous life must not be demoted by a stale flag); the --host /
+    --standby flags are verified against it (address/capacity mismatch is
+    a loud refusal, the no-silent-fallback convention) and may ADD hosts
+    the journal has never seen.  Returns (router, recovered_hosts) where
+    recovered_hosts had a handoff in flight at the crash — the watchdog
+    re-judges them on its first sweep."""
+    journal = None
+    recovered: list = []
+    jpath = None
+    if args.snapshot_dir is not None:
+        os.makedirs(args.snapshot_dir, exist_ok=True)
+        jpath = os.path.join(args.snapshot_dir, _JOURNAL_NAME)
+    key = getattr(args, "_key", None)
+    if jpath is not None and os.path.exists(jpath) and os.path.getsize(jpath):
+        journal = FleetJournal(jpath)
+        router, recovered = FleetRouter.replay(
+            jpath, journal=journal,
+            control_factory=lambda addr: HostControl(addr, key=key))
+        n_streams = sum(h["occupied"] for h in router.hosts().values())
+        print(f"fleet: resumed routing journal {jpath} "
+              f"({len(router.hosts())} hosts, {n_streams} seated streams"
+              + (f", {len(recovered)} mid-handoff hosts re-judged"
+                 if recovered else "") + ")", flush=True)
+    else:
+        if jpath is not None:
+            journal = FleetJournal(jpath)
+        router = FleetRouter(journal)
+
+    for standby, specs in ((False, args.host), (True, args.standby)):
+        for name, ip, dport, cport, cap in specs:
+            cap = cap if cap is not None else args.capacity
+            existing = router.hosts().get(name)
+            if existing is not None:
+                # Journal wins on standby/occupancy; the flag must agree
+                # on identity (address, capacity, geometry) or the
+                # operator is pointing the resumed fleet at a different
+                # machine than the seats live on.
+                if (tuple(existing["data_addr"]) != (ip, dport)
+                        or tuple(router.control(name).addr) != (ip, cport)
+                        or existing["capacity"] != cap
+                        or existing.get("room_size") != args.room_size):
+                    raise SystemExit(
+                        f"fleet: --host/--standby {name!r} disagrees with "
+                        f"the resumed journal {jpath} (journal: "
+                        f"addr={existing['data_addr']}, "
+                        f"capacity={existing['capacity']}, room_size="
+                        f"{existing.get('room_size')}); remove_host it "
+                        "first or fix the flag")
+                if existing["standby"] != standby:
+                    print(f"fleet: {name!r} resumed as "
+                          f"{'standby' if existing['standby'] else 'active'}"
+                          f" (journal overrides the flag)", flush=True)
+                continue
+            ctl = HostControl((ip, cport), key=key)
+            router.add_host(name, (ip, dport), ctl, cap,
+                            standby=standby, room_size=args.room_size)
+    return router, recovered
+
+
 def main(argv=None, _on_ready=None, _stop=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--host", action="append", type=_parse_host, default=[],
@@ -517,16 +628,32 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     p.add_argument("--port", type=int, default=0,
                    help="Admission endpoint port (0 = ephemeral, printed "
                         "in the startup line).")
-    p.add_argument("--bind", default="0.0.0.0", metavar="ADDR",
-                   help="Admission bind address.  admit/release are "
-                        "caller-facing, but migrate/quit ride the same "
-                        "socket: firewall it in production (see "
-                        "DEPLOYMENT.md, Trust boundary).")
+    p.add_argument("--bind", default="127.0.0.1", metavar="ADDR",
+                   help="Admission bind address (default loopback).  "
+                        "admit/release/locate/stats are caller-facing and "
+                        "keyless, but the admin verbs (migrate/quit/"
+                        "add_host/remove_host/set_bitrate) ride the same "
+                        "socket, so a routable bind (e.g. 0.0.0.0) "
+                        "REQUIRES --key — refused at startup otherwise "
+                        "(DEPLOYMENT.md, Trust boundary).")
+    p.add_argument("--key", default=None, metavar="FILE",
+                   help="Shared HMAC key file (>= 16 bytes) for the "
+                        "management plane: admin verbs on the admission "
+                        "socket must carry a valid mac + fresh ts/nonce, "
+                        "and every host-control RPC this controller sends "
+                        "is signed with it (run hosts with serve_main "
+                        "--control_key on the same file when their "
+                        "control binds are routable).")
     p.add_argument("--snapshot_dir", default=None, metavar="DIR",
                    help="Where each host's periodic snapshot lives "
                         "(<DIR>/<name>, i.e. run hosts with serve_main "
                         "--snapshot <DIR>/<name>).  Required for "
-                        "automatic failover and the migrate command.")
+                        "automatic failover and the migrate command.  "
+                        "Also holds the controller's own routing journal "
+                        "(" + _JOURNAL_NAME + "): a restarted controller "
+                        "replays it and answers locate for every "
+                        "pre-existing seat (crash recovery; without this "
+                        "flag routing state is in-memory only).")
     p.add_argument("--watch_every", type=float, default=0.5,
                    help="Watchdog sweep interval in seconds (0 disables "
                         "failure detection; admission still works).")
@@ -554,22 +681,22 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     if dupes:
         p.error(f"duplicate host name(s): {', '.join(dupes)}")
 
-    router = FleetRouter()
-    controls = {}
-    for standby, specs in ((False, args.host), (True, args.standby)):
-        for name, ip, dport, cport, cap in specs:
-            ctl = HostControl((ip, cport))
-            controls[name] = ctl  # router owns it; kept for wait_ready
-            router.add_host(name, (ip, dport), ctl,
-                            cap if cap is not None else args.capacity,
-                            standby=standby, room_size=args.room_size)
+    # Trust boundary, enforced before any socket binds: loopback stays
+    # keyless, a routable admission bind requires the shared key.
+    from lyra_tpu.tools.control_auth import load_key, require_key_for_routable
+
+    require_key_for_routable(args.bind, args.key,
+                             "fleet_main admission endpoint")
+    args._key = load_key(args.key) if args.key is not None else None
+
+    router, recovered = _build_router(args)
     if args.wait_ready:
-        for ctl in controls.values():
-            ctl.wait_ready()
+        for name in router.hosts():
+            router.control(name).wait_ready()
 
     watchdog = _Watchdog(router, args.snapshot_dir)
     svc = _AdmissionService(router, watchdog, args.port, args.bind,
-                            room_size=args.room_size)
+                            room_size=args.room_size, key=args._key)
     sink = StatsSink(args.stats)
     print(f"fleet controller on UDP :{svc.port} "
           f"({len(args.host)} hosts, {len(args.standby)} standbys, "

@@ -76,15 +76,21 @@ class _Control:
     the deployment control surface its checkpoint-less design leaves to
     the app (SURVEY §5 checkpoint/resume).
 
-    The endpoint is UNAUTHENTICATED — any peer that can reach it can stop
-    serving, write snapshots to arbitrary paths, or swap in arbitrary
-    engine state — so unlike the data sockets (which must be public and
-    harden every wire event into a counted drop) it binds loopback by
-    default.  A fleet operator managing hosts across machines opts into a
-    routable bind with --control_bind and owns the firewall line that
-    keeps the management plane private (DEPLOYMENT.md, Trust boundary)."""
+    Trust boundary (enforced, not just documented): the endpoint binds
+    loopback by default and stays keyless there; a routable
+    --control_bind REQUIRES --control_key (refused at startup otherwise),
+    and with a key every command must carry a valid HMAC + fresh
+    timestamp/nonce (tools/control_auth.py — tampered, stale, or spliced
+    datagrams are counted auth_rejects, never fatal).  Unlike the data
+    sockets (which must be public and harden every wire event into a
+    counted drop), the management plane can stop serving or swap engine
+    state, so reachability alone must not be authority."""
 
-    def __init__(self, port: int, bind: str = "127.0.0.1"):
+    def __init__(self, port: int, bind: str = "127.0.0.1", key=None):
+        from lyra_tpu.tools.control_auth import Verifier
+
+        self._verifier = Verifier(key) if key is not None else None
+        self.auth_rejects = 0
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.bind((bind, port))
         self._sock.setblocking(False)
@@ -111,6 +117,16 @@ class _Control:
             except (ValueError, UnicodeDecodeError) as e:
                 self._reply(addr, {"ok": False, "error": f"bad command: {e}"})
                 continue
+            if self._verifier is not None:
+                from lyra_tpu.tools.control_auth import AuthError
+
+                try:
+                    self._verifier.verify(cmd)
+                except AuthError as e:
+                    self.auth_rejects += 1  # counted, never fatal
+                    self._reply(addr, {"req": cmd.get("req"), "ok": False,
+                                       "error": f"auth: {e}"})
+                    continue
             reply = {"req": cmd.get("req"), "ok": True}
             name = cmd.get("cmd")
             try:
@@ -422,7 +438,7 @@ def _serve_encode(args, _on_ready, _stop) -> int:
     tx = _make_tx(args, args.capacity, pcm)
     red_tx = _RedDownlink(args.red, args.capacity) if args.red else None
     sink = _StatsSink(args.stats)
-    ctl = (_Control(args.control, args.control_bind)
+    ctl = (_Control(args.control, args.control_bind, key=args._control_key)
            if args.control is not None else None)
 
     def _snapshot(tail):
@@ -437,7 +453,9 @@ def _serve_encode(args, _on_ready, _stop) -> int:
                 "occupied": int(fresh.sum()), "active": enc.num_active,
                 "pcm_gaps": pcm_gaps,
                 "ingest": ingest_stats,
-                "egress": (tx.stats() if tx is not None else {})}
+                "egress": (tx.stats() if tx is not None else {}),
+                **({"auth_rejects": ctl.auth_rejects}
+                   if ctl is not None and ctl._verifier else {})}
 
     print(f"encoding {args.capacity} streams on UDP :{port} "
           f"(bitrate={args.bitrate}, ingest={args.ingest}, "
@@ -623,7 +641,7 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     tx = _make_tx(args, args.capacity, pump)
     red_tx = _RedDownlink(args.red, args.capacity) if args.red else None
     sink = _StatsSink(args.stats)
-    ctl = (_Control(args.control, args.control_bind)
+    ctl = (_Control(args.control, args.control_bind, key=args._control_key)
            if args.control is not None else None)
 
     def _snapshot(tail):
@@ -640,6 +658,8 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
                 **({"red_heals": (pump or jb).red_heals}
                    if args.red else {}),
                 "egress": (tx.stats() if tx is not None else {}),
+                **({"auth_rejects": ctl.auth_rejects}
+                   if ctl is not None and ctl._verifier else {}),
                 "bad_packets": int(bridge.bad_packets.sum())}
 
     print(f"bridging {args.capacity} participants in rooms of "
@@ -817,11 +837,20 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "save / restore / drain / quit — the fleet "
                         "management plane (tools/fleet.py is the client).")
     p.add_argument("--control_bind", default="127.0.0.1", metavar="ADDR",
-                   help="Bind address for --control (default loopback: the "
-                        "endpoint is unauthenticated and can stop serving "
-                        "or swap engine state, so exposing it beyond this "
-                        "host is an explicit opt-in — firewall it; see "
-                        "DEPLOYMENT.md, Trust boundary).")
+                   help="Bind address for --control (default loopback, "
+                        "keyless).  A routable bind REQUIRES --control_key "
+                        "— the endpoint can stop serving or swap engine "
+                        "state, so starting routable without a key is "
+                        "refused (DEPLOYMENT.md, Trust boundary).")
+    p.add_argument("--control_key", default=None, metavar="FILE",
+                   help="Shared HMAC key file for --control (>= 16 bytes; "
+                        "e.g. head -c 32 /dev/urandom > key).  Every "
+                        "command must then carry a valid mac + fresh "
+                        "ts/nonce (tools/control_auth.py); tampered, "
+                        "stale, or spliced datagrams are counted "
+                        "auth_rejects.  Required when --control_bind is "
+                        "routable; the fleet controller signs with the "
+                        "same file (fleet_main --key).")
     p.add_argument("--restore", default=None, metavar="PATH",
                    help="Resume from a drained host's snapshot (server "
                         "state + slot table; see --control drain) instead "
@@ -868,6 +897,21 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                         "rooms must tile the per-shard seats).  1 = "
                         "single chip.")
     args = p.parse_args(argv)
+
+    # Trust boundary, enforced at startup (before any socket binds):
+    # loopback control stays keyless; routable control requires the key.
+    args._control_key = None
+    if args.control is not None:
+        from lyra_tpu.tools.control_auth import (load_key,
+                                                 require_key_for_routable)
+
+        require_key_for_routable(args.control_bind, args.control_key,
+                                 "serve_main --control")
+        if args.control_key is not None:
+            args._control_key = load_key(args.control_key)
+    elif args.control_key is not None:
+        p.error("--control_key without --control keys nothing; bind the "
+                "control endpoint too")
 
     if args.echo == "reply":
         # Refused before any model/engine construction: the reply route
@@ -983,7 +1027,7 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     tx = _make_tx(args, args.capacity, pump)
     pcm_sizes = np.full(args.capacity, dec.hop_samples * 2, np.int32)
     sink = _StatsSink(args.stats)
-    ctl = (_Control(args.control, args.control_bind)
+    ctl = (_Control(args.control, args.control_bind, key=args._control_key)
            if args.control is not None else None)
 
     def _snapshot(tail):
@@ -999,6 +1043,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                 **({"red_heals": (pump or jb).red_heals}
                    if args.red else {}),
                 "egress": (tx.stats() if tx is not None else {}),
+                **({"auth_rejects": ctl.auth_rejects}
+                   if ctl is not None and ctl._verifier else {}),
                 "bad_packets": int(dec.bad_packets.sum())}
 
     print(f"serving {args.capacity} streams on UDP :{port} "
