@@ -8,16 +8,23 @@
 
 PYTHON ?= python
 
-.PHONY: check native test test-shard goldens entry clean
+.PHONY: check native test test-full test-shard goldens entry clean
 
 check: native test entry
 
 native:
 	$(MAKE) -C native
 
-# Full CPU suite (~25 min single-process). CI shards it via `make
-# test-shard SHARD=<name>` using ci/shards.json.
+# Quick tier (~15 min single-process): everything except the heaviest
+# sweeps/soaks (pytest marker `full`; every marked test has a lighter
+# sibling covering the same seam here).  CI runs the FULL suite via
+# `make test-shard SHARD=<name>` (ci/shards.json), as does `make
+# test-full` / plain `pytest tests/`.
 test: native
+	$(PYTHON) -m pytest tests/ -q -m "not full"
+
+# The whole suite, full tier included (~25-30 min single-process).
+test-full: native
 	$(PYTHON) -m pytest tests/ -q
 
 # SHARD is required and must name a shard in ci/shards.json — an unknown

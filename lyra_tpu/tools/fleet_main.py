@@ -180,6 +180,27 @@ class _Watchdog:
         with self._lock:
             hosts = self._router.hosts()
             gen0 = self._gen
+            suppressed = [n for n in self.dead_unrecovered if n in hosts]
+        # Suppressed hosts are still PROBED (outside the lock): one that
+        # answers again — an operator restarted the process in place, or
+        # a standby that was just slow to come up — changes the fleet
+        # premise exactly like add_host does (it may be the missing
+        # failover target), so recovery resets the whole suppression list
+        # and the next sweep retries every dead host.  Without this, a
+        # host only left dead_unrecovered via an explicit add/remove.
+        for name in suppressed:
+            try:
+                recovered = self._router.alive(name)
+            except KeyError:
+                continue  # removed while probing
+            if recovered:
+                with self._lock:
+                    if self._gen == gen0:
+                        self._log(f"fleet: host {name!r} answers pings "
+                                  "again; resuming watch and retrying "
+                                  "suppressed failovers")
+                        self.notify_fleet_changed()
+                        gen0 = self._gen
         for name, info in hosts.items():
             if name in self.dead_unrecovered:
                 continue  # already reported; operator action needed

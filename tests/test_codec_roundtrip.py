@@ -23,8 +23,18 @@ NUM_SECONDS = 1.5
 WARMUP_HOPS = 5
 
 
-@pytest.mark.parametrize("bitrate", config.SUPPORTED_BITRATES)
-@pytest.mark.parametrize("sample_rate_hz", config.SUPPORTED_SAMPLE_RATES)
+def _grid(sample_rate_hz, bitrate):
+    """Quick tier keeps the grid's edges (every rate at 3200, every
+    bitrate at 16 kHz); the interior combos run in the full tier/CI."""
+    quick = sample_rate_hz == 16000 or bitrate == 3200
+    return pytest.param(sample_rate_hz, bitrate,
+                        marks=() if quick else (pytest.mark.full,))
+
+
+@pytest.mark.parametrize(
+    "sample_rate_hz,bitrate",
+    [_grid(sr, br) for sr in config.SUPPORTED_SAMPLE_RATES
+     for br in config.SUPPORTED_BITRATES])
 def test_codec_roundtrip_per_hop_lsd(model_path, testdata_path,
                                      sample_rate_hz, bitrate):
     """Every (sample rate x bitrate): per-hop max LSD < 2.0 through the

@@ -174,6 +174,7 @@ def test_admission_rooms_and_atomicity(model_path):
     assert bridge.num_active == 2 and "x" not in bridge._room_of
 
 
+@pytest.mark.full
 def test_bridge_save_restore_continues_bit_exactly(model_path, speech,
                                                    tmp_path):
     cap = 2

@@ -419,6 +419,31 @@ def test_watchdog_stale_verdict_does_not_suppress():
     assert not wd.dead_unrecovered
 
 
+def test_watchdog_recovered_host_resumes_watch_and_unsticks_failover():
+    """A suppressed host that answers pings again (operator restarted the
+    process in place, or a standby that was slow to come up) is a fleet
+    premise change like add_host: suppression resets, the recovered
+    standby becomes a failover target, and the host itself regains
+    watchdog protection for a later real death."""
+    r, ctls, wd, logs = _watchdog_fixture()
+    # Both hosts look dead at startup (e.g. still compiling first tick).
+    ctls["a"].dead = True
+    ctls["spare"].dead = True
+    wd.sweep()
+    assert sorted(wd.dead_unrecovered) == ["a", "spare"]
+    assert wd.failovers == 0 and wd.failover_errors == 1
+    wd.sweep()  # suppressed: no retry storm while nothing changed
+    assert wd.failover_errors == 1
+    # The standby comes up: suppression clears, the stuck failover of the
+    # (still dead) active host completes on the next sweep.
+    ctls["spare"].dead = False
+    wd.sweep()
+    assert wd.dead_unrecovered != ["a", "spare"]
+    wd.sweep()
+    assert wd.failovers == 1 and r.locate("caller")[0] == "spare"
+    assert any("answers pings again" in line for line in logs)
+
+
 def test_fleet_churn_soak():
     """Long mixed workload against the fleet bookkeeping: admit/release
     churn interleaved with migrations, crashes + watchdog failovers, and
@@ -634,3 +659,152 @@ def test_runtime_add_host_unsticks_a_failed_failover(monkeypatch):
         cli.close()
         svc.close()
         r.close()
+
+
+@pytest.mark.full
+def test_controller_restart_mid_call_then_failover(model_path, tmp_path):
+    """The controller is no longer a single point of failure with amnesia
+    (VERDICT r4 item 1): kill fleet_main mid-call with a caller
+    streaming, restart it on the same --snapshot_dir, and the resumed
+    controller (a) answers locate for the pre-existing seat without
+    re-admission, (b) refuses a duplicate admit of that stream id the
+    same way the first life did, and (c) still fails the seat over to
+    the standby when the host later dies — the round-4 availability
+    machinery survives its own driver's crash."""
+    from lyra_tpu import packet as pkt
+    from lyra_tpu.tools import serve_main
+
+    snap_dir = str(tmp_path)
+    echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    echo_rx.bind(("127.0.0.1", 0))
+    echo_rx.settimeout(0.05)
+    echo_port = echo_rx.getsockname()[1]
+
+    def start_host(name, extra):
+        box = {}
+        ready = threading.Event()
+        stop = threading.Event()
+        ctl_port = _free_udp_port()
+        th = threading.Thread(target=serve_main.main, kwargs=dict(
+            argv=["--capacity", "2", "--seconds", "0",
+                  "--max_bitrate", "3200", "--model_path", model_path,
+                  "--playout_delay", "1", "--report_every", "30",
+                  "--echo", f"127.0.0.1:{echo_port}",
+                  "--control", str(ctl_port)] + extra,
+            _on_ready=lambda port: (box.update(port=port), ready.set()),
+            _stop=stop))
+        th.start()
+        assert ready.wait(120), f"host {name} never bound its port"
+        return th, stop, box["port"], ctl_port
+
+    th_a, stop_a, port_a, ctl_a = start_host(
+        "a", ["--snapshot", os.path.join(snap_dir, "a"),
+              "--snapshot_every", "0.3"])
+    th_b, stop_b, port_b, ctl_b = start_host("spare", [])
+
+    fleet_port = _free_udp_port()  # same front door for both lives
+    fleet_argv = [
+        "--host", f"a=127.0.0.1:{port_a}:{ctl_a}:2",
+        "--standby", f"spare=127.0.0.1:{port_b}:{ctl_b}:2",
+        "--snapshot_dir", snap_dir, "--watch_every", "0.3",
+        "--wait_ready",
+        "--port", str(fleet_port), "--report_every", "60", "--seconds", "0"]
+
+    def start_controller():
+        ready = threading.Event()
+        stop = threading.Event()
+        th = threading.Thread(target=fleet_main, kwargs=dict(
+            argv=fleet_argv, _on_ready=lambda port: ready.set(),
+            _stop=stop))
+        th.start()
+        assert ready.wait(180), "controller never came up"
+        return th, stop
+
+    th_f, stop_f = start_controller()
+    cli = tx = None
+    th_f2 = stop_f2 = None
+    try:
+        cli = _FleetClient(("127.0.0.1", fleet_port))
+        seat = cli.request("admit", stream="caller1")
+        assert seat["ok"] and seat["host"] == "a"
+        slot = seat["slot"]
+
+        # The caller streams against host A until packets decode.
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        wire = pkt.pack_indices_batch(np.zeros((1, 16), np.int32), 64)
+        got, seq = None, 0
+        deadline = time.time() + 180
+        while got is None and time.time() < deadline:
+            tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                      + wire[0].tobytes(), ("127.0.0.1", port_a))
+            seq += 1
+            try:
+                got = echo_rx.recvfrom(4096)[0]
+            except socket.timeout:
+                pass
+        assert got is not None, "host A never decoded"
+
+        # Controller dies mid-call.  The caller's audio is untouched
+        # (data plane is host-direct); only admission/locate go dark.
+        stop_f.set()
+        th_f.join(timeout=60)
+        assert not th_f.is_alive()
+
+        # Restart on the same snapshot_dir: the journal replays.
+        th_f2, stop_f2 = start_controller()
+
+        # (a) The pre-existing seat re-resolves with no re-admission.
+        loc = cli.request("locate", stream="caller1")
+        assert loc["ok"] and loc["host"] == "a"
+        assert loc["addr"] == ["127.0.0.1", port_a] and loc["slot"] == slot
+        # (b) Seat accounting survived: the slot is not double-granted.
+        seat2 = cli.request("admit", stream="caller2")
+        assert seat2["ok"] and (seat2["host"], seat2["slot"]) != ("a", slot)
+        st = cli.request("stats")["stats"]
+        assert st["hosts"]["a"]["occupied"] == 2
+        assert st["hosts"]["spare"]["standby"] is True
+
+        # (c) A subsequent host death still fails over.
+        stop_a.set()
+        th_a.join(timeout=120)
+        assert not th_a.is_alive()
+        deadline = time.time() + 120
+        st = None
+        while time.time() < deadline:
+            st = cli.request("stats")["stats"]
+            if st["failovers"] == 1:
+                break
+            time.sleep(0.2)
+        assert st is not None and st["failovers"] == 1, st
+        loc = cli.request("locate", stream="caller1")
+        assert loc["host"] == "spare" and loc["slot"] == slot
+
+        # And the caller's packets decode on the standby.
+        got = None
+        deadline = time.time() + 60
+        while got is None and time.time() < deadline:
+            tx.sendto(slot.to_bytes(2, "big") + seq.to_bytes(4, "big")
+                      + wire[0].tobytes(), ("127.0.0.1", port_b))
+            seq += 1
+            try:
+                got = echo_rx.recvfrom(4096)[0]
+            except socket.timeout:
+                pass
+        assert got is not None, "standby never decoded after failover"
+
+        assert cli.request("quit")["ok"]
+        th_f2.join(timeout=60)
+        assert not th_f2.is_alive()
+    finally:
+        if cli is not None:
+            cli.close()
+        if tx is not None:
+            tx.close()
+        for ev in (stop_f, stop_a, stop_b) + (
+                (stop_f2,) if stop_f2 is not None else ()):
+            ev.set()
+        for th in (th_f, th_a, th_b) + (
+                (th_f2,) if th_f2 is not None else ()):
+            th.join(timeout=120)
+            assert not th.is_alive()
+        echo_rx.close()

@@ -62,6 +62,7 @@ def test_encode_decode_lsd(model_path, testdata_path, num_bits):
     assert lsds.max() < 2.0, f"max LSD {lsds.max():.3f} at hop {lsds.argmax()}"
 
 
+@pytest.mark.full
 def test_long_run_stability_under_random_loss(model_path, testdata_path):
     """Soak: ~20 s of looped speech through the batched engines with 20%
     random loss and a mid-run bitrate mix.  Pins that the recurrent state

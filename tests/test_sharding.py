@@ -160,6 +160,7 @@ def test_wire_roundtrip_around_sharded_tick(model_path):
         assert np.asarray(out).shape == (b, 320)
 
 
+@pytest.mark.full
 def test_stream_servers_over_sharded_engines(model_path):
     """The serving runtime runs unmodified over mesh-sharded engines:
     admission, packed encode/decode ticks, and eviction all work with
@@ -385,6 +386,7 @@ def test_sharded_48k_roundtrip_has_no_tensor_collectives(model_path):
     _assert_no_tensor_collectives(compiled.as_text(), "(48 kHz, n=8)")
 
 
+@pytest.mark.full
 def test_weak_scaling_constant_per_device_cost(model_path):
     """Fixed per-device batch, growing mesh: the per-device compiled module
     must stay the same size (same FLOPs, same HBM traffic) — i.e. adding
@@ -448,6 +450,7 @@ def _make_bridge(model_path, cap, mesh=None, seed=7):
                             seed=seed, dec_engine=dec_e, enc_engine=enc_e)
 
 
+@pytest.mark.full
 def test_sharded_bridge_matches_unsharded(model_path):
     """The conference bridge over ShardedEngines (shard-local mixer under
     shard_map) must be bit-identical to the unsharded bridge given the same

@@ -295,6 +295,7 @@ def test_tick_wire_matches_tick_packed(model_path):
         np.testing.assert_array_equal(out_w, out_p, err_msg=f"tick {t}")
 
 
+@pytest.mark.full
 def test_tick_wire_mixed_bitrates_matches_tick_packed(model_path):
     """A mixed-bitrate fleet on the device wire path must be bit-identical
     to the host native-codec path: rows pack at their own rate into the
@@ -367,6 +368,7 @@ def test_tick_wire_mixed_bad_sizes_are_counted_drops(model_path):
         dec.tick_wire(np.zeros((3, 9), np.uint8), np.ones(3, bool))
 
 
+@pytest.mark.full
 def test_tick_wire_async_matches_sync(model_path):
     """tick_wire_async == tick_wire shifted by one tick, including the
     slot-reuse suppression and DTX/inactive zeroing semantics."""
@@ -412,6 +414,7 @@ def test_tick_wire_async_matches_sync(model_path):
         np.testing.assert_array_equal(a, s, err_msg=f"tick {t}")
 
 
+@pytest.mark.full
 def test_bulk_admission_matches_sequential(model_path):
     """add_streams == the same add_stream sequence: same slot map, same
     subsequent packets/audio; and it is all-or-nothing on duplicates."""
@@ -444,6 +447,7 @@ def test_bulk_admission_matches_sequential(model_path):
     assert enc_b.add_streams(["d"]) == {"d": 3}
 
 
+@pytest.mark.full
 def test_async_pipelines_are_mutually_exclusive(model_path):
     """Interleaving the packed and wire async pipelines would advance the
     engine state out of order; submits must refuse while the other pipeline
@@ -484,6 +488,7 @@ def _pool_pair(model_path, cap=4, waves=2):
     return enc_pool, dec_pool
 
 
+@pytest.mark.full
 def test_server_pool_matches_single_server(model_path):
     """A 2-wave pool must produce per-stream audio bit-identical to one
     server holding the same streams — the wave split is pure scheduling
@@ -528,6 +533,7 @@ def test_server_pool_matches_single_server(model_path):
                                           err_msg=f"{sid} tick {t}")
 
 
+@pytest.mark.full
 def test_server_pool_async_matches_sync(model_path):
     cap = 4
     enc_s, dec_s = _pool_pair(model_path, cap)
@@ -585,6 +591,7 @@ def test_server_pool_admission_and_errors(model_path):
                     EncoderServer(3, model_path=model_path)])
 
 
+@pytest.mark.full
 def test_server_pool_save_restore(model_path, tmp_path):
     enc_pool, dec_pool = _pool_pair(model_path, cap=4)
     rows = dec_pool.add_streams(["a", "b", "c"])
@@ -769,6 +776,7 @@ def test_pack_short_indices_fail_loudly():
         pk.pack_indices(np.zeros(10, np.int32), 64)
 
 
+@pytest.mark.full
 def test_server_pool_tick_packed_matches_single(model_path):
     """The pool's host-codec path (tick_packed) is the same pure
     scheduling transform as tick_wire: per-stream results equal one
@@ -874,6 +882,7 @@ def test_external_rate_fleet(model_path, tmp_path):
         enc16.restore(str(tmp_path / "enc48"))
 
 
+@pytest.mark.full
 def test_mixed_rate_pool_matches_standalone(model_path):
     """A pool of a 16 kHz wave and a 48 kHz wave serves both client
     populations bit-identically to standalone per-rate servers, with

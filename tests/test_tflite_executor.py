@@ -145,6 +145,7 @@ def test_lyragan_int8_exact():
         assert rms_diff < max(0.005 * rms, 1e-5), (rms_diff, rms)
 
 
+@pytest.mark.full
 def test_int8_vmap_batch_consistency(rng):
     """The int8 lowering vmaps over a stream batch with results identical
     to per-stream execution (integer arithmetic is batch-invariant)."""

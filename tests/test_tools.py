@@ -201,6 +201,7 @@ def test_decoder_main_rejects_empty_file(tmp_path, model_path):
     assert rc == 1
 
 
+@pytest.mark.full
 def test_examples_run_end_to_end(tmp_path, monkeypatch, model_path,
                                  testdata_path):
     del model_path, testdata_path  # gate: skip when assets are absent
@@ -927,6 +928,7 @@ def test_serve_main_sharded_pcm_encode_with_multiegress(model_path):
         echo_rx.close()
 
 
+@pytest.mark.full
 def test_rate_adapt_example(monkeypatch, model_path, testdata_path, capsys):
     del model_path, testdata_path  # gate: skip when assets are absent
     """The congestion loop end to end: an oversubscribed token-bucket
