@@ -73,9 +73,67 @@ def run(policy, ticks, max_jitter, schedule):
             "end_delay": jb.delay(0)}
 
 
+def run_failover(ticks, max_jitter, schedule, carry, failover_at, base=2):
+    """A/B for the host-move carry (serve_main._transport_state adaptive
+    fields): at `failover_at` (mid-burst) the slot moves to a fresh
+    buffer — heads re-seeded either WITH the learned delay/streak
+    (adapt_seed, carry=True) or from the configured base (round-4
+    behavior).  Reports the damage AFTER the move: late drops and silent
+    playout ticks until the schedule ends."""
+    jb = JitterBuffer(capacity=1, packet_size=23, depth=32)
+    jb.set_adaptive(0, 16, window=50)
+    jb.add_stream(0, playout_delay=base)
+    by_tick = {}
+    for arrive, seq in schedule:
+        by_tick.setdefault(arrive, []).append(seq)
+    post_received = post_silent = 0
+    late_before = 0
+    learned_at_move = None
+    for t in range(ticks + max_jitter + 1):
+        if t == failover_at:
+            heads = jb.heads()
+            delays, votes = jb.adapt_export()
+            learned_at_move = int(delays[0])
+            late_before = jb.stats()["late_drops"]
+            old_late = late_before
+            jb = JitterBuffer(capacity=1, packet_size=23, depth=32)
+            jb.set_adaptive(0, 16, window=50)
+            jb.add_stream(0, start_seq=int(heads[0]), playout_delay=base)
+            if carry:
+                jb.adapt_seed(0, int(delays[0]), int(votes[0]))
+        for seq in by_tick.get(t, ()):
+            jb.insert(0, seq, b"x" * 8)
+        _, r, _ = jb.collect()
+        if t >= failover_at:
+            post_received += int(r[0])
+            post_silent += 1 - int(r[0])
+    return {"carry": carry, "learned_at_move": learned_at_move,
+            "post_late": jb.stats()["late_drops"],
+            "post_silent": post_silent, "post_received": post_received,
+            "end_delay": jb.delay(0)}
+
+
 def main():
     ticks = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     max_jitter = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    if "--failover" in sys.argv:
+        # The carry A/B: fail over mid-burst (40% through, inside the
+        # bursty 60%), compare post-move damage with and without the
+        # learned-delay carry.
+        schedule = arrival_schedule(ticks, max_jitter)
+        fo = int(ticks * 0.4)
+        print(f"{ticks} ticks, failover at {fo} (mid-burst), "
+              f"spikes uniform[2,{max_jitter}]")
+        print(f"{'policy':>14} {'post late':>10} {'post silent':>12} "
+              f"{'post recv':>10} {'end delay':>10}")
+        for carry in (False, True):
+            r = run_failover(ticks, max_jitter, schedule, carry, fo)
+            label = "carried" if carry else "base restart"
+            print(f"{label:>14} {r['post_late']:>10} "
+                  f"{r['post_silent']:>12} {r['post_received']:>10} "
+                  f"{r['end_delay']:>10}  (learned at move: "
+                  f"{r['learned_at_move']})")
+        return
     schedule = arrival_schedule(ticks, max_jitter)
     print(f"{ticks} ticks, delay spikes uniform[2,{max_jitter}] in Gilbert "
           f"bursts (5% entry, 25% recovery)")

@@ -137,6 +137,29 @@ class JitterBuffer:
             raise ValueError(f"bad stream slot {stream}")
         return d
 
+    def adapt_export(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-slot adaptive evidence for a migration snapshot (the
+        companion of heads()): (learned delay0 [capacity] int64, -1
+        inactive; shrink-vote streak [capacity] int64).  Meaningful with
+        set_adaptive on; without it delay0 is just each slot's configured
+        playout delay."""
+        delays = np.empty(self.capacity, np.int64)
+        votes = np.empty(self.capacity, np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        self._lib.lyra_jb_adapt_export(
+            self._h, delays.ctypes.data_as(i64p), votes.ctypes.data_as(i64p))
+        return delays, votes
+
+    def adapt_seed(self, stream: int, delay0: int, votes: int = 0) -> None:
+        """Re-seed one active slot's learned delay (clamped to the
+        adaptive bounds; becomes both delay0 and the refill pause) and
+        shrink streak after a restore.  Requires set_adaptive on — a
+        static-delay host keeps its configured base."""
+        if self._lib.lyra_jb_adapt_seed(self._h, stream, delay0, votes):
+            raise ValueError(
+                f"adapt_seed refused (slot {stream}, delay {delay0}: "
+                "inactive slot, adaptive off, or negative inputs)")
+
     def heads(self) -> np.ndarray:
         """Playout schedule: int64 [capacity], the next sequence each slot
         will play, -1 for inactive slots.  A migration snapshot carries

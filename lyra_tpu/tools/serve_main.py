@@ -181,25 +181,36 @@ class _Control:
         self._sock.close()
 
 
-def _transport_state(ingest) -> dict:
+def _transport_state(ingest, adaptive: bool = False) -> dict:
     """Serving-layer state riding a snapshot: the jitter buffer's playout
     schedule (JitterBuffer.heads contract — next sequence per slot, -1
-    inactive).  Engine state alone is not enough to hand off a live call:
-    without the schedule, the restored host re-derives each caller's
-    sequence position from a streak of out-of-window drops (60-500 ms of
-    lost audio per caller, native/jitter_buffer.cc resync rules); with it,
-    lock-on is immediate."""
-    return {"jb_heads": ingest.heads().tolist()}
+    inactive), plus — on adaptive hosts — each slot's learned playout
+    delay and shrink streak (JitterBuffer.adapt_export).  Engine state
+    alone is not enough to hand off a live call: without the schedule,
+    the restored host re-derives each caller's sequence position from a
+    streak of out-of-window drops (60-500 ms of lost audio per caller,
+    native/jitter_buffer.cc resync rules); without the adaptive evidence,
+    it re-drops from the configured base delay until the decision window
+    re-learns — during exactly the burst that made adaptation necessary
+    (measured A/B: benchmarks/adaptive_jitter_probe.py --failover)."""
+    out = {"jb_heads": ingest.heads().tolist()}
+    if adaptive:
+        delays, votes = ingest.adapt_export()
+        out["adapt_delays"] = delays.tolist()
+        out["adapt_votes"] = votes.tolist()
+    return out
 
 
 def _reseed_transport(ingest, transport, capacity: int,
-                      playout_delay: int) -> None:
+                      playout_delay: int, adaptive: bool = False) -> None:
     """Re-seed the ingest playout schedule from a restored snapshot's
     transport dict.  Slots the snapshot marks inactive (-1) keep their
-    local admission state; adaptive delay restarts from the configured
-    base (adaptation evidence does not survive a host move).  A snapshot
-    without transport state (pre-schedule format) is left to the jitter
-    buffer's streak resync."""
+    local admission state.  On an adaptive host (set_adaptive must be
+    configured BEFORE this runs) a snapshot carrying adaptive evidence
+    re-seeds each slot's learned delay + shrink streak; a static host, or
+    a snapshot from one, keeps the configured base.  A snapshot without
+    transport state (pre-schedule format) is left to the jitter buffer's
+    streak resync."""
     heads = (transport or {}).get("jb_heads")
     if heads is None:
         return
@@ -207,10 +218,20 @@ def _reseed_transport(ingest, transport, capacity: int,
         raise ValueError(
             f"snapshot transport jb_heads has {len(heads)} rows; this "
             f"host serves {capacity}")
+    delays = (transport or {}).get("adapt_delays")
+    votes = (transport or {}).get("adapt_votes")
+    carry = adaptive and delays is not None and votes is not None
+    if carry and (len(delays) != capacity or len(votes) != capacity):
+        raise ValueError(
+            f"snapshot adaptive state has {len(delays)} rows; this "
+            f"host serves {capacity}")
     for slot, head in enumerate(heads):
         if head >= 0:
             ingest.add_stream(slot, start_seq=int(head),
                               playout_delay=playout_delay)
+            if carry and delays[slot] >= 0:
+                ingest.adapt_seed(slot, int(delays[slot]),
+                                  int(votes[slot]))
 
 
 class _RedDownlink:
@@ -632,10 +653,12 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
     ingest = pump or jb
     for slot in range(args.capacity):
         ingest.add_stream(slot, playout_delay=args.playout_delay)
-    _reseed_transport(ingest, restored_transport, args.capacity,
-                      args.playout_delay)
     if args.adaptive:
+        # Before the reseed: carrying learned delays needs adaptive mode
+        # configured on the buffer (adapt_seed refuses otherwise).
         ingest.set_adaptive(*args.adaptive)
+    _reseed_transport(ingest, restored_transport, args.capacity,
+                      args.playout_delay, adaptive=args.adaptive is not None)
     if args.red and pump is not None:
         pump.set_red(args.red)  # python-jb path parses in the drain loop
     tx = _make_tx(args, args.capacity, pump)
@@ -686,9 +709,11 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
             next_tick = max(next_tick, time.perf_counter()) + 0.02
             if ctl is not None and ctl.poll(
                     bridge, lambda: _snapshot(256),
-                    transport_save=lambda: _transport_state(ingest),
+                    transport_save=lambda: _transport_state(
+                        ingest, adaptive=args.adaptive is not None),
                     transport_restore=lambda tr: _reseed_transport(
-                        ingest, tr, args.capacity, args.playout_delay)):
+                        ingest, tr, args.capacity, args.playout_delay,
+                        adaptive=args.adaptive is not None)):
                 break  # drained or told to quit
             if (next_snap is not None
                     and time.perf_counter() >= next_snap):
@@ -699,7 +724,8 @@ def _serve_bridge(args, _on_ready, _stop) -> int:
                 # bounded snapshot only ever needs the newest state.
                 next_snap = time.perf_counter() + args.snapshot_every
                 bridge.flush_async()  # one hop skips; PLC covers
-                bridge.save(args.snapshot, _transport_state(ingest))
+                bridge.save(args.snapshot, _transport_state(
+                    ingest, adaptive=args.adaptive is not None))
             t0 = time.perf_counter()
 
             if pump is None:
@@ -1014,13 +1040,16 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
         dec.add_streams(range(args.capacity))
     for slot in range(args.capacity):
         ingest.add_stream(slot, playout_delay=args.playout_delay)
-    # After admission: re-seeding overwrites the fresh schedule with the
-    # snapshot's per-slot sequence positions, so callers lock on at once.
-    _reseed_transport(ingest, restored_transport, args.capacity,
-                      args.playout_delay)
-
     if args.adaptive:
+        # Before the reseed: carrying learned delays needs adaptive mode
+        # configured on the buffer (adapt_seed refuses otherwise).
         ingest.set_adaptive(*args.adaptive)
+    # After admission: re-seeding overwrites the fresh schedule with the
+    # snapshot's per-slot sequence positions (and, on adaptive hosts,
+    # learned delays), so callers lock on at once.
+    _reseed_transport(ingest, restored_transport, args.capacity,
+                      args.playout_delay, adaptive=args.adaptive is not None)
+
     if args.red and pump is not None:
         pump.set_red(args.red)  # python-jb path parses in the drain loop
 
@@ -1070,9 +1099,11 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
             next_tick = max(next_tick, time.perf_counter()) + 0.02
             if ctl is not None and ctl.poll(
                     dec, lambda: _snapshot(256),
-                    transport_save=lambda: _transport_state(ingest),
+                    transport_save=lambda: _transport_state(
+                        ingest, adaptive=args.adaptive is not None),
                     transport_restore=lambda tr: _reseed_transport(
-                        ingest, tr, args.capacity, args.playout_delay)):
+                        ingest, tr, args.capacity, args.playout_delay,
+                        adaptive=args.adaptive is not None)):
                 break  # drained or told to quit
             if (next_snap is not None
                     and time.perf_counter() >= next_snap):
@@ -1083,7 +1114,8 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
                 # bounded snapshot only ever needs the newest state.
                 next_snap = time.perf_counter() + args.snapshot_every
                 dec.flush_async()  # one hop skips; PLC covers
-                dec.save(args.snapshot, _transport_state(ingest))
+                dec.save(args.snapshot, _transport_state(
+                    ingest, adaptive=args.adaptive is not None))
             t0 = time.perf_counter()
 
             if pump is None:

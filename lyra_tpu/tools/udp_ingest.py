@@ -200,6 +200,31 @@ class UdpIngest:
             raise RuntimeError("heads export failed (wrong pump kind?)")
         return out
 
+    def adapt_export(self):
+        """Per-slot adaptive evidence (JitterBuffer.adapt_export contract),
+        read under the pump lock — rides migration snapshots next to
+        heads() so a restored adaptive host resumes each caller's learned
+        latency position."""
+        self._check_open()
+        delays = np.empty(self.capacity, np.int64)
+        votes = np.empty(self.capacity, np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        if self._lib.lyra_pump_jb_adapt_export(
+                self._h, delays.ctypes.data_as(i64p),
+                votes.ctypes.data_as(i64p)):
+            raise RuntimeError("adapt export failed (wrong pump kind?)")
+        return delays, votes
+
+    def adapt_seed(self, stream: int, delay0: int, votes: int = 0) -> None:
+        """Re-seed one slot's learned delay + shrink streak under the pump
+        lock (JitterBuffer.adapt_seed contract)."""
+        self._check_open()
+        if self._lib.lyra_pump_jb_adapt_seed(self._h, stream, delay0,
+                                             votes):
+            raise ValueError(
+                f"adapt_seed refused (slot {stream}, delay {delay0}: "
+                "inactive slot, adaptive off, or negative inputs)")
+
 
 class PcmIngest:
     """Native UDP ingest for the encode relay: one fixed-size PCM hop per
@@ -553,6 +578,29 @@ class ShardedUdpIngest(_ShardGroupBase):
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))):
             raise RuntimeError("merged heads export failed")
         return out
+
+    def adapt_export(self):
+        """Group adaptive evidence (UdpIngest.adapt_export contract): each
+        slot's learned delay/streak read from its HOME shard — the one its
+        flow hashes to, the only one whose margins ever adapt — resolved
+        by source freshness like adapt_stats/heads
+        (lyra_pump_jb_adapt_export_merged)."""
+        self._check_open()
+        delays = np.empty(self.capacity, np.int64)
+        votes = np.empty(self.capacity, np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        if self._shards[0]._lib.lyra_pump_jb_adapt_export_merged(
+                self._handles, self.num_shards, self.capacity,
+                delays.ctypes.data_as(i64p), votes.ctypes.data_as(i64p)):
+            raise RuntimeError("merged adapt export failed")
+        return delays, votes
+
+    def adapt_seed(self, stream: int, delay0: int, votes: int = 0) -> None:
+        """Seed every shard (like add_stream: which shard a restored
+        caller's flow will hash to is the kernel's choice, so all must
+        hold the learned position)."""
+        for s in self._shards:
+            s.adapt_seed(stream, delay0, votes)
 
 
 class ShardedPcmIngest(_ShardGroupBase):

@@ -148,6 +148,21 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lyra_pump_adapt_stats_merged.restype = ctypes.c_int
     lib.lyra_pump_jb_heads_merged.argtypes = [vpp, ctypes.c_int, i64, i64p]
     lib.lyra_pump_jb_heads_merged.restype = ctypes.c_int
+    # Adaptive-evidence carry across host moves (jitter_buffer.cc
+    # lyra_jb_adapt_export/seed + the pump/shard wrappers).
+    lib.lyra_jb_adapt_export.argtypes = [vp, i64p, i64p]
+    lib.lyra_jb_adapt_export.restype = None
+    lib.lyra_jb_adapt_seed.argtypes = [vp, i64, i64, i64]
+    lib.lyra_jb_adapt_seed.restype = ctypes.c_int
+    lib.lyra_jb_votes2.argtypes = [vp, i64]
+    lib.lyra_jb_votes2.restype = i64
+    lib.lyra_pump_jb_adapt_export.argtypes = [vp, i64p, i64p]
+    lib.lyra_pump_jb_adapt_export.restype = ctypes.c_int
+    lib.lyra_pump_jb_adapt_seed.argtypes = [vp, i64, i64, i64]
+    lib.lyra_pump_jb_adapt_seed.restype = ctypes.c_int
+    lib.lyra_pump_jb_adapt_export_merged.argtypes = [vpp, ctypes.c_int,
+                                                     i64, i64p, i64p]
+    lib.lyra_pump_jb_adapt_export_merged.restype = ctypes.c_int
     lib.lyra_pump_blast_multi.argtypes = [ctypes.c_int, i64, i64, i64, i64,
                                           ctypes.c_int]
     lib.lyra_pump_blast_multi.restype = i64

@@ -473,4 +473,54 @@ void lyra_jb_heads(void* h, int64_t* heads_out) {
   }
 }
 
+// Per-slot adaptive-evidence export (the companion of lyra_jb_heads for a
+// migration snapshot): the learned playout delay (delay0; -1 for inactive
+// slots) and the shrink-vote streak.  Carrying these lets a restored host
+// resume each caller at its LEARNED latency position instead of
+// re-learning from the configured base during exactly the burst window
+// that made adaptation necessary (the failover already cost the caller a
+// voice gap; re-dropping until the window re-learns doubles the damage).
+// Both buffers must hold `capacity` entries.
+void lyra_jb_adapt_export(void* h, int64_t* delay0_out, int64_t* votes_out) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  for (int64_t s = 0; s < jb->capacity; ++s) {
+    delay0_out[s] = jb->active[s] ? jb->delay0[s] : -1;
+    votes_out[s] = jb->active[s] ? jb->shrink_votes[s] : 0;
+  }
+}
+
+// Re-seed one ACTIVE slot's adaptive evidence after a restore: the
+// learned delay (clamped to this buffer's adaptive bounds) becomes both
+// the slot's delay0 and its remaining pause — the handoff emptied the
+// ring, so the pause refills the cushion to the learned depth before
+// draining resumes — plus the shrink streak (clamped to the vote bar).
+// Requires adaptive mode enabled (a static-delay host keeps its
+// configured base; evidence from an adaptive host does not apply).
+// Returns 0 ok, 1 bad slot / inactive / adaptive off / negative inputs.
+int lyra_jb_adapt_seed(void* h, int64_t stream, int64_t delay0,
+                       int64_t votes) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  if (stream < 0 || stream >= jb->capacity || !jb->active[stream] ||
+      jb->ad_window <= 0 || delay0 < 0 || votes < 0) {
+    return 1;
+  }
+  const int64_t d =
+      std::min(std::max(delay0, jb->ad_min), jb->ad_max);
+  jb->delay0[stream] = d;
+  jb->delay[stream] = d;
+  jb->shrink_votes[stream] = std::min(votes, kShrinkVotes);
+  jb->margin_min[stream] = kNoMargin;  // fresh window on the new host
+  jb->win_left[stream] = jb->ad_window;
+  return 0;
+}
+
+// Per-slot shrink-vote read, bounds-checked (-1 for a bad/inactive slot):
+// the shard-group merged adaptive export reads each slot from its home
+// shard without assuming matching capacities.
+int64_t lyra_jb_votes2(void* h, int64_t stream) {
+  auto* jb = static_cast<JitterBuffer*>(h);
+  if (stream < 0 || stream >= jb->capacity || !jb->active[stream]) return -1;
+  return jb->shrink_votes[stream];
+}
+
 }  // extern "C"

@@ -67,6 +67,10 @@ void lyra_jb_adapt_stats(void* h, int64_t* grows, int64_t* shrinks,
 int64_t lyra_jb_delay2(void* h, int64_t stream);
 int64_t lyra_jb_head(void* h, int64_t stream);
 void lyra_jb_heads(void* h, int64_t* heads_out);
+void lyra_jb_adapt_export(void* h, int64_t* delay0_out, int64_t* votes_out);
+int lyra_jb_adapt_seed(void* h, int64_t stream, int64_t delay0,
+                       int64_t votes);
+int64_t lyra_jb_votes2(void* h, int64_t stream);
 }
 
 namespace {
@@ -612,6 +616,28 @@ int lyra_pump_jb_heads(void* h, int64_t* heads_out) {
   return 0;
 }
 
+// Locked adaptive-evidence export/seed (see lyra_jb_adapt_export /
+// lyra_jb_adapt_seed): the migration-snapshot companions of
+// lyra_pump_jb_heads.  Returns 0, or -1 on the wrong pump kind (seed also
+// propagates the buffer's own refusal as 1).
+int lyra_pump_jb_adapt_export(void* h, int64_t* delay0_out,
+                              int64_t* votes_out) {
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 0) return -1;
+  std::lock_guard<std::mutex> lock(p->mu);
+  lyra_jb_adapt_export(static_cast<UdpPump*>(p)->jb, delay0_out, votes_out);
+  return 0;
+}
+
+int lyra_pump_jb_adapt_seed(void* h, int64_t stream, int64_t delay0,
+                            int64_t votes) {
+  auto* p = static_cast<PumpBase*>(h);
+  if (p->kind != 0) return -1;
+  std::lock_guard<std::mutex> lock(p->mu);
+  return lyra_jb_adapt_seed(static_cast<UdpPump*>(p)->jb, stream, delay0,
+                            votes);
+}
+
 // Locked adaptive-delay controls (see jitter_buffer.cc): the only safe way
 // to configure/read adaptation while the receiver thread is live.
 int lyra_pump_set_adaptive(void* h, int64_t min_delay, int64_t max_delay,
@@ -917,6 +943,45 @@ int lyra_pump_adapt_stats_merged(void** pumps, int n, int64_t rows,
       if (first || d < *delay_min) *delay_min = d;
       if (first || d > *delay_max) *delay_max = d;
       first = false;
+    }
+  }
+  return 0;
+}
+
+// Merged adaptive-evidence export over `n` shard pumps: a slot's learned
+// delay and shrink streak live on its HOME shard (only the shard a flow
+// hashes to observes its margins and adapts), resolved by source
+// freshness — the same owner rule as adapt-stats/heads.  Never-heard
+// slots read from shard 0 (identical everywhere: the add_stream base).
+// Both buffers must hold `rows` entries.  Returns 0, or -1 on a
+// wrong-kind handle / bad rows.
+int lyra_pump_jb_adapt_export_merged(void** pumps, int n, int64_t rows,
+                                     int64_t* delay0_out,
+                                     int64_t* votes_out) {
+  if (rows < 0 || rows > kMaxSlots || n <= 0) return -1;
+  std::vector<int32_t> owner(static_cast<size_t>(rows), 0);
+  std::vector<int64_t> best(static_cast<size_t>(rows), 0);
+  for (int k = 0; k < n; ++k) {
+    auto* p = static_cast<PumpBase*>(pumps[k]);
+    if (p->kind != 0) return -1;
+    std::lock_guard<std::mutex> lock(p->mu);
+    for (int64_t i = 0; i < rows; ++i) {
+      const SlotSource& s = p->sources[static_cast<size_t>(i)];
+      if (s.known && s.stamp > best[static_cast<size_t>(i)]) {
+        best[static_cast<size_t>(i)] = s.stamp;
+        owner[static_cast<size_t>(i)] = k;
+      }
+    }
+  }
+  for (int k = 0; k < n; ++k) {
+    auto* p = static_cast<UdpPump*>(static_cast<PumpBase*>(pumps[k]));
+    std::lock_guard<std::mutex> lock(p->mu);
+    for (int64_t i = 0; i < rows; ++i) {
+      if (owner[static_cast<size_t>(i)] != k) continue;
+      // Bounds-checked per-slot reads (the merged reader cannot assume
+      // its rows match every member buffer's capacity).
+      delay0_out[i] = lyra_jb_delay2(p->jb, i);
+      votes_out[i] = lyra_jb_votes2(p->jb, i);
     }
   }
   return 0;

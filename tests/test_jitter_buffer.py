@@ -380,3 +380,104 @@ def test_insert_red_heals_without_counter_pollution():
     # The primary's payload was kept over the redundant copy for seq 1.
     out, received, sizes = jb.collect()
     assert bytes(out[0, :sizes[0]]) == b"b" * 8
+
+
+def test_adapt_export_and_seed_carries_learned_delay():
+    """Failover/migration carry for ADAPTIVE playout (VERDICT r4 item 4):
+    adapt_export's learned per-slot delay + shrink streak, seeded into a
+    fresh buffer, resume each caller at the learned latency position —
+    the pause refills the learned cushion, and a carried shrink streak
+    completes one window sooner than a fresh one."""
+    src = JitterBuffer(capacity=3, packet_size=8, depth=16)
+    src.set_adaptive(0, 8, window=10)
+    src.add_stream(0, start_seq=0, playout_delay=0)
+    src.add_stream(2, start_seq=0, playout_delay=4)
+    for _ in range(5):
+        src.collect()
+    src.insert(0, 2, b"x" * 4)  # 3 ticks late on slot 0
+    for t in range(5, 25):  # slot 2: two comfortable windows -> 2 votes
+        src.insert(2, t + 4, b"y" * 4)
+        src.collect()
+    delays, votes = src.adapt_export()
+    assert delays[0] == 3  # grew by the observed lateness
+    assert delays[1] == -1  # never admitted
+    assert delays[2] == 4 and votes[2] == 2  # two shrink votes banked
+
+    # The restored host: base admission (the heads reseed), adaptive on,
+    # then the carried evidence.
+    dst = JitterBuffer(capacity=3, packet_size=8, depth=16)
+    dst.set_adaptive(0, 8, window=10)
+    dst.add_stream(0, start_seq=100, playout_delay=0)
+    dst.add_stream(2, start_seq=100, playout_delay=4)
+    for slot in (0, 2):
+        dst.adapt_seed(slot, int(delays[slot]), int(votes[slot]))
+    assert dst.delay(0) == 3 and dst.delay(2) == 4
+    # The seeded delay is also the refill pause: a packet of the same
+    # tardiness that grew the source now lands safely on the FIRST window
+    # after restore (no re-learning drops).
+    assert dst.insert(0, 100, b"z" * 4) == 0
+    for _ in range(3):
+        _, received, _ = dst.collect()
+        assert not received[0]  # cushion refilling
+    _, received, _ = dst.collect()
+    assert received[0]
+    # Carried shrink streak: ONE more comfortable window completes the
+    # 3-window earn (a fresh host would need all three again).
+    for t in range(104, 114):
+        dst.insert(2, t + 4, b"q" * 4)
+        dst.collect()
+    assert dst.delay(2) == 3 and dst.adapt_stats()["shrinks"] == 1
+
+
+def test_adapt_seed_refusals_and_clamping():
+    jb = JitterBuffer(capacity=2, packet_size=8, depth=16)
+    jb.add_stream(0, playout_delay=1)
+    with pytest.raises(ValueError, match="adapt_seed"):
+        jb.adapt_seed(0, 3)  # adaptive off: static hosts keep their base
+    jb.set_adaptive(1, 4, window=10)
+    with pytest.raises(ValueError, match="adapt_seed"):
+        jb.adapt_seed(1, 3)  # inactive slot
+    with pytest.raises(ValueError, match="adapt_seed"):
+        jb.adapt_seed(0, -1)
+    jb.adapt_seed(0, 100)  # snapshot from a wider-bounded host: clamped
+    assert jb.delay(0) == 4
+    jb.adapt_seed(0, 0)
+    assert jb.delay(0) == 1  # clamped up to ad_min too
+
+
+def test_transport_state_round_trip_carries_adaptive_evidence():
+    """The serve_main snapshot seam end to end at the transport layer:
+    _transport_state exports heads + adaptive evidence, _reseed_transport
+    re-seeds both on an adaptive host; a STATIC destination (or a static
+    source snapshot) keeps the configured base."""
+    from lyra_tpu.tools.serve_main import _reseed_transport, _transport_state
+
+    src = JitterBuffer(capacity=2, packet_size=8, depth=16)
+    src.set_adaptive(0, 8, window=10)
+    src.add_stream(0, start_seq=0, playout_delay=0)
+    for _ in range(5):
+        src.collect()
+    src.insert(0, 2, b"x" * 4)
+    for _ in range(5):
+        src.collect()
+    assert src.delay(0) == 3
+    tr = _transport_state(src, adaptive=True)
+    # (The 10th collect closed the window and began the grow pause, so
+    # head stands at 9, not 10.)
+    assert tr["adapt_delays"][0] == 3 and tr["jb_heads"][0] == 9
+
+    dst = JitterBuffer(capacity=2, packet_size=8, depth=16)
+    dst.set_adaptive(0, 8, window=10)
+    _reseed_transport(dst, tr, 2, playout_delay=1, adaptive=True)
+    assert dst.delay(0) == 3  # learned position, not the base
+    assert dst.heads()[0] == 9
+
+    static = JitterBuffer(capacity=2, packet_size=8, depth=16)
+    _reseed_transport(static, tr, 2, playout_delay=1, adaptive=False)
+    assert static.delay(0) == 1  # static host: configured base
+    # A pre-adaptive snapshot (no adapt keys) reseeds heads only.
+    old = {"jb_heads": tr["jb_heads"]}
+    dst2 = JitterBuffer(capacity=2, packet_size=8, depth=16)
+    dst2.set_adaptive(0, 8, window=10)
+    _reseed_transport(dst2, old, 2, playout_delay=1, adaptive=True)
+    assert dst2.delay(0) == 1 and dst2.heads()[0] == 9

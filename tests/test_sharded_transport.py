@@ -319,3 +319,37 @@ def test_single_shard_group_degenerates_to_single_pump():
         _wait_stat(group, "datagrams", 1)
         pkts, received, sizes = group.collect()
         assert received[0] and sizes[0] == 8 and pkts[0, 0] == ord("q")
+
+
+def test_sharded_adapt_export_reads_home_shard_and_seed_reaches_all():
+    """Group adapt_export must read each slot's learned delay from its
+    HOME shard (the stale copies on other shards never adapted), and
+    adapt_seed must reach every shard — which shard a restored caller's
+    flow will hash to is the kernel's choice."""
+    with ShardedUdpIngest(capacity=4, packet_size=23, depth=8,
+                          shards=2) as group:
+        group.set_adaptive(0, 3, window=5)
+        group.add_stream(0, playout_delay=1)
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for t in range(30):  # persistently 2-ticks-late traffic
+            if t >= 2:
+                sock.sendto(_dgram(0, t - 2, b"\x07" * 8),
+                            ("127.0.0.1", group.port))
+                time.sleep(0.01)
+            group.collect()
+        sock.close()
+        delays, votes = group.adapt_export()
+        assert 2 <= delays[0] <= 3, delays  # the HOME shard's grown value
+        assert delays[1] == -1 and delays[2] == -1  # never admitted
+
+        # Seed into a fresh group: every shard holds the carried position
+        # (read back per member through the LOCKED pump export — touching
+        # a live pump's jb directly is a data race).
+        with ShardedUdpIngest(capacity=4, packet_size=23, depth=8,
+                              shards=2) as dst:
+            dst.set_adaptive(0, 3, window=5)
+            dst.add_stream(0, playout_delay=1)
+            dst.adapt_seed(0, int(delays[0]), int(votes[0]))
+            for member in dst._shards:
+                d_m, _ = member.adapt_export()
+                assert d_m[0] == int(delays[0])
