@@ -22,9 +22,34 @@ import numpy as np
 
 BASELINE_STREAMS = 2000.0
 
+# --bits {64,120,184} pins the fleet at that wire size (the reference's
+# benchmark protocol is 120 bits, reference: lyra/lyra_benchmark_lib.cc:58);
+# --mixed runs a fleet with rows split evenly across all three bitrates
+# (max_bitrate=9200 program, per-row nq).  Default stays the 3.2 kbps
+# headline the driver records.
+_BITRATE_OF_BITS = {64: 3200, 120: 6000, 184: 9200}
+
+
+def _parse_args(argv):
+    bits, mixed = 64, False
+    it = iter(argv)
+    for a in it:
+        if a == "--bits":
+            bits = int(next(it))
+            if bits not in _BITRATE_OF_BITS:
+                raise SystemExit(f"--bits must be one of "
+                                 f"{sorted(_BITRATE_OF_BITS)}, got {bits}")
+        elif a == "--mixed":
+            mixed = True
+        else:
+            raise SystemExit(f"unknown arg {a!r} (use --bits N | --mixed)")
+    return bits, mixed
+
 
 def main():
     import jax
+
+    bits, mixed = _parse_args(sys.argv[1:])
 
     # Persistent compilation cache: round-over-round driver runs (and
     # repeated local runs) skip the multi-minute XLA compiles.
@@ -40,11 +65,15 @@ def main():
     # bf16 conv compute: half the HBM traffic and bf16 MXU passes; quality
     # is LSD-indistinguishable from f32 (see tests/test_integration.py and
     # the bar in BASELINE.md).
-    # max_bitrate=3200: the benchmark fleet is pinned at 3.2 kbps, so the
-    # engines statically skip the 30 RVQ stages the wire can never carry.
-    enc = EncoderEngine(16000, mode="bf16", max_bitrate=3200)
-    dec = DecoderEngine(16000, mode="bf16", max_bitrate=3200)
+    # max_bitrate caps the compiled RVQ stages at what the wire can carry
+    # (3200 default: the engines statically skip the 30 stages a 64-bit
+    # fleet never uses; --mixed needs the full 9200 program).
+    max_bitrate = 9200 if mixed else _BITRATE_OF_BITS[bits]
+    enc = EncoderEngine(16000, mode="bf16", max_bitrate=max_bitrate)
+    dec = DecoderEngine(16000, mode="bf16", max_bitrate=max_bitrate)
     rng = np.random.RandomState(0)
+    label = ("mixed_3.2+6.0+9.2kbps" if mixed
+             else f"{_BITRATE_OF_BITS[bits] / 1000:.1f}kbps")
 
     # streams, wave_batch, tick_ms, n_waves, program_bytes_per_wave
     best = (0.0, 0, 0.0, 1, 0.0)
@@ -68,8 +97,17 @@ def main():
             audio = jnp.asarray(
                 rng.randint(-16000, 16000, (wave_batch, 320)), jnp.float32)
             received = jnp.ones((wave_batch,), bool)
-            nq = jnp.full(
-                (wave_batch,), 64 // config.BITS_PER_QUANTIZER, jnp.int32)
+            if mixed:
+                # Rows split evenly across the three wire sizes — the
+                # mixed-fleet shape the device mixed-wire kernel serves.
+                stages = np.array([64, 120, 184]) // config.BITS_PER_QUANTIZER
+                nq = jnp.asarray(np.tile(stages,
+                                         (wave_batch + 2) // 3)[:wave_batch],
+                                 jnp.int32)
+            else:
+                nq = jnp.full(
+                    (wave_batch,), bits // config.BITS_PER_QUANTIZER,
+                    jnp.int32)
             step = jax.jit(lambda es, ds, a, r, n: _roundtrip(
                 enc, dec, es, ds, a, r, n))
             waves = [[enc.init_state(wave_batch), dec.init_state(wave_batch)]
@@ -134,7 +172,7 @@ def main():
         # Every config failed: report "broken", not "zero streams" — a
         # driver-visible nonzero rc distinguishes slow from broken.
         print(json.dumps({
-            "metric": "realtime_3.2kbps_encode+decode_streams_per_chip",
+            "metric": f"realtime_{label}_encode+decode_streams_per_chip",
             "value": 0.0, "unit": "streams",
             "vs_baseline": 0.0,
             "error": "all benchmark configs failed (see stderr)",
@@ -161,7 +199,7 @@ def main():
                 prog_tick_bytes / hbm_gbps * 1e3, 2),
         } if prog_tick_bytes else {})
     print(json.dumps({
-        "metric": "realtime_3.2kbps_encode+decode_streams_per_chip",
+        "metric": f"realtime_{label}_encode+decode_streams_per_chip",
         "value": round(streams, 1),
         "unit": f"streams ({n_waves}x{batch} wave schedule, "
                 f"{ms:.2f} ms/20ms-tick)",

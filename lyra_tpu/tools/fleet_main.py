@@ -691,7 +691,15 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     args = p.parse_args(argv)
 
     if not args.host and not args.standby:
-        p.error("register at least one --host or --standby")
+        # A flagless start is legal ONLY as a journal resume: the host set
+        # then comes from the previous life's routing journal.
+        jpath = (os.path.join(args.snapshot_dir, _JOURNAL_NAME)
+                 if args.snapshot_dir else None)
+        if jpath is None or not (os.path.exists(jpath)
+                                 and os.path.getsize(jpath)):
+            p.error("register at least one --host or --standby (or point "
+                    "--snapshot_dir at a previous controller's journal "
+                    "to resume)")
     if args.watch_every < 0:
         p.error("--watch_every must be >= 0")
     caps = [c for *_, c in args.host + args.standby]

@@ -808,3 +808,210 @@ def test_controller_restart_mid_call_then_failover(model_path, tmp_path):
             th.join(timeout=120)
             assert not th.is_alive()
         echo_rx.close()
+
+
+class _FakeServeHost:
+    """A UDP control endpoint speaking serve_main's --control protocol
+    (ping/stats/save/restore/drain/quit, req-echo envelope) without the
+    engine — the controller-tier soak drives the REAL fleet_main process
+    machinery (admission service, watchdog, journal) against many of
+    these.  kill() closes the socket, so pings get ICMP-refused like a
+    crashed process."""
+
+    def __init__(self, snap_dir, name):
+        self.name = name
+        self._snap = os.path.join(snap_dir, name)
+        open(self._snap, "w").write("snapshot")  # serve_main --snapshot twin
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.settimeout(0.1)
+        self.port = self._sock.getsockname()[1]
+        self.restores = 0
+        self._stop = threading.Event()
+        self._th = threading.Thread(target=self._serve, daemon=True)
+        self._th.start()
+
+    def _serve(self):
+        while not self._stop.is_set():
+            try:
+                data, addr = self._sock.recvfrom(64 * 1024)
+            except socket.timeout:
+                continue
+            except OSError:
+                return  # killed
+            try:
+                cmd = json.loads(data.decode())
+            except ValueError:
+                continue
+            reply = {"req": cmd.get("req"), "ok": True}
+            name = cmd.get("cmd")
+            if name == "stats":
+                reply["stats"] = {"mode": "decode", "ticks": 1}
+            elif name in ("save", "drain"):
+                open(cmd["path"], "w").write("snapshot")
+            elif name == "restore":
+                if not os.path.exists(cmd["path"]):
+                    reply = {"req": cmd.get("req"), "ok": False,
+                             "error": "no snapshot"}
+                else:
+                    self.restores += 1
+            elif name == "set_bitrate":
+                pass
+            elif name not in ("ping", "quit"):
+                reply = {"req": cmd.get("req"), "ok": False,
+                         "error": f"unknown {name!r}"}
+            try:
+                self._sock.sendto(json.dumps(reply).encode(), addr)
+            except OSError:
+                return
+
+    def kill(self):
+        """The crash: stop answering, release the port (ICMP-refused)."""
+        self._stop.set()
+        self._sock.close()
+        self._th.join(timeout=10)
+
+
+def _rss_kb() -> int:
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * os.sysconf("SC_PAGESIZE") // 1024
+
+
+@pytest.mark.full
+def test_fleet_main_process_soak(tmp_path):
+    """Controller-tier soak (VERDICT r4 item 6) through the REAL
+    fleet_main process machinery: seat churn, maintenance migrations,
+    host crashes with autonomous watchdog failover, runtime host
+    replacement, and TWO controller crash-restarts mid-soak — every seat
+    accounted at each checkpoint, flat RSS, and the routing journal
+    bounded by compaction."""
+    snap_dir = str(tmp_path)
+    hosts = {}
+    counter = itertools.count()
+
+    def new_host(name):
+        hosts[name] = _FakeServeHost(snap_dir, name)
+        return hosts[name]
+
+    for n in ("h0", "h1", "s0", "s1"):
+        new_host(n)
+
+    fleet_port = _free_udp_port()
+
+    def controller_argv(initial):
+        argv = ["--snapshot_dir", snap_dir, "--watch_every", "0.15",
+                "--port", str(fleet_port), "--report_every", "300",
+                "--seconds", "0"]
+        if initial:  # restarts resume purely from the journal
+            for n in ("h0", "h1"):
+                argv += ["--host", f"{n}=127.0.0.1:1:{hosts[n].port}:8"]
+            for n in ("s0", "s1"):
+                argv += ["--standby", f"{n}=127.0.0.1:1:{hosts[n].port}:8"]
+        return argv
+
+    def start_controller(initial=False):
+        ready = threading.Event()
+        stop = threading.Event()
+        th = threading.Thread(target=fleet_main, kwargs=dict(
+            argv=controller_argv(initial), _on_ready=lambda p: ready.set(),
+            _stop=stop))
+        th.start()
+        assert ready.wait(60), "controller never came up"
+        return th, stop
+
+    th, stop = start_controller(initial=True)
+    cli = _FleetClient(("127.0.0.1", fleet_port))
+    import random
+
+    rng = random.Random(11)
+    live = set()
+    failovers_seen = 0
+    rss0 = None
+    try:
+        for round_no in range(60):
+            # Seat churn.
+            for _ in range(rng.randrange(5)):
+                sid = f"s{next(counter)}"
+                r = cli.request("admit", stream=sid)
+                if r["ok"]:
+                    live.add(sid)
+            for sid in rng.sample(sorted(live),
+                                  k=min(len(live), rng.randrange(4))):
+                assert cli.request("release", stream=sid)["ok"]
+                live.discard(sid)
+
+            st = cli.request("stats")["stats"]
+            actives = [n for n, h in st["hosts"].items()
+                       if not h["standby"] and not h["busy"]
+                       and n in hosts and not hosts[n]._stop.is_set()]
+            standbys = [n for n, h in st["hosts"].items()
+                        if h["standby"] and n in hosts
+                        and not hosts[n]._stop.is_set()]
+            op = rng.random()
+            if op < 0.18 and actives and standbys:
+                # Maintenance migration; drained source then removed and
+                # replaced by a fresh runtime standby.
+                src, dst = rng.choice(actives), rng.choice(standbys)
+                r = cli.request("migrate", src=src, dst=dst)
+                assert r["ok"], r
+                assert cli.request("remove_host", host=src)["ok"]
+                hosts[src].kill()
+                nh = new_host(f"r{next(counter)}")
+                assert cli.request(
+                    "add_host", spec=f"{nh.name}=127.0.0.1:1:{nh.port}:8",
+                    standby=True)["ok"]
+            elif op < 0.36 and actives and standbys:
+                # Crash: the watchdog must fail the victim over.
+                victim = rng.choice(actives)
+                hosts[victim].kill()
+                want = cli.request("stats")["stats"]["failovers"] + 1
+                deadline = time.time() + 30
+                while time.time() < deadline:
+                    st = cli.request("stats")["stats"]
+                    if st["failovers"] >= want:
+                        break
+                    time.sleep(0.1)
+                assert st["failovers"] >= want, st
+                failovers_seen += 1
+                nh = new_host(f"r{next(counter)}")
+                assert cli.request(
+                    "add_host", spec=f"{nh.name}=127.0.0.1:1:{nh.port}:8",
+                    standby=True)["ok"]
+            elif round_no in (20, 40):
+                # Controller crash + journal-resume restart (flagless).
+                stop.set()
+                th.join(timeout=60)
+                assert not th.is_alive()
+                th, stop = start_controller(initial=False)
+
+            # Invariants every round: seat accounting matches, every live
+            # stream locates to a live non-standby host.
+            st = cli.request("stats")["stats"]
+            occupied = sum(h["occupied"] for h in st["hosts"].values())
+            assert occupied == len(live), (occupied, len(live), round_no)
+            assert not any(h["busy"] for h in st["hosts"].values())
+            for sid in rng.sample(sorted(live), k=min(len(live), 3)):
+                loc = cli.request("locate", stream=sid)
+                assert loc["ok"], (loc, round_no)
+                assert not st["hosts"][loc["host"]]["standby"]
+            if round_no == 10:
+                rss0 = _rss_kb()
+
+        assert failovers_seen >= 2, "the crash branch barely ran"
+        # Flat RSS: the fleet tier must not leak per-event memory.
+        growth = _rss_kb() - rss0
+        assert growth < 40 * 1024, f"RSS grew {growth} kB over the soak"
+        # The journal stays bounded (compaction) and resumable.
+        jsize = os.path.getsize(os.path.join(snap_dir,
+                                             ".fleet_journal.jsonl"))
+        assert jsize < 4 * 1024 * 1024, jsize
+        assert cli.request("quit")["ok"]
+        th.join(timeout=60)
+        assert not th.is_alive()
+    finally:
+        stop.set()
+        th.join(timeout=60)
+        cli.close()
+        for h in hosts.values():
+            if not h._stop.is_set():
+                h.kill()
