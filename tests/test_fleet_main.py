@@ -961,10 +961,12 @@ def test_fleet_main_process_soak(tmp_path):
                     "add_host", spec=f"{nh.name}=127.0.0.1:1:{nh.port}:8",
                     standby=True)["ok"]
             elif op < 0.36 and actives and standbys:
-                # Crash: the watchdog must fail the victim over.
+                # Crash: the watchdog must fail the victim over.  The
+                # target count is captured BEFORE the kill — a 0.15 s
+                # sweep can complete the failover before our next stats.
+                want = cli.request("stats")["stats"]["failovers"] + 1
                 victim = rng.choice(actives)
                 hosts[victim].kill()
-                want = cli.request("stats")["stats"]["failovers"] + 1
                 deadline = time.time() + 30
                 while time.time() < deadline:
                     st = cli.request("stats")["stats"]
