@@ -35,7 +35,10 @@ def _parse_args(argv):
     it = iter(argv)
     for a in it:
         if a == "--bits":
-            bits = int(next(it))
+            v = next(it, None)
+            if v is None:
+                raise SystemExit("--bits needs a value (64|120|184)")
+            bits = int(v)
             if bits not in _BITRATE_OF_BITS:
                 raise SystemExit(f"--bits must be one of "
                                  f"{sorted(_BITRATE_OF_BITS)}, got {bits}")

@@ -87,15 +87,12 @@ def run_failover(ticks, max_jitter, schedule, carry, failover_at, base=2):
     for arrive, seq in schedule:
         by_tick.setdefault(arrive, []).append(seq)
     post_received = post_silent = 0
-    late_before = 0
     learned_at_move = None
     for t in range(ticks + max_jitter + 1):
         if t == failover_at:
             heads = jb.heads()
             delays, votes = jb.adapt_export()
             learned_at_move = int(delays[0])
-            late_before = jb.stats()["late_drops"]
-            old_late = late_before
             jb = JitterBuffer(capacity=1, packet_size=23, depth=32)
             jb.set_adaptive(0, 16, window=50)
             jb.add_stream(0, start_seq=int(heads[0]), playout_delay=base)

@@ -87,6 +87,19 @@ class FleetJournal:
     def __init__(self, path: str, compact_every: int = 20000):
         self.path = path
         self._compact_every = compact_every
+        # Repair a torn tail BEFORE appending: a crash mid-write leaves a
+        # partial final line with no newline, and appending onto it would
+        # corrupt the next record too (replay tolerates a torn tail, but
+        # only as the final line).
+        if os.path.exists(path) and os.path.getsize(path):
+            with open(path, "rb+") as f:
+                f.seek(0, os.SEEK_END)
+                size = f.tell()
+                back = min(size, 1 << 20)
+                f.seek(size - back)
+                data = f.read()
+                if not data.endswith(b"\n"):
+                    f.truncate(size - back + data.rfind(b"\n") + 1)
         self._f = open(path, "a", buffering=1)
         # Existing records count toward the compaction threshold: a
         # controller restarted on a huge journal compacts on the first
@@ -343,11 +356,26 @@ class FleetRouter:
             lambda addr: HostControl(addr))
         router = cls()
         with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                router._apply(json.loads(line), make_ctl)
+            lines = [ln.strip() for ln in f]
+        records = []
+        for i, line in enumerate(lines):
+            if not line:
+                continue
+            try:
+                records.append(json.loads(line))
+            except ValueError:
+                if i == len(lines) - 1:
+                    # A torn FINAL line is the expected signature of the
+                    # crash this journal exists to survive (power loss /
+                    # kill mid-append): at most the OS-buffer tail is
+                    # lost, as documented.  A torn line ANYWHERE ELSE is
+                    # real corruption and stays a loud refusal.
+                    break
+                raise ValueError(
+                    f"journal {path} is corrupt at line {i + 1} (not the "
+                    f"final line — not a torn-tail crash artifact)")
+        for rec in records:
+            router._apply(rec, make_ctl)
         # Hosts left busy = a handoff was in flight when the controller
         # died.  Clear the marks (admission must not stay blocked on a
         # handoff whose driver is gone) and report them: the watchdog
@@ -572,6 +600,14 @@ class FleetRouter:
         try:
             self._hosts[name].control.request(
                 "ping", _timeout=timeout, _retries=retries)
+            return True
+        except ControlError:
+            # The host ANSWERED — with ok=false (e.g. an auth-keyed host
+            # refusing this controller's unsigned/mis-keyed ping).  A
+            # responding host is alive; failing it over would fork its
+            # calls, and an exception here would kill the watchdog thread
+            # (sweep()'s never-raises contract).  The misconfiguration
+            # surfaces as the host's own auth_rejects counter.
             return True
         except (socket.timeout, OSError):
             return False

@@ -190,7 +190,13 @@ class _Watchdog:
         # host only left dead_unrecovered via an explicit add/remove.
         for name in suppressed:
             try:
-                recovered = self._router.alive(name)
+                # One short attempt: these hosts are usually still dead,
+                # and a full retries*timeout probe per suppressed host
+                # would delay detection of NEW failures every sweep (a
+                # genuinely recovering host just waits one more sweep if
+                # its single ping datagram is lost).
+                recovered = self._router.alive(name, timeout=0.3,
+                                               retries=1)
             except KeyError:
                 continue  # removed while probing
             if recovered:
@@ -373,17 +379,21 @@ class _AdmissionService:
         except KeyError:
             host, data_addr, slot = self._router.locate(sid)
             fresh = False
-        if "bitrate" in cmd:
+        if "bitrate" in cmd and fresh:
             # Caller-requested downlink rate (encode/bridge fleets).
             # All-or-nothing on a fresh seat: a refused rate (bad value,
             # decode host) frees it again — otherwise the caller retries
-            # admit and leaks a slot per attempt.  On a retried admit the
-            # seat predates this datagram, so it stays.
+            # admit and leaks a slot per attempt.  FRESH SEATS ONLY: a
+            # retried admit's seat predates this datagram (its rate was
+            # set on the fresh attempt), and relaying here for an
+            # existing stream would let a keyless admit datagram retune
+            # someone else's call — the exact operation ADMIN_VERBS
+            # gates behind the MAC (mid-call changes go through the
+            # keyed set_bitrate verb).
             try:
                 self._router.set_bitrate(sid, int(cmd["bitrate"]))
             except Exception:
-                if fresh:
-                    self._router.release(sid)
+                self._router.release(sid)
                 raise
         if fresh:
             self.admitted += 1
@@ -721,7 +731,31 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
     router, recovered = _build_router(args)
     if args.wait_ready:
         for name in router.hosts():
-            router.control(name).wait_ready()
+            try:
+                router.control(name).wait_ready()
+            except socket.timeout:
+                # A dead host must not abort the controller start — that
+                # would turn one host failure into a fleet-wide outage
+                # exactly when crash recovery (journal resume) is
+                # restarting the controller.  The watchdog judges it.
+                print(f"fleet: host {name!r} not ready at startup; "
+                      "serving without it (watchdog will judge)",
+                      flush=True)
+    if recovered:
+        # Mid-handoff hosts from a crashed previous life: probe once and
+        # report loudly — with the watchdog enabled (default) the next
+        # sweep re-judges them; with --watch_every 0 the operator must.
+        for name in recovered:
+            try:
+                ok = router.alive(name)
+            except KeyError:
+                continue
+            if not ok:
+                print(f"fleet: recovered mid-handoff host {name!r} is not "
+                      "answering; the watchdog will fail it over"
+                      + ("" if args.watch_every > 0 else
+                         " — but --watch_every is 0: operator action "
+                         "needed"), flush=True)
 
     watchdog = _Watchdog(router, args.snapshot_dir)
     svc = _AdmissionService(router, watchdog, args.port, args.bind,
@@ -743,7 +777,14 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
         # Wait-first: give freshly registered hosts one interval before
         # the first probe (deeper startup grace is --wait_ready's job).
         while not watch_stop.wait(args.watch_every):
-            watchdog.sweep()
+            try:
+                watchdog.sweep()
+            except Exception as e:  # noqa: BLE001 — a watchdog that dies
+                # with one bad probe leaves the fleet without failure
+                # detection for the rest of the controller's life;
+                # sweep() promises never to raise, this is the backstop.
+                print(f"fleet: watchdog sweep error (continuing): "
+                      f"{type(e).__name__}: {e}", flush=True)
 
     watcher = None
     if args.watch_every > 0:

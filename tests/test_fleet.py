@@ -665,3 +665,76 @@ def test_journal_replay_preserves_rooms(tmp_path):
     r2.release("y")
     r2.release("z")
     assert r2.admit("fresh", room="R3")[0] in ("b1", "b2")
+
+
+def test_alive_treats_auth_refusal_as_alive():
+    """A keyed host refusing this controller's unsigned ping ANSWERED —
+    it is alive.  alive() must return True (not raise ControlError into
+    the watchdog thread, and not read 'dead': failing over a live host
+    would fork its calls); the misconfiguration surfaces in the host's
+    own auth_rejects counter."""
+    srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+
+    def answer():
+        data, addr = srv.recvfrom(64 * 1024)
+        req = json.loads(data.decode())["req"]
+        srv.sendto(json.dumps({"req": req, "ok": False,
+                               "error": "auth: missing mac"}).encode(),
+                   addr)
+
+    th = threading.Thread(target=answer)
+    th.start()
+    r = FleetRouter()
+    r.add_host("keyed", ("127.0.0.1", 1),
+               HostControl(srv.getsockname(), timeout=5.0, retries=1), 2)
+    try:
+        assert r.alive("keyed") is True
+    finally:
+        th.join(timeout=10)
+        r.close()
+        srv.close()
+
+
+def test_journal_tolerates_torn_tail(tmp_path):
+    """The crash class the journal exists for tears its own final line
+    (power loss / kill mid-append): replay must skip a torn FINAL line,
+    reopening for append must truncate it (or the next record would be
+    corrupted too), and a torn line anywhere ELSE stays a loud refusal."""
+    from lyra_tpu.tools.fleet import FleetJournal
+
+    jpath = os.path.join(str(tmp_path), "journal.jsonl")
+    r = FleetRouter(FleetJournal(jpath))
+    r.add_host("a", ("10.0.0.1", 5620),
+               _FakeControl(addr=("10.0.0.1", 5630)), 4)
+    r.admit("s0")
+    r.admit("s1")
+    with open(jpath, "a") as f:
+        f.write('{"op": "admit", "stream": "s2", "hos')  # torn mid-write
+
+    r2, open_hosts, _ = _replayed(jpath)
+    assert r2.locate("s0") == r.locate("s0")
+    assert r2.locate("s1") == r.locate("s1")
+    with pytest.raises(KeyError):
+        r2.locate("s2")  # the torn record is the lost OS-buffer tail
+
+    # Reopening the journal repairs the tail, so appends stay parseable.
+    j2 = FleetJournal(jpath)
+    r3 = FleetRouter(j2)
+    # Rebuild-by-replay then continue journaling through the SAME file:
+    # the next record must start on a fresh line.
+    r3.add_host("b", ("10.0.0.2", 5620),
+                _FakeControl(addr=("10.0.0.2", 5630)), 4)
+    lines = [json.loads(line) for line in open(jpath)]  # all parse again
+    assert lines[-1]["op"] == "add_host" and lines[-1]["name"] == "b"
+
+    # Corruption NOT at the tail is refused loudly.
+    with open(jpath) as f:
+        good = f.readlines()
+    with open(jpath, "w") as f:
+        f.write(good[0])
+        f.write("GARBAGE NOT JSON\n")
+        f.writelines(good[1:])
+    with pytest.raises(ValueError, match="corrupt"):
+        FleetRouter.replay(jpath,
+                           control_factory=lambda a: _FakeControl(addr=a))

@@ -565,11 +565,16 @@ def test_admission_with_bitrate_relays_and_rolls_back():
         assert not refused["ok"]
         retry = cli.request("admit", stream="c2", bitrate=3200)
         assert retry["ok"] and retry["slot"] == 1
-        # ...but a retried admit of an EXISTING seat with a bad rate must
-        # NOT release it (the seat predates the datagram).
-        bad_retry = cli.request("admit", stream="c2", bitrate=1234)
-        assert not bad_retry["ok"]
+        # A retried admit of an EXISTING seat never relays its bitrate
+        # field (the seat predates the datagram, its rate was set on the
+        # fresh attempt) — otherwise a keyless admit could retune
+        # someone else's call, bypassing the keyed set_bitrate verb.
+        n_rate_calls = sum(c[0] == "set_bitrate" for c in ctl.calls)
+        re_admit = cli.request("admit", stream="c2", bitrate=9200)
+        assert re_admit["ok"] and re_admit["slot"] == 1  # locate semantics
         assert cli.request("locate", stream="c2")["slot"] == 1
+        assert sum(c[0] == "set_bitrate"
+                   for c in ctl.calls) == n_rate_calls  # not relayed
 
         # release is idempotent: the retry of a completed release is ok.
         assert cli.request("release", stream="c2")["ok"]
