@@ -32,20 +32,26 @@ def _free_udp_port() -> int:
 
 class _FleetClient:
     """Minimal caller-side client for the admission endpoint (same
-    req-token envelope as HostControl)."""
+    req-token envelope as HostControl).  `key` signs every request (for
+    keyed fleets' admin verbs; caller verbs ignore the extra fields)."""
 
     _req = itertools.count(1)
 
-    def __init__(self, addr):
+    def __init__(self, addr, key=None):
+        self._key = key
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.connect(addr)
         self._sock.settimeout(2.0)
 
     def request(self, cmd, **fields):
         req = f"t{next(self._req)}"
+        body = {"cmd": cmd, "req": req, **fields}
+        if self._key is not None:
+            from lyra_tpu.tools.control_auth import sign
+
+            body = sign(body, self._key)
         for _ in range(5):
-            self._sock.send(json.dumps(
-                {"cmd": cmd, "req": req, **fields}).encode())
+            self._sock.send(json.dumps(body).encode())
             try:
                 while True:
                     reply = json.loads(self._sock.recv(64 * 1024).decode())
@@ -675,11 +681,20 @@ def test_controller_restart_mid_call_then_failover(model_path, tmp_path):
     re-admission, (b) refuses a duplicate admit of that stream id the
     same way the first life did, and (c) still fails the seat over to
     the standby when the host later dies — the round-4 availability
-    machinery survives its own driver's crash."""
+    machinery survives its own driver's crash.
+
+    The whole topology runs KEYED (serve_main --control_key + fleet_main
+    --key on one shared file): every control RPC the controller sends —
+    including the restore the watchdog issues during failover, and the
+    RPCs of the SECOND life whose HostControls were rebuilt from the
+    journal — must carry a valid MAC or the hosts refuse it."""
     from lyra_tpu import packet as pkt
     from lyra_tpu.tools import serve_main
 
     snap_dir = str(tmp_path)
+    key_file = os.path.join(snap_dir, "fleet.key")
+    with open(key_file, "wb") as f:
+        f.write(os.urandom(32))
     echo_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     echo_rx.bind(("127.0.0.1", 0))
     echo_rx.settimeout(0.05)
@@ -695,7 +710,8 @@ def test_controller_restart_mid_call_then_failover(model_path, tmp_path):
                   "--max_bitrate", "3200", "--model_path", model_path,
                   "--playout_delay", "1", "--report_every", "30",
                   "--echo", f"127.0.0.1:{echo_port}",
-                  "--control", str(ctl_port)] + extra,
+                  "--control", str(ctl_port),
+                  "--control_key", key_file] + extra,
             _on_ready=lambda port: (box.update(port=port), ready.set()),
             _stop=stop))
         th.start()
@@ -712,7 +728,7 @@ def test_controller_restart_mid_call_then_failover(model_path, tmp_path):
         "--host", f"a=127.0.0.1:{port_a}:{ctl_a}:2",
         "--standby", f"spare=127.0.0.1:{port_b}:{ctl_b}:2",
         "--snapshot_dir", snap_dir, "--watch_every", "0.3",
-        "--wait_ready",
+        "--wait_ready", "--key", key_file,
         "--port", str(fleet_port), "--report_every", "60", "--seconds", "0"]
 
     def start_controller():
@@ -729,7 +745,10 @@ def test_controller_restart_mid_call_then_failover(model_path, tmp_path):
     cli = tx = None
     th_f2 = stop_f2 = None
     try:
-        cli = _FleetClient(("127.0.0.1", fleet_port))
+        from lyra_tpu.tools.control_auth import load_key
+
+        cli = _FleetClient(("127.0.0.1", fleet_port),
+                           key=load_key(key_file))
         seat = cli.request("admit", stream="caller1")
         assert seat["ok"] and seat["host"] == "a"
         slot = seat["slot"]
