@@ -110,9 +110,79 @@ def run_failover(ticks, max_jitter, schedule, carry, failover_at, base=2):
             "end_delay": jb.delay(0)}
 
 
+def run_failover_burst_gap(carry, seed=7, ticks=2000, fo=1000, gap=8,
+                           burst_len=60, mj=8, base=2):
+    """The carry's WIN scenario, reproducibly (the source of PERF.md
+    round 5's 84-vs-28 table): the jitter burst starts 30 ticks before
+    the failover and continues through it, and the outage loses `gap`
+    ticks of arrivals — bursts are correlated with failovers (they are
+    why hosts get failed over), so this is the case worth paying for."""
+    rng = np.random.RandomState(seed)
+    by = {}
+    for t in range(ticks):
+        in_burst = (fo - 30) <= t < (fo + burst_len)
+        d = rng.randint(2, mj + 1) if in_burst else 0
+        by.setdefault(t + d, []).append(t)
+    jb = JitterBuffer(1, 23, 32)
+    jb.set_adaptive(0, 16, window=50)
+    jb.add_stream(0, playout_delay=base)
+    post_silent = 0
+    for t in range(ticks + mj + 1):
+        if t == fo:
+            heads = jb.heads()
+            d_, v_ = jb.adapt_export()
+            jb = JitterBuffer(1, 23, 32)
+            jb.set_adaptive(0, 16, window=50)
+            jb.add_stream(0, start_seq=int(heads[0]), playout_delay=base)
+            if carry:
+                jb.adapt_seed(0, int(d_[0]), int(v_[0]))
+        if not (fo <= t < fo + gap):  # the outage window loses arrivals
+            for s in by.get(t, ()):
+                jb.insert(0, s, b"x" * 8)
+        _, r, _ = jb.collect()
+        if fo <= t < fo + 200:
+            post_silent += 1 - int(r[0])
+    return jb.stats()["late_drops"], post_silent
+
+
+def failover_sweep(ticks, max_jitter):
+    """The full recorded A/B (PERF.md round 5): calm-window moves (8
+    seeds x 4 move points — the carry's cost case) and burst+outage
+    moves (6 seeds — its win case)."""
+    calm = {False: [], True: []}
+    for seed in range(8):
+        sched = arrival_schedule(ticks, max_jitter, seed=seed)
+        for fo in (600, 900, 1200, 1500):
+            for carry in (False, True):
+                r = run_failover(ticks, max_jitter, sched, carry, fo)
+                calm[carry].append((r["post_late"], r["post_silent"]))
+    print("calm-window moves (8 seeds x 4 points), post-move damage:")
+    for carry in (False, True):
+        a = np.array(calm[carry])
+        label = "carried" if carry else "base restart"
+        print(f"  {label:>14}: late mean {a[:, 0].mean():.2f} "
+              f"max {a[:, 0].max()}, silent mean {a[:, 1].mean():.2f}")
+    print("burst+outage moves (6 seeds, gap=8, burst through the move):")
+    for carry in (False, True):
+        tot_late = tot_silent = 0
+        worst = 0
+        for seed in range(6):
+            late, silent = run_failover_burst_gap(carry, seed=seed,
+                                                  mj=max_jitter)
+            tot_late += late
+            tot_silent += silent
+            worst = max(worst, late)
+        label = "carried" if carry else "base restart"
+        print(f"  {label:>14}: {tot_late} late / {tot_silent} silent "
+              f"over 6 seeds (worst seed {worst} late)")
+
+
 def main():
     ticks = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     max_jitter = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    if "--failover-sweep" in sys.argv:
+        failover_sweep(ticks, max_jitter)
+        return
     if "--failover" in sys.argv:
         # The carry A/B: fail over mid-burst (40% through, inside the
         # bursty 60%), compare post-move damage with and without the

@@ -24,7 +24,15 @@ envelope's UDP-retry contract (fleet.py HostControl retransmits the same
 datagram on a lost reply) must keep working, and every verb is
 idempotent by design, so re-execution is exactly what a legitimate retry
 asks for.  An attacker replaying the identical datagram in-window gains
-nothing a retry wouldn't.
+nothing a retry wouldn't — **at the original recipient**.  Cross-host
+replay (one shared fleet key, a captured "drain" re-aimed at every other
+host's control port, each with its own fresh nonce cache) is killed by
+the audience field: signing clients put the recipient's dialed address
+in `"aud"` ("ip:port"), each Verifier is constructed with its own
+identity, and a valid-MAC datagram for someone else is refused.  A keyed
+endpoint must therefore know its identity — wildcard binds are refused
+at startup when keyed — and keyed host specs must dial the same literal
+address the host bound (IPs, not DNS names that resolve differently).
 
 Key file: raw bytes (>= 16 after stripping trailing newlines), e.g.
 `head -c 32 /dev/urandom > fleet.key`.  Both ends read the same file.
@@ -90,15 +98,18 @@ class Verifier:
     """
 
     def __init__(self, key: bytes, window_s: float = 30.0,
-                 clock=time.time, max_nonces: int = 65536):
+                 clock=time.time, max_nonces: int = 65536,
+                 audience: Optional[str] = None):
         self._key = key
         self._window = window_s
         self._clock = clock
         self._max = max_nonces
+        self._audience = audience
         self._seen: dict = {}  # nonce -> (expiry, canonical bytes)
 
     def verify(self, msg: dict) -> None:
-        """Raise AuthError unless `msg` is authentic and fresh."""
+        """Raise AuthError unless `msg` is authentic, fresh, and — when
+        this verifier knows its identity — addressed to it."""
         mac = msg.get("mac")
         if not isinstance(mac, str):
             raise AuthError("missing mac")
@@ -107,6 +118,12 @@ class Verifier:
         expect = hmac.new(self._key, canon, hashlib.sha256).hexdigest()
         if not hmac.compare_digest(mac, expect):
             raise AuthError("bad mac")
+        if self._audience is not None and body.get("aud") != self._audience:
+            # Valid MAC, wrong recipient: a captured command replayed at
+            # another host sharing the fleet key.
+            raise AuthError(
+                f"wrong audience {body.get('aud')!r} "
+                f"(this endpoint is {self._audience!r})")
         now = self._clock()
         ts = body.get("ts")
         if not isinstance(ts, (int, float)) or abs(now - ts) > self._window:

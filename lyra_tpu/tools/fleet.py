@@ -175,6 +175,10 @@ class HostControl:
         if self._key is not None:
             from lyra_tpu.tools.control_auth import sign
 
+            # Audience = the address this client dials: the far verifier
+            # refuses a captured datagram replayed at any OTHER host
+            # sharing the key (control_auth.py docstring).
+            body["aud"] = f"{self.addr[0]}:{self.addr[1]}"
             body = sign(body, self._key)
         msg = json.dumps(body).encode()
         retries = self._retries if _retries is None else _retries

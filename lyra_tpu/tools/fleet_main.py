@@ -339,13 +339,16 @@ class _AdmissionService:
         self._watchdog = watchdog
         self._room_size = room_size
         self._key = key
-        self._verifier = Verifier(key) if key is not None else None
         self.auth_rejects = 0
         self._lock = watchdog._lock  # one fleet-state lock for both
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.bind((bind, port))
         self._sock.setblocking(False)
         self.port = self._sock.getsockname()[1]
+        # A keyed endpoint must know its own identity (the audience the
+        # signing operators dial); wildcard binds were refused in main().
+        self._verifier = (Verifier(key, audience=f"{bind}:{self.port}")
+                          if key is not None else None)
         self.admitted = 0
         self.released = 0
         # (src, dst) -> req token of the migrate currently in flight on a
@@ -726,21 +729,36 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
 
     require_key_for_routable(args.bind, args.key,
                              "fleet_main admission endpoint")
+    if args.key is not None and args.bind in ("0.0.0.0", "::", ""):
+        p.error("--key with a wildcard --bind: a keyed endpoint must know "
+                "its own identity (the audience operators sign for) — "
+                "bind the specific interface address")
     args._key = load_key(args.key) if args.key is not None else None
 
     router, recovered = _build_router(args)
     if args.wait_ready:
-        for name in router.hosts():
+        # In PARALLEL (total wait = slowest host, not the sum — a dead
+        # host must not serialize 120 s in front of every other wait and
+        # the admission bind), and tolerant: a host that is dead
+        # (timeout) or answering ok=false (ControlError — e.g. keyed with
+        # a stale key) must not abort the controller start.  That would
+        # turn one host's failure into a fleet-wide outage exactly when
+        # crash recovery is restarting the controller; the watchdog (or
+        # the host's own auth_rejects counter) surfaces it instead.
+        def wait_one(name):
             try:
                 router.control(name).wait_ready()
-            except socket.timeout:
-                # A dead host must not abort the controller start — that
-                # would turn one host failure into a fleet-wide outage
-                # exactly when crash recovery (journal resume) is
-                # restarting the controller.  The watchdog judges it.
-                print(f"fleet: host {name!r} not ready at startup; "
-                      "serving without it (watchdog will judge)",
-                      flush=True)
+            except (socket.timeout, ControlError) as e:
+                print(f"fleet: host {name!r} not ready at startup "
+                      f"({type(e).__name__}); serving without it "
+                      "(watchdog will judge)", flush=True)
+
+        waiters = [threading.Thread(target=wait_one, args=(n,))
+                   for n in router.hosts()]
+        for w in waiters:
+            w.start()
+        for w in waiters:
+            w.join()
     if recovered:
         # Mid-handoff hosts from a crashed previous life: probe once and
         # report loudly — with the watchdog enabled (default) the next

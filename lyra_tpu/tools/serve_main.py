@@ -89,12 +89,15 @@ class _Control:
     def __init__(self, port: int, bind: str = "127.0.0.1", key=None):
         from lyra_tpu.tools.control_auth import Verifier
 
-        self._verifier = Verifier(key) if key is not None else None
         self.auth_rejects = 0
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.bind((bind, port))
         self._sock.setblocking(False)
         self.port = self._sock.getsockname()[1]
+        # A keyed endpoint must know its own identity (the audience the
+        # signing clients dial); wildcard binds were refused in main().
+        self._verifier = (Verifier(key, audience=f"{bind}:{self.port}")
+                          if key is not None else None)
 
     def poll(self, server, snapshot, transport_save=None,
              transport_restore=None) -> bool:
@@ -933,6 +936,12 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
 
         require_key_for_routable(args.control_bind, args.control_key,
                                  "serve_main --control")
+        if (args.control_key is not None
+                and args.control_bind in ("0.0.0.0", "::", "")):
+            p.error("--control_key with a wildcard --control_bind: a "
+                    "keyed endpoint must know its own identity (the "
+                    "audience clients sign for) — bind the specific "
+                    "interface address")
         if args.control_key is not None:
             args._control_key = load_key(args.control_key)
     elif args.control_key is not None:

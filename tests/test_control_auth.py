@@ -140,12 +140,15 @@ class _FakeServer:
         return None
 
 
-def _drive_control(key, messages):
-    """Bind a keyed _Control, deliver raw dict messages, poll once, and
-    return (replies, control)."""
+def _drive_control(key, message_makers):
+    """Bind a keyed _Control, deliver messages built for its audience
+    (each maker takes the endpoint's "ip:port" identity), poll, and
+    return (replies, control, server)."""
     from lyra_tpu.tools.serve_main import _Control
 
     ctl = _Control(0, "127.0.0.1", key=key)
+    aud = f"127.0.0.1:{ctl.port}"
+    messages = [mk(aud) for mk in message_makers]
     srv = _FakeServer()
     tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     tx.bind(("127.0.0.1", 0))
@@ -171,17 +174,25 @@ def test_keyed_control_accepts_signed_and_counts_rejects():
     """serve_main's keyed control endpoint: a signed command executes, a
     keyless or tampered one is a counted ok=false reply (never fatal),
     and the counter lands in auth_rejects."""
-    signed = sign({"cmd": "ping", "req": "r-ok"}, KEY)
-    naked = {"cmd": "quit", "req": "r-naked"}
-    tampered = {**sign({"cmd": "ping", "req": "r-bad"}, KEY),
-                "cmd": "quit"}
-    replies, ctl, srv = _drive_control(KEY, [signed, naked, tampered])
+    makers = [
+        lambda aud: sign({"cmd": "ping", "req": "r-ok", "aud": aud}, KEY),
+        lambda aud: {"cmd": "quit", "req": "r-naked"},
+        lambda aud: {**sign({"cmd": "ping", "req": "r-bad", "aud": aud},
+                            KEY), "cmd": "quit"},
+        # Valid MAC signed for ANOTHER host's audience: a captured
+        # datagram replayed across hosts sharing the fleet key.
+        lambda aud: sign({"cmd": "quit", "req": "r-xhost",
+                          "aud": "10.9.9.9:5630"}, KEY),
+    ]
+    replies, ctl, srv = _drive_control(KEY, makers)
     by_req = {r.get("req"): r for r in replies}
     assert by_req["r-ok"]["ok"] and by_req["r-ok"]["mode"] == "fake"
     assert not by_req["r-naked"]["ok"]
     assert "auth" in by_req["r-naked"]["error"]
     assert not by_req["r-bad"]["ok"]
-    assert ctl.auth_rejects == 2
+    assert not by_req["r-xhost"]["ok"]
+    assert "audience" in by_req["r-xhost"]["error"]
+    assert ctl.auth_rejects == 3
     assert srv.calls == []  # nothing destructive executed
 
 
@@ -270,8 +281,8 @@ def test_fleet_admin_verbs_gated_callers_keyless():
         assert "a" in r.hosts()
         # Admin verb, signed: accepted (remove refused on occupancy — the
         # auth layer passed it through to the real refusal).
-        signed = rpc(sign({"cmd": "remove_host", "host": "a",
-                           "req": "a5"}, KEY))
+        signed = rpc(sign({"cmd": "remove_host", "host": "a", "req": "a5",
+                           "aud": f"127.0.0.1:{svc.port}"}, KEY))
         assert not signed["ok"] and "streams" in signed["error"]
         st = rpc({"cmd": "stats", "req": "a6"})["stats"]
         assert st["auth_rejects"] == 1

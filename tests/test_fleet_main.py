@@ -39,6 +39,7 @@ class _FleetClient:
 
     def __init__(self, addr, key=None):
         self._key = key
+        self._addr = addr
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.connect(addr)
         self._sock.settimeout(2.0)
@@ -49,6 +50,7 @@ class _FleetClient:
         if self._key is not None:
             from lyra_tpu.tools.control_auth import sign
 
+            body["aud"] = f"{self._addr[0]}:{self._addr[1]}"
             body = sign(body, self._key)
         for _ in range(5):
             self._sock.send(json.dumps(body).encode())
