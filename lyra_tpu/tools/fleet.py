@@ -312,6 +312,12 @@ class FleetRouter:
         self._streams: Dict[object, Tuple[str, int]] = {}
         self._rooms: Dict[object, Tuple[str, int]] = {}  # room -> (host, block)
         self._room_of: Dict[object, object] = {}  # stream -> room
+        # Seat capability tokens (caller-chosen at admit): a seat admitted
+        # with a token requires it for locate/release — admission is
+        # unauthenticated by design, so without this, anyone reachable
+        # could tear down or trace any guessable stream id.  None = the
+        # legacy open contract (token-less callers keep working).
+        self._token: Dict[object, Optional[str]] = {}
         # Crash tolerance: every mutation below appends one record here
         # (see FleetJournal); a restarted controller rebuilds with replay().
         self._journal = journal
@@ -339,6 +345,8 @@ class FleetRouter:
             "rooms": [[room, name, block]
                       for room, (name, block) in self._rooms.items()],
             "room_of": [[sid, room] for sid, room in self._room_of.items()],
+            "tokens": [[sid, tok] for sid, tok in self._token.items()
+                       if tok is not None],
         }
 
     @classmethod
@@ -414,6 +422,8 @@ class FleetRouter:
                 self._rooms[room] = (name, block)
             for sid, room in rec["room_of"]:
                 self._room_of[sid] = room
+            for sid, tok in rec.get("tokens", []):
+                self._token[sid] = tok
         elif op == "add_host":
             host = _Host(tuple(rec["data_addr"]),
                          make_ctl(tuple(rec["ctl_addr"])),
@@ -425,14 +435,17 @@ class FleetRouter:
             name, slot = rec["host"], rec["slot"]
             self._hosts[name].slots[slot] = rec["stream"]
             self._streams[rec["stream"]] = (name, slot)
+            if rec.get("token") is not None:
+                self._token[rec["stream"]] = rec["token"]
             if rec.get("room") is not None:
                 self._room_of[rec["stream"]] = rec["room"]
                 self._rooms[rec["room"]] = (
                     name, slot // self._hosts[name].room_size)
         elif op == "release":
             # Re-run the real release (it owns the last-member-out room
-            # bookkeeping) — journaling is off during replay.
-            self.release(rec["stream"])
+            # bookkeeping) — journaling is off during replay, and the
+            # token check already passed when the record was written.
+            self.release(rec["stream"], token=self._token.get(rec["stream"]))
         elif op == "begin_handoff":
             self._hosts[rec["src"]].busy = True
             self._hosts[rec["dst"]].busy = True
@@ -508,8 +521,14 @@ class FleetRouter:
                           if h.room_size is not None else {})}
                 for name, h in self._hosts.items()}
 
-    def admit(self, stream_id,
-              room=None) -> Tuple[str, Tuple[str, int], int]:
+    def _check_token(self, stream_id, token) -> None:
+        stored = self._token.get(stream_id)
+        if stored is not None and token != stored:
+            raise PermissionError(
+                f"seat token mismatch for stream {stream_id!r}")
+
+    def admit(self, stream_id, room=None,
+              token=None) -> Tuple[str, Tuple[str, int], int]:
         """Seat a stream on the least-loaded non-standby host; returns
         (host_name, data_addr, slot).  Raises when the fleet is full or
         the stream is already seated.
@@ -538,8 +557,9 @@ class FleetRouter:
                         if i not in host.slots)
         host.slots[slot] = stream_id
         self._streams[stream_id] = (name, slot)
+        self._token[stream_id] = token
         self._log(op="admit", stream=stream_id, host=name, slot=slot,
-                  room=room)
+                  room=room, token=token)
         return name, host.data_addr, slot
 
     def _admit_room(self, room) -> Tuple[str, _Host, int]:
@@ -569,8 +589,10 @@ class FleetRouter:
         self._rooms[room] = (name, block)
         return name, host, block * host.room_size
 
-    def release(self, stream_id) -> None:
+    def release(self, stream_id, token=None) -> None:
+        self._check_token(stream_id, token)
         name, slot = self._streams.pop(stream_id)
+        self._token.pop(stream_id, None)
         host = self._hosts[name]
         del host.slots[slot]
         room = self._room_of.pop(stream_id, None)
@@ -583,8 +605,10 @@ class FleetRouter:
                 del self._rooms[room]
         self._log(op="release", stream=stream_id)
 
-    def locate(self, stream_id) -> Tuple[str, Tuple[str, int], int]:
+    def locate(self, stream_id,
+               token=None) -> Tuple[str, Tuple[str, int], int]:
         name, slot = self._streams[stream_id]
+        self._check_token(stream_id, token)
         return name, self._hosts[name].data_addr, slot
 
     def set_bitrate(self, stream_id, bitrate: int) -> None:

@@ -21,7 +21,13 @@ It owns a `FleetRouter` (tools/fleet.py) and exposes two behaviors:
       (+ optional "bitrate": B on encode/bridge fleets — relayed to the
        host's set_bitrate; a refused rate frees the seat again;
        + optional "room": R on bridge fleets (--room_size) — members of
-       one room co-locate in one block on one host)
+       one room co-locate in one block on one host;
+       + RECOMMENDED "token": a caller-chosen random string (<=128
+       chars) — the seat capability.  locate/release of a token-guarded
+       seat require the same token, so a peer who merely guesses the
+       stream id can neither trace nor tear down the call; the caller's
+       own UDP retries naturally carry the same token.  Tokens survive
+       controller restarts (journaled) and host moves.)
     {"cmd": "release","stream": ID}  -> {"ok": true}
     {"cmd": "locate", "stream": ID}  -> as admit (after a migration the
                                         addr points at the new host —
@@ -316,6 +322,18 @@ def _addr_json(addr):
     return [addr[0], addr[1]]
 
 
+def _seat_token(cmd: dict):
+    """The caller-chosen seat capability (admit/locate/release "token"
+    field).  Validated here so a hostile datagram cannot stuff megabytes
+    (it rides the routing journal) or non-string junk into the table."""
+    token = cmd.get("token")
+    if token is None:
+        return None
+    if not isinstance(token, str) or not 1 <= len(token) <= 128:
+        raise ValueError("seat token must be a 1..128-char string")
+    return token
+
+
 class _AdmissionService:
     """UDP JSON endpoint: the fleet's front door for callers (admit /
     release / locate / stats) plus the operator verbs (migrate / quit).
@@ -375,12 +393,18 @@ class _AdmissionService:
         duplicate-stream error that strands a leaked slot (the envelope's
         retry-safety contract, fleet.py HostControl)."""
         sid = cmd["stream"]
+        token = _seat_token(cmd)
         try:
             host, data_addr, slot = self._router.admit(
-                sid, room=cmd.get("room"))
+                sid, room=cmd.get("room"), token=token)
             fresh = True
         except KeyError:
-            host, data_addr, slot = self._router.locate(sid)
+            # Existing seat: this is either the caller's own UDP retry
+            # (same token -> same seat back, locate semantics) or someone
+            # else claiming the id (token mismatch -> PermissionError ->
+            # refused; without it they would be handed the victim's host
+            # address and could release the seat next).
+            host, data_addr, slot = self._router.locate(sid, token=token)
             fresh = False
         if "bitrate" in cmd and fresh:
             # Caller-requested downlink rate (encode/bridge fleets).
@@ -396,7 +420,9 @@ class _AdmissionService:
             try:
                 self._router.set_bitrate(sid, int(cmd["bitrate"]))
             except Exception:
-                self._router.release(sid)
+                # Roll back with the seat's own token (a token-guarded
+                # fresh seat would otherwise refuse its own rollback).
+                self._router.release(sid, token=token)
                 raise
         if fresh:
             self.admitted += 1
@@ -498,14 +524,16 @@ class _AdmissionService:
         elif name == "release":
             # Idempotent (the envelope's UDP-retry contract): a retry of
             # a completed release must be an ok, not an error that makes
-            # the caller believe the seat leaked.
+            # the caller believe the seat leaked.  Token-guarded seats
+            # refuse a mismatch (PermissionError -> counted ok=false).
             try:
-                self._router.release(cmd["stream"])
+                self._router.release(cmd["stream"], token=_seat_token(cmd))
                 self.released += 1
             except KeyError:
                 pass
         elif name == "locate":
-            host, data_addr, slot = self._router.locate(cmd["stream"])
+            host, data_addr, slot = self._router.locate(
+                cmd["stream"], token=_seat_token(cmd))
             reply.update(host=host, addr=_addr_json(data_addr), slot=slot)
         elif name == "set_bitrate":
             self._router.set_bitrate(cmd["stream"], int(cmd["bitrate"]))

@@ -738,3 +738,31 @@ def test_journal_tolerates_torn_tail(tmp_path):
     with pytest.raises(ValueError, match="corrupt"):
         FleetRouter.replay(jpath,
                            control_factory=lambda a: _FakeControl(addr=a))
+
+
+def test_journal_replay_preserves_seat_tokens(tmp_path):
+    """Seat capability tokens are routing state: a restarted controller
+    must keep refusing a guessed-id release exactly as the first life
+    did, and honor the owner's token."""
+    r, jpath = _journaled_router(tmp_path)
+    r.add_host("a", ("10.0.0.1", 5620),
+               _FakeControl(addr=("10.0.0.1", 5630)), 4)
+    r.admit("guarded", token="tok-1")
+    r.admit("open")
+    r.admit("churn", token="tok-2")
+    r.release("churn", token="tok-2")  # token-checked release journals fine
+
+    r2, _, _ = _replayed(jpath)
+    with pytest.raises(PermissionError):
+        r2.locate("guarded")
+    with pytest.raises(PermissionError):
+        r2.release("guarded", token="wrong")
+    assert r2.locate("guarded", token="tok-1") == r.locate(
+        "guarded", token="tok-1")
+    r2.release("guarded", token="tok-1")
+    r2.locate("open")  # legacy token-less seat stays open
+    # Compaction carries the token table too.
+    r._journal.compact(r._state_record())
+    r3, _, _ = _replayed(jpath)
+    with pytest.raises(PermissionError):
+        r3.locate("guarded")

@@ -1043,3 +1043,66 @@ def test_fleet_main_process_soak(tmp_path):
         for h in hosts.values():
             if not h._stop.is_set():
                 h.kill()
+
+
+def test_seat_tokens_guard_locate_and_release():
+    """Caller-chosen seat tokens: a token-guarded seat answers only its
+    owner — a reachable peer who guesses the stream id can neither trace
+    (locate) nor tear down (release) the call, while the owner's own
+    UDP-retried admit (same token) still gets locate semantics.
+    Token-less seats keep the legacy open contract."""
+    from lyra_tpu.tools.fleet import FleetRouter
+    from lyra_tpu.tools.fleet_main import _AdmissionService, _Watchdog
+
+    r = FleetRouter()
+    r.add_host("a", ("127.0.0.1", 1), _FakeControl(), 4)
+    svc = _AdmissionService(r, _Watchdog(r, None, log=lambda *_: None),
+                            0, "127.0.0.1")
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            svc.poll(None)
+            time.sleep(0.002)
+
+    th = threading.Thread(target=pump)
+    th.start()
+    cli = _FleetClient(("127.0.0.1", svc.port))
+    try:
+        seat = cli.request("admit", stream="victim", token="s3cret")
+        assert seat["ok"] and seat["slot"] == 0
+
+        # Guessed-id attacks: all refused, seat untouched.
+        for attack in (
+            {"cmd": "locate", "stream": "victim"},
+            {"cmd": "locate", "stream": "victim", "token": "wrong"},
+            {"cmd": "release", "stream": "victim"},
+            {"cmd": "release", "stream": "victim", "token": "wrong"},
+            {"cmd": "admit", "stream": "victim", "token": "wrong"},
+            {"cmd": "admit", "stream": "victim"},
+        ):
+            got = cli.request(**{("cmd" if k == "cmd" else k): v
+                                 for k, v in attack.items()})
+            assert not got["ok"] and "token" in got["error"], (attack, got)
+        # Oversized/non-string tokens are refused before touching tables.
+        bad = cli.request("admit", stream="x", token="t" * 200)
+        assert not bad["ok"] and "128" in bad["error"]
+
+        # The owner: retried admit (same token) = locate semantics.
+        again = cli.request("admit", stream="victim", token="s3cret")
+        assert again["ok"] and again["slot"] == 0
+        assert cli.request("locate", stream="victim",
+                           token="s3cret")["ok"]
+        assert cli.request("release", stream="victim",
+                           token="s3cret")["ok"]
+        # Seat actually freed; token-less seats stay open-contract.
+        free = cli.request("admit", stream="open1")
+        assert free["ok"]
+        assert cli.request("locate", stream="open1")["ok"]
+        assert cli.request("release", stream="open1")["ok"]
+    finally:
+        stop.set()
+        th.join(timeout=10)
+        cli.close()
+        svc.close()
+        r.close()
