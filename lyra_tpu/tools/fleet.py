@@ -34,6 +34,8 @@ import socket
 import threading
 from typing import Dict, Optional, Tuple
 
+from lyra_tpu.tools.control_auth import sign as _sign
+
 
 class ControlError(RuntimeError):
     """A control command was answered with ok=false (the host keeps
@@ -173,13 +175,11 @@ class HostControl:
         req = f"r{next(self._req_counter)}"
         body = {"cmd": cmd, "req": req, **fields}
         if self._key is not None:
-            from lyra_tpu.tools.control_auth import sign
-
             # Audience = the address this client dials: the far verifier
             # refuses a captured datagram replayed at any OTHER host
             # sharing the key (control_auth.py docstring).
             body["aud"] = f"{self.addr[0]}:{self.addr[1]}"
-            body = sign(body, self._key)
+            body = _sign(body, self._key)
         msg = json.dumps(body).encode()
         retries = self._retries if _retries is None else _retries
         last_exc: Optional[Exception] = None

@@ -90,6 +90,8 @@ import socket
 import threading
 import time
 
+from lyra_tpu.tools.control_auth import (AuthError, Verifier, load_key,
+                                          require_key_for_routable)
 from lyra_tpu.tools.fleet import (ControlError, FleetJournal, FleetRouter,
                                   HostControl, StatsSink)
 
@@ -351,8 +353,6 @@ class _AdmissionService:
 
     def __init__(self, router: FleetRouter, watchdog: _Watchdog,
                  port: int, bind: str, room_size=None, key=None):
-        from lyra_tpu.tools.control_auth import Verifier
-
         self._router = router
         self._watchdog = watchdog
         self._room_size = room_size
@@ -450,8 +450,6 @@ class _AdmissionService:
             name = cmd.get("cmd")
             if (self._verifier is not None
                     and name in self.ADMIN_VERBS):
-                from lyra_tpu.tools.control_auth import AuthError
-
                 try:
                     self._verifier.verify(cmd)
                 except AuthError as e:
@@ -753,8 +751,6 @@ def main(argv=None, _on_ready=None, _stop=None) -> int:
 
     # Trust boundary, enforced before any socket binds: loopback stays
     # keyless, a routable admission bind requires the shared key.
-    from lyra_tpu.tools.control_auth import load_key, require_key_for_routable
-
     require_key_for_routable(args.bind, args.key,
                              "fleet_main admission endpoint")
     if args.key is not None and args.bind in ("0.0.0.0", "::", ""):

@@ -36,6 +36,7 @@ import numpy as np
 
 from lyra_tpu import config
 from lyra_tpu import packet as pkt
+from lyra_tpu.tools.control_auth import AuthError, Verifier
 from lyra_tpu.tools.jitter_buffer import JitterBuffer
 from lyra_tpu.tools.stream_server import DecoderServer
 
@@ -87,8 +88,6 @@ class _Control:
     state, so reachability alone must not be authority."""
 
     def __init__(self, port: int, bind: str = "127.0.0.1", key=None):
-        from lyra_tpu.tools.control_auth import Verifier
-
         self.auth_rejects = 0
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.bind((bind, port))
@@ -121,8 +120,6 @@ class _Control:
                 self._reply(addr, {"ok": False, "error": f"bad command: {e}"})
                 continue
             if self._verifier is not None:
-                from lyra_tpu.tools.control_auth import AuthError
-
                 try:
                     self._verifier.verify(cmd)
                 except AuthError as e:
