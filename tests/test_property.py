@@ -259,3 +259,114 @@ def test_fleet_journal_replay_equivalence(data):
     r.close()
     r2.close()
     tmpdir.cleanup()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_control_auth_sign_verify_property(data):
+    """Property: any JSON-object command signs and verifies; mutating any
+    single field (or dropping one) under the same mac fails; a fresh
+    re-sign of the same body verifies independently."""
+    from lyra_tpu.tools.control_auth import AuthError, Verifier, sign
+
+    key = bytes(data.draw(st.binary(min_size=16, max_size=64)))
+    scalar = st.one_of(st.none(), st.booleans(),
+                       st.integers(-2**31, 2**31),
+                       st.text(max_size=20))
+    body = data.draw(st.dictionaries(
+        st.text(min_size=1, max_size=10).filter(
+            lambda k: k not in ("mac", "ts", "nonce")),
+        st.one_of(scalar, st.lists(scalar, max_size=4)),
+        max_size=6))
+    body["cmd"] = data.draw(st.text(min_size=1, max_size=10))
+    v = Verifier(key)
+    msg = sign(body, key)
+    v.verify(msg)
+    v.verify(dict(msg))  # byte-identical duplicate = the UDP retry
+
+    import json as _json
+
+    # JSON round trip (what the wire does) still verifies.
+    Verifier(key).verify(_json.loads(_json.dumps(msg)))
+
+    # Any single-field mutation dies.
+    victim = data.draw(st.sampled_from(sorted(msg)))
+    mutated = dict(msg)
+    if isinstance(mutated[victim], str):
+        mutated[victim] = mutated[victim] + "x"
+    else:
+        mutated[victim] = "tampered"
+    with __import__("pytest").raises(AuthError):
+        Verifier(key).verify(mutated)
+    dropped = {k: x for k, x in msg.items() if k != victim}
+    with __import__("pytest").raises(AuthError):
+        Verifier(key).verify(dropped)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_admission_socket_survives_hostile_datagrams(data):
+    """Fuzz: arbitrary bytes and arbitrary JSON values thrown at the
+    fleet admission socket must never kill the poll loop or corrupt the
+    routing tables — every hostile datagram is an error reply or a silent
+    drop, and a legitimate admit still works afterward."""
+    import json as _json
+    import socket as _socket
+
+    from lyra_tpu.tools.fleet import FleetRouter
+    from lyra_tpu.tools.fleet_main import _AdmissionService, _Watchdog
+
+    class _Ctl:
+        addr = ("127.0.0.1", 1001)
+
+        def request(self, *a, **k):
+            return {"ok": True}
+
+        def close(self):
+            pass
+
+    r = FleetRouter()
+    r.add_host("a", ("127.0.0.1", 1), _Ctl(), 4)
+    svc = _AdmissionService(r, _Watchdog(r, None, log=lambda *_: None),
+                            0, "127.0.0.1")
+    tx = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    tx.settimeout(2.0)
+    try:
+        payloads = data.draw(st.lists(st.one_of(
+            st.binary(max_size=200),
+            st.text(max_size=100).map(lambda t: t.encode()),
+            st.one_of(
+                st.none(), st.integers(), st.lists(st.integers(),
+                                                   max_size=3),
+                st.dictionaries(
+                    st.text(max_size=8).filter(lambda k: k != "cmd"),
+                    st.one_of(st.none(), st.integers(),
+                              st.text(max_size=10)),
+                    max_size=4),
+            ).map(lambda v: _json.dumps(v).encode()),
+        ), min_size=1, max_size=12))
+        for pl in payloads:
+            tx.sendto(pl, ("127.0.0.1", svc.port))
+        for _ in range(50):
+            svc.poll(None)  # must never raise
+        # The service still serves a legitimate caller.
+        req = _json.dumps({"cmd": "admit", "stream": "ok-caller",
+                           "req": "rq", "token": "t"}).encode()
+        tx.sendto(req, ("127.0.0.1", svc.port))
+        reply = None
+        for _ in range(200):
+            svc.poll(None)
+            try:
+                cand = _json.loads(tx.recv(65536).decode())
+            except _socket.timeout:
+                continue
+            if cand.get("req") == "rq":
+                reply = cand
+                break
+        assert reply is not None and reply["ok"], reply
+        st_hosts = r.hosts()
+        assert st_hosts["a"]["occupied"] == 1  # only the legit admit
+    finally:
+        tx.close()
+        svc.close()
+        r.close()
