@@ -28,6 +28,7 @@ tests/test_fleet_main.py.
 from __future__ import annotations
 
 import heapq
+import hmac
 import itertools
 import json
 import os
@@ -308,14 +309,30 @@ class _Host:
             if self._free_heap and (self._fresh >= self.capacity
                                     or self._free_heap[0] < self._fresh):
                 slot = heapq.heappop(self._free_heap)
-            else:
+            elif self._fresh < self.capacity:
                 slot = self._fresh
                 self._fresh += 1
+            else:  # impossible under the reset discipline; fail loudly
+                raise RuntimeError(
+                    "alloc_slot invariant broken: free > 0 but no "
+                    "candidate below capacity")
             if slot not in self.slots:
                 return slot
 
     def give_back(self, slot: int) -> None:
-        heapq.heappush(self._free_heap, slot)
+        # Bridge (room) hosts never allocate through the heap (room
+        # admission is positional within a block), so banking their
+        # releases would only grow the heap with call history.
+        if self.room_size is None:
+            heapq.heappush(self._free_heap, slot)
+
+    def reset_alloc(self) -> None:
+        """Re-arm the allocator after a BULK slot change (a positional
+        handoff filling/emptying this host outside alloc_slot/give_back).
+        (_fresh=0, empty heap) is always sound: alloc_slot rediscovers
+        occupied slots lazily, amortized O(1) per admission."""
+        self._free_heap = []
+        self._fresh = 0
 
     def free_block(self) -> Optional[int]:
         """First room block with no occupant, or None (bridge hosts)."""
@@ -438,6 +455,7 @@ class FleetRouter:
             self._streams.clear()
             self._rooms.clear()
             self._room_of.clear()
+            self._token.clear()
             for h in rec["hosts"]:
                 host = _Host(tuple(h["data_addr"]),
                              make_ctl(tuple(h["ctl_addr"])),
@@ -552,7 +570,13 @@ class FleetRouter:
 
     def _check_token(self, stream_id, token) -> None:
         stored = self._token.get(stream_id)
-        if stored is not None and token != stored:
+        if stored is None:
+            return
+        # Constant-time compare: the token is a secret capability and
+        # stream ids are guessable by design (the exact threat tokens
+        # exist for) — a short-circuiting != would leak prefix length.
+        if not isinstance(token, str) or not hmac.compare_digest(
+                token.encode(), stored.encode()):
             raise PermissionError(
                 f"seat token mismatch for stream {stream_id!r}")
 
@@ -764,6 +788,11 @@ class FleetRouter:
             moved += 1
         self._rehome_rooms(src, dst)
         src_h.slots = {}
+        # Both hosts' slot tables just changed in bulk (positionally, not
+        # through alloc/give_back): re-arm the allocators, or a parked
+        # ex-source reused later allocates past its real free slots.
+        src_h.reset_alloc()
+        dst_h.reset_alloc()
         dst_h.standby = False  # carries the live calls now
         src_h.busy = dst_h.busy = False
         if deregister_src:

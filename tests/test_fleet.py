@@ -766,3 +766,28 @@ def test_journal_replay_preserves_seat_tokens(tmp_path):
     r3, _, _ = _replayed(jpath)
     with pytest.raises(PermissionError):
         r3.locate("guarded")
+
+
+def test_slot_allocation_survives_handoff_round_trip():
+    """A maintenance round-trip (migrate A->B, churn on B, migrate back
+    into the parked A) bulk-moves slot tables OUTSIDE the allocator;
+    admissions on the re-activated host must hand out the real free
+    slots, never out-of-range ones (wire slots are positional seat
+    identities on a fixed-capacity serve_main host) and never a
+    premature 'fleet at capacity'."""
+    r = _router(("a", 4, False), ("b", 4, True))
+    for i in range(4):
+        r.admit(f"s{i}")
+    r.migrate("a", "b", "/tmp/snap")  # A parked empty, B carries 4
+    r.release("s0")
+    r.release("s1")
+    r.migrate("b", "a", "/tmp/snap2")  # back into the parked ex-source
+    # A is active with slots {2, 3} occupied: the two fresh admissions
+    # must land on the REAL free slots 0 and 1.
+    assert r.admit("n0") == ("a", ("127.0.0.1", 1000), 0)
+    assert r.admit("n1") == ("a", ("127.0.0.1", 1000), 1)
+    with pytest.raises(RuntimeError, match="capacity"):
+        r.admit("overflow")
+    # And the allocator keeps cycling through churn afterward.
+    r.release("n0")
+    assert r.admit("n2")[2] == 0
