@@ -951,20 +951,33 @@ def test_fleet_main_process_soak(tmp_path):
 
     rng = random.Random(11)
     live = set()
+    tokens = {}
     failovers_seen = 0
     rss0 = None
     try:
         for round_no in range(60):
-            # Seat churn.
+            # Seat churn (half the seats token-guarded: the capability
+            # must hold through migrations, failovers, and restarts).
             for _ in range(rng.randrange(5)):
                 sid = f"s{next(counter)}"
-                r = cli.request("admit", stream=sid)
+                tok = f"tok-{sid}" if rng.random() < 0.5 else None
+                r = cli.request("admit", stream=sid,
+                                **({"token": tok} if tok else {}))
                 if r["ok"]:
                     live.add(sid)
+                    tokens[sid] = tok
             for sid in rng.sample(sorted(live),
                                   k=min(len(live), rng.randrange(4))):
-                assert cli.request("release", stream=sid)["ok"]
+                tok = tokens.get(sid)
+                if tok is not None:
+                    # The guessed-id teardown must stay refused.
+                    naked = cli.request("release", stream=sid)
+                    assert not naked["ok"] and "token" in naked["error"]
+                assert cli.request(
+                    "release", stream=sid,
+                    **({"token": tok} if tok else {}))["ok"]
                 live.discard(sid)
+                tokens.pop(sid, None)
 
             st = cli.request("stats")["stats"]
             actives = [n for n, h in st["hosts"].items()
@@ -1019,9 +1032,14 @@ def test_fleet_main_process_soak(tmp_path):
             assert occupied == len(live), (occupied, len(live), round_no)
             assert not any(h["busy"] for h in st["hosts"].values())
             for sid in rng.sample(sorted(live), k=min(len(live), 3)):
-                loc = cli.request("locate", stream=sid)
+                tok = tokens.get(sid)
+                loc = cli.request("locate", stream=sid,
+                                  **({"token": tok} if tok else {}))
                 assert loc["ok"], (loc, round_no)
                 assert not st["hosts"][loc["host"]]["standby"]
+                if tok is not None:  # the guard survives every handoff
+                    naked = cli.request("locate", stream=sid)
+                    assert not naked["ok"], (sid, round_no)
             if round_no == 10:
                 rss0 = _rss_kb()
 
