@@ -224,3 +224,37 @@ def test_fleet_caller_end_to_end_decode_host(model_path, tmp_path):
         for th in (th_f, th_h):
             th.join(timeout=120)
             assert not th.is_alive()
+
+
+def test_fleet_caller_red_uplink_framing():
+    """red=D clients honor the fleet's RED wire contract: each uplink
+    datagram carries the packet from D sends earlier (empty at stream
+    start), parseable by the host's packet.parse_red."""
+    from lyra_tpu import packet as pkt
+
+    r, svc, stop, th = _service(("a", 4, False))
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(5.0)
+    try:
+        r._hosts["a"].data_addr = rx.getsockname()
+        with pytest.raises(ValueError, match="red"):
+            FleetCaller(("127.0.0.1", svc.port), "bad", red=9)
+        caller = FleetCaller(("127.0.0.1", svc.port), "red-caller", red=2)
+        sent = [bytes([i]) * 8 for i in range(4)]
+        for p in sent:
+            caller.send_packet(p)
+        got = [rx.recvfrom(65536)[0] for _ in range(4)]
+        for t, dgram in enumerate(got):
+            assert int.from_bytes(dgram[2:6], "big") == t
+            cur, prev = pkt.parse_red(dgram[6:])
+            assert cur == sent[t]
+            assert prev == (sent[t - 2] if t >= 2 else b"")
+        caller.release()
+        caller.close()
+    finally:
+        stop.set()
+        th.join(timeout=10)
+        rx.close()
+        svc.close()
+        r.close()
