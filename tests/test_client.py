@@ -141,6 +141,14 @@ def test_fleet_caller_send_framing_and_recv_filtering():
                 + b"pcm")
         foreign = ((caller.slot + 1).to_bytes(2, "big")
                    + (7).to_bytes(4, "big") + b"zzz")
+        # An off-path sender (or a stale pre-migration host) spoofing the
+        # caller's OWN slot from a different source must be dropped: the
+        # slot survives handoffs, so source address is the discriminator.
+        spoof_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        spoof = (caller.slot.to_bytes(2, "big") + (9).to_bytes(4, "big")
+                 + b"inject")
+        spoof_sock.sendto(spoof, src)
+        spoof_sock.close()
         for payload in (foreign, b"\x00", mine):
             rx.sendto(payload, src)
         deadline = time.time() + 5
