@@ -168,11 +168,13 @@ def test_fleet_caller_send_framing_and_recv_filtering():
 
 
 @pytest.mark.full
-def test_fleet_caller_end_to_end_decode_host(model_path, tmp_path):
-    """The full caller story against REAL processes: a serve_main decode
-    host with --echo reply behind a fleet_main controller — FleetCaller
-    admits, uplinks encoded packets on the 20 ms grid, and receives its
-    own decoded PCM downlink on the same socket."""
+def test_fleet_caller_end_to_end_with_live_migration(model_path, tmp_path):
+    """The full caller lifecycle against REAL processes: a serve_main
+    decode host with --echo reply behind a fleet_main controller —
+    FleetCaller admits, uplinks encoded packets on the 20 ms grid,
+    receives its own decoded PCM downlink on the same socket, survives a
+    live drain-migration to a warm standby via downlink-silence-triggered
+    relocate(), and releases."""
     from lyra_tpu import packet as pkt
     from lyra_tpu.tools import serve_main
     from lyra_tpu.tools.fleet_main import main as fleet_main
@@ -184,52 +186,90 @@ def test_fleet_caller_end_to_end_decode_host(model_path, tmp_path):
         s.close()
         return port
 
-    ctl_port = free_port()
-    box = {}
-    host_ready = threading.Event()
-    host_stop = threading.Event()
-    th_h = threading.Thread(target=serve_main.main, kwargs=dict(
-        argv=["--capacity", "2", "--seconds", "0", "--max_bitrate", "3200",
-              "--model_path", model_path, "--playout_delay", "1",
-              "--report_every", "30", "--echo", "reply",
-              "--control", str(ctl_port)],
-        _on_ready=lambda port: (box.update(port=port), host_ready.set()),
-        _stop=host_stop))
-    th_h.start()
-    assert host_ready.wait(120)
+    snap_dir = str(tmp_path)
+
+    def start_host(name):
+        ctl_port = free_port()
+        box = {}
+        ready = threading.Event()
+        stop = threading.Event()
+        th = threading.Thread(target=serve_main.main, kwargs=dict(
+            argv=["--capacity", "2", "--seconds", "0",
+                  "--max_bitrate", "3200", "--model_path", model_path,
+                  "--playout_delay", "1", "--report_every", "30",
+                  "--echo", "reply", "--control", str(ctl_port)],
+            _on_ready=lambda port: (box.update(port=port), ready.set()),
+            _stop=stop))
+        th.start()
+        assert ready.wait(120), f"host {name} never bound"
+        return th, stop, box["port"], ctl_port
+
+    th_a, stop_a, port_a, ctl_a = start_host("a")
+    th_b, stop_b, port_b, ctl_b = start_host("b")
 
     fleet_port = free_port()
     fleet_ready = threading.Event()
     fleet_stop = threading.Event()
     th_f = threading.Thread(target=fleet_main, kwargs=dict(
-        argv=["--host", f"a=127.0.0.1:{box['port']}:{ctl_port}:2",
+        argv=["--host", f"a=127.0.0.1:{port_a}:{ctl_a}:2",
+              "--standby", f"b=127.0.0.1:{port_b}:{ctl_b}:2",
+              "--snapshot_dir", snap_dir, "--wait_ready",
               "--port", str(fleet_port), "--watch_every", "0",
               "--report_every", "60", "--seconds", "0"],
         _on_ready=lambda port: fleet_ready.set(), _stop=fleet_stop))
     th_f.start()
     caller = None
     try:
-        assert fleet_ready.wait(60)
+        assert fleet_ready.wait(240)
         caller = FleetCaller(("127.0.0.1", fleet_port), "e2e-caller")
         assert caller.host == "a"
         wire = pkt.pack_indices_batch(np.zeros((1, 16), np.int32), 64)
         payload = wire[0].tobytes()
-        deadline = time.time() + 180
-        pcm = []
-        while not pcm and time.time() < deadline:
+
+        def stream_until_pcm(deadline_s):
+            deadline = time.time() + deadline_s
+            while time.time() < deadline:
+                caller.send_packet(payload)
+                time.sleep(0.02)
+                pcm = caller.recv()
+                if pcm:
+                    return pcm
+            return []
+
+        pcm = stream_until_pcm(180)
+        assert pcm, "no downlink PCM within the deadline"
+        assert len(pcm[0][1]) == config.num_samples_per_hop(16000) * 2
+
+        # Live maintenance migration A -> B (keyless loopback fleet: the
+        # migrate verb needs no MAC here).  The caller keeps streaming at
+        # the old address and re-resolves on downlink silence — the
+        # production client loop.
+        from tests.test_fleet_main import _FleetClient
+
+        op = _FleetClient(("127.0.0.1", fleet_port))
+        assert op.request("migrate", src="a", dst="b")["ok"]
+        op.close()
+        moved_deadline = time.time() + 120
+        relocated = False
+        while time.time() < moved_deadline:
             caller.send_packet(payload)
             time.sleep(0.02)
-            pcm = caller.recv()
-        assert pcm, "no downlink PCM within the deadline"
-        seq, hop = pcm[0]
-        assert len(hop) == config.num_samples_per_hop(16000) * 2
+            caller.recv()
+            if caller.silent_ticks >= 5 and caller.relocate():
+                relocated = True
+                break
+        assert relocated, "caller never re-resolved after the migration"
+        assert caller.host == "b"
+        pcm = stream_until_pcm(120)
+        assert pcm, "no downlink PCM from the standby after relocate"
         caller.release()
     finally:
         if caller is not None:
             caller.close()
         fleet_stop.set()
-        host_stop.set()
-        for th in (th_f, th_h):
+        stop_a.set()
+        stop_b.set()
+        for th in (th_f, th_a, th_b):
             th.join(timeout=120)
             assert not th.is_alive()
 
