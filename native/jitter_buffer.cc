@@ -50,6 +50,15 @@ constexpr int64_t kNoMargin = INT64_MAX;
 // shrinking is a deliberate playout jump, so it must be earned.
 constexpr int64_t kShrinkVotes = 3;
 
+// Sequence-number ceiling.  Wire sequences are 4 bytes (< 2^32); heads
+// only move to an accepted sequence or forward by one per tick, so under
+// this bound every head computation (head + depth, head + 1, head -
+// ad_max) stays far from int64 overflow.  An API caller passing an absurd
+// sequence (corrupt snapshot, bad FFI math) is refused/counted loudly
+// instead of driving head arithmetic into signed-overflow UB — found by
+// the sanitizer fuzz gate (native/fuzz_native.cc).
+constexpr int64_t kMaxSeq = int64_t{1} << 62;
+
 // Consecutive out-of-window inserts on one stream before its playout
 // point resyncs to the arriving sequence.  >1 so a single stray (or
 // hostile) packet cannot repoint a healthy stream's schedule; small so
@@ -140,7 +149,13 @@ extern "C" {
 void* lyra_jb_create(int64_t capacity, int64_t packet_size, int64_t depth) {
   // Per-slot sizes are stored as uint8_t; a larger packet_size would let
   // insert() silently truncate the recorded size.  Lyra packets are <=23 B.
-  if (capacity <= 0 || packet_size <= 0 || packet_size > 255 || depth <= 0) {
+  // Geometry ceilings (far above any real deployment: the wire slot field
+  // is 2 bytes, rings are tens of packets) keep every index/size product
+  // in safe int64 range and make an absurd config a loud nullptr instead
+  // of an overflowing allocation.
+  if (capacity <= 0 || packet_size <= 0 || packet_size > 255 || depth <= 0 ||
+      capacity > (int64_t{1} << 22) || depth > (int64_t{1} << 20) ||
+      capacity * depth > (int64_t{1} << 28)) {
     return nullptr;
   }
   auto* jb = new JitterBuffer();
@@ -192,8 +207,11 @@ int lyra_jb_add_stream(void* h, int64_t stream, int64_t start_seq,
   auto* jb = static_cast<JitterBuffer*>(h);
   // start_seq must be non-negative: with head >= 0 every accepted seq is
   // >= head >= 0, so (seq % depth) can never be a negative (out-of-bounds)
-  // ring index under C++ truncating modulo.
+  // ring index under C++ truncating modulo.  The kMaxSeq ceiling keeps
+  // head arithmetic overflow-free (see its comment); real sequences are
+  // 32-bit, so only a corrupt snapshot restore can trip it.
   if (stream < 0 || stream >= jb->capacity || start_seq < 0 ||
+      start_seq >= kMaxSeq ||
       playout_delay < 0 || playout_delay >= jb->depth) {
     return 1;
   }
@@ -237,6 +255,13 @@ int lyra_jb_insert(void* h, int64_t stream, int64_t seq,
   if (!jb->active[stream]) {
     ++jb->inactive_drops;
     return 5;
+  }
+  if (seq >= kMaxSeq) {
+    // Absurd sequence (the wire field is 4 bytes; this is FFI misuse or
+    // corruption): a counted drop that must NEVER become a resync target —
+    // adopting it as head would put head arithmetic within overflow range.
+    ++jb->overflow_drops;
+    return 4;
   }
   const int64_t head = jb->head_seq[stream];
   if (jb->ad_window > 0 && seq >= head - jb->ad_max &&
