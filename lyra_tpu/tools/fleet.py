@@ -618,6 +618,16 @@ class FleetRouter:
         if room in self._rooms:
             name, block = self._rooms[room]
             host = self._hosts[name]
+            if host.busy:
+                # The room's home has a handoff in flight: seating a new
+                # member now would mutate the slot table mid-handoff and
+                # aim the caller at a data address being drained.  Refuse
+                # like every other admission path does on a busy host —
+                # the caller retries, and after commit the room has been
+                # re-homed to the destination.
+                raise RuntimeError(
+                    f"room {room!r} is on host {name!r} with a handoff "
+                    "in flight; retry after it completes")
             rs = host.room_size
             slot = next((i for i in range(block * rs, (block + 1) * rs)
                          if i not in host.slots), None)

@@ -535,6 +535,25 @@ def test_router_room_directed_admission_and_rehoming():
                    room_size=2)
 
 
+def test_room_admission_refuses_mid_handoff_home():
+    """An existing room whose home host has a handoff in flight refuses
+    new members (like every other admission path on a busy host): seating
+    one would mutate the slot table mid-handoff and aim the caller at a
+    data address being drained.  After commit the room is re-homed and
+    the retried admit lands on the destination's same block."""
+    r = FleetRouter()
+    r.add_host("b1", ("127.0.0.1", 1), _FakeControl(), 4, room_size=2)
+    r.add_host("b2", ("127.0.0.1", 2), _FakeControl(), 4, standby=True,
+               room_size=2)
+    r.admit("alice", room="R1")
+    r.begin_handoff("b1", "b2")
+    with pytest.raises(RuntimeError, match="in flight"):
+        r.admit("bob", room="R1")
+    r.commit_handoff("b1", "b2", deregister_src=False)
+    n, _, s = r.admit("bob", room="R1")  # retry lands on the new home
+    assert (n, s) == ("b2", 1)
+
+
 # -- routing journal / controller crash recovery (VERDICT r4 item 1) ------
 
 def _journaled_router(tmp_path, **hosts_kw):
