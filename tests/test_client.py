@@ -167,6 +167,43 @@ def test_fleet_caller_send_framing_and_recv_filtering():
         r.close()
 
 
+def test_fleet_caller_canonicalizes_hostname_seat_addresses():
+    """A --host spec written with a hostname must not kill downlink: the
+    source filter compares against recvfrom()'s NUMERIC source, so the
+    client resolves the seat address once at seat time.  An unresolvable
+    name is a loud SeatError, never a silently dead-air call."""
+    r, svc, stop, th = _service(("a", 2, False))
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(5.0)
+    try:
+        # The operator wrote a hostname in the host spec.
+        r._hosts["a"].data_addr = ("localhost", rx.getsockname()[1])
+        caller = FleetCaller(("127.0.0.1", svc.port), "named")
+        assert caller.data_addr == rx.getsockname()  # numeric form
+        caller.send_packet(b"\xBB" * 8)
+        _, src = rx.recvfrom(65536)
+        rx.sendto(caller.slot.to_bytes(2, "big")
+                  + (3).to_bytes(4, "big") + b"pcm", src)
+        deadline = time.time() + 5
+        got = []
+        while not got and time.time() < deadline:
+            got = caller.recv()
+        assert got == [(3, b"pcm")]  # accepted despite the hostname spec
+        caller.release()
+        caller.close()
+
+        r._hosts["a"].data_addr = ("no-such-host.invalid", 1)
+        with pytest.raises(SeatError, match="resolve"):
+            FleetCaller(("127.0.0.1", svc.port), "unresolvable")
+    finally:
+        stop.set()
+        th.join(timeout=10)
+        rx.close()
+        svc.close()
+        r.close()
+
+
 @pytest.mark.full
 def test_fleet_caller_end_to_end_with_live_migration(model_path, tmp_path):
     """The full caller lifecycle against REAL processes: a serve_main
