@@ -15,7 +15,8 @@ check: native test entry
 native:
 	$(MAKE) -C native
 
-# Quick tier (~15 min single-process): everything except the heaviest
+# Quick tier (~6:40 warm-cache / ~12 min cold, single-process; PERF.md
+# round 5 "persistent XLA compile cache"): everything except the heaviest
 # sweeps/soaks (pytest marker `full`; every marked test has a lighter
 # sibling covering the same seam here).  CI runs the FULL suite via
 # `make test-shard SHARD=<name>` (ci/shards.json), as does `make

@@ -19,9 +19,26 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent XLA compile cache: most of the suite's wall time is repeated
+# XLA:CPU compiles of the same programs, so warm local reruns drop sharply
+# (cold-vs-warm numbers in PERF.md round 5).  The env var is set before
+# any subprocess spawns so spawned servers (serve_main/fleet_main in the
+# e2e tests) inherit it at interpreter start; the jax.config.update below
+# covers THIS process, whose jax import already happened in sitecustomize.
+# Opt out with LYRA_TPU_TEST_COMPILE_CACHE=0 (or point it at another dir).
+# Note: XLA:CPU's AOT loader logs a benign feature-mismatch error on every
+# cache load (`+prefer-no-scatter` is a compile-time tuning pseudo-feature
+# that host detection never reports); pytest capture keeps it out of
+# passing-test output.
+_cache = os.environ.get("LYRA_TPU_TEST_COMPILE_CACHE", "/tmp/lyra_tpu_test_cache")
+if _cache and _cache != "0":
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+if _cache and _cache != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache)
 
 import pytest  # noqa: E402
 
